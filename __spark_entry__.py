@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a real engine operator (zen3geo_spark.*) and
+has a DuckDB ``oracle_sql()`` twin sharing the exact same arithmetic via
+the engine-parameterized SQL templates in zen3geo_spark.functions /
+sources.pages. Column names and dtypes are aligned on both sides; float
+aggregates are rounded identically. Queries marked rows-only (no oracle
+entry) are the genuinely non-SQL-expressible kernels (Bresenham line walk,
+simhash bit math, LSH ANN candidates).
 """
 
 from __future__ import annotations
@@ -12,27 +14,647 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.geo import (
+    cell_encode, cell_id_sql, extract_first_geotag, micro_from_str,
+    micro_from_str_sql,
+)
+from zen3geo_spark.functions.text import (
+    fingerprint, fingerprint_sql, quality_score, quality_score_sql,
+    token_count, token_count_sql,
+)
+from zen3geo_spark.operators.chipper import chip_grid, assign_chips, chip_stats
+from zen3geo_spark.operators.clipper import clip_vector_with_rectangle
+from zen3geo_spark.operators.dedup import (
+    dedup_exact, minhash_lsh_candidates, ngram_jaccard, simhash_near_dups,
+)
+from zen3geo_spark.operators.mosaic import mosaic_first_valid
+from zen3geo_spark.operators.rasterize import rasterize
+from zen3geo_spark.operators.similarity import (
+    cosine_topk_bruteforce, cosine_topk_lsh,
+)
+from zen3geo_spark.operators.spatial_join import (
+    knn_join_bruteforce, knn_join_cells, points_in_polygons,
+)
+from zen3geo_spark.operators.stac import search
+from zen3geo_spark.sources.fixtures import (
+    GEOM_SCHEMA, canvas_rasterize, datacube_for_mosaic, geometries_datashader,
+    scenes_meta, stac_items, with_bbox,
+)
+from zen3geo_spark.sources.pages import pages_cte_sql, synth_pages
+
+N_PAGES = 5000  # fixed-size synthetic pages table for geo queries
+
+# micro-degree fixture polygons (a triangle and a non-convex notched quad)
+TRIANGLE = [(0, 0), (20_000_000, 0), (10_000_000, 15_000_000)]
+NOTCHED = [(-30_000_000, -10_000_000), (-10_000_000, -10_000_000),
+           (-10_000_000, 10_000_000), (-20_000_000, 0),
+           (-30_000_000, 10_000_000)]
+POLYS = [(0, TRIANGLE), (1, NOTCHED)]
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _points_df(spark: SparkSession) -> DataFrame:
+    """Pages → extracted+parsed points (point_id = page id)."""
+    pages = synth_pages(spark, N_PAGES).withColumn(
+        "point_id", F.regexp_extract("url", r"/page/(\d+)", 1).cast("long")
+    )
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = pages.select("point_id", lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+    pts = pts.filter(F.col("lat_str") != "")
+    return pts.select(
+        "point_id",
+        micro_from_str(F.col("lat_str")).alias("lat_us"),
+        micro_from_str(F.col("lon_str")).alias("lon_us"),
+    )
+
+
+def _points_cte() -> str:
+    """DuckDB twin of _points_df."""
+    lat = micro_from_str_sql("lat_str", "duckdb")
+    lon = micro_from_str_sql("lon_str", "duckdb")
+    return f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+    tagged as (
+      select id as point_id,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pts as (
+      select point_id, {lat} as lat_us, {lon} as lon_us
+      from tagged where lat_str <> ''
+    )
+    """
+
+
+def _polys_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for gid, ring in POLYS:
+        parts = [[{"x": float(x), "y": float(y)} for x, y in ring]]
+        rows.append((gid, "polygon", parts, "OGC:CRS84"))
+    df = with_bbox(spark.createDataFrame(rows, GEOM_SCHEMA))
+    return df.select(
+        "geom_id", "geom_type", "parts", "crs",
+        F.col("minx").cast("long").alias("minx_us"),
+        F.col("miny").cast("long").alias("miny_us"),
+        F.col("maxx").cast("long").alias("maxx_us"),
+        F.col("maxy").cast("long").alias("maxy_us"),
+    )
+
+
+def _edges_values() -> str:
+    rows = []
+    for gid, ring in POLYS:
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append(f"({gid}, {x1}, {y1}, {x2}, {y2})")
+    return "(values " + ", ".join(rows) + ") e(geom_id, x1, y1, x2, y2)"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, N_PAGES)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    return pages.select(
+        "url", lat_s.alias("lat_str"), lon_s.alias("lon_str"), "lang"
+    ).filter(F.col("lat_str") != "")
+
+
+def q_pages_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points_df(spark).withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 12)
+    )
+    return pts.groupBy("cell").agg(F.count("*").alias("n_pages"))
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = points_in_polygons(_points_df(spark), _polys_df(spark), res=4)
+    return out.select("point_id", "geom_id")
+
+
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = points_in_polygons(_points_df(spark), _polys_df(spark), res=4,
+                             salt_factor=4)
+    return out.select("point_id", "geom_id")
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points_df(spark)
+    queries = pts.filter(F.col("point_id") < 30).select(
+        F.col("point_id").alias("query_id"), "lat_us", "lon_us"
+    )
+    targets = pts.select(F.col("point_id").alias("target_id"), "lat_us", "lon_us")
+    return knn_join_bruteforce(queries, targets, k=3).select(
+        "query_id", "target_id", "rk", "dist2"
+    )
+
+
+def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points_df(spark)
+    queries = pts.filter(F.col("point_id") < 30).select(
+        F.col("point_id").alias("query_id"), "lat_us", "lon_us"
+    )
+    targets = pts.select(F.col("point_id").alias("target_id"), "lat_us", "lon_us")
+    return knn_join_cells(queries, targets, k=3, res=2).select(
+        "query_id", "target_id", "rk", "dist2"
+    )
+
+
+def q_rasterize_world_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin every extracted page point onto a 360x180 world canvas (the
+    rasterize-points kernel at web scale shape)."""
+    pts = _points_df(spark)
+    geoms = pts.select(
+        F.col("point_id").alias("geom_id"),
+        F.lit("multipoint").alias("geom_type"),
+        F.array(F.array(F.struct(
+            (F.col("lon_us") / 1e6).alias("x"), (F.col("lat_us") / 1e6).alias("y")
+        ))).alias("parts"),
+        F.lit("OGC:CRS84").alias("crs"),
+    )
+    canvas = spark.createDataFrame(
+        [(0, 360, 180, -180.0, -90.0, 180.0, 90.0, "OGC:CRS84")],
+        "canvas_id long, width int, height int, xmin double, ymin double, xmax double, ymax double, crs string",
+    )
+    return rasterize(canvas, geoms, validate=False).select("row", "col", "value")
+
+
+def q_rasterize_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Polygon=15 golden as an oracle-checked query: burn
+    the fixture polygon on the 14x10 canvas (winding-number fill)."""
+    canvas = canvas_rasterize(spark, n=1)
+    geoms = geometries_datashader(spark).filter(F.col("geom_type") == "polygon")
+    return rasterize(canvas, geoms).select("row", "col", "value")
+
+
+def q_rasterize_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line=13 golden (Bresenham — rows-only check, no SQL analogue)."""
+    canvas = canvas_rasterize(spark, n=1)
+    geoms = geometries_datashader(spark).filter(F.col("geom_type") == "linestring")
+    return rasterize(canvas, geoms).select("row", "col", "value")
+
+
+def q_chip_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = scenes_meta(spark, [(0, 1, 1024, 1536), (1, 1, 1024, 1536)])
+    return chip_grid(meta, 512, 512, 256, 256).select(
+        "scene_id", "chip_id", "chip_y", "chip_x", "y0", "x0"
+    )
+
+
+def q_chip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = scenes_meta(spark, [(0, 1, 128, 128)])
+    px = spark.range(128 * 128).selectExpr(
+        "cast(0 as long) as scene_id",
+        "cast(id % 128 as int) as x_idx",
+        "cast(id div 128 as int) as y_idx",
+        "1.0 as value",
+    )
+    chipped = assign_chips(px, meta, 64, 64)
+    return chip_stats(chipped).select("scene_id", "chip_id", "n_px", "sum_val")
+
+
+def q_rect_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipper goldens as a query: two chips x two boxes → clipped bounds."""
+    from zen3geo_spark.sources.fixtures import clip_boxes, raster_grid
+    from zen3geo_spark.operators.clipper import chip_bounds_from_grid
+    grid = raster_grid(spark)
+    chips = chip_bounds_from_grid(grid, -1, 0, 1, 1, chip_id=0).unionByName(
+        chip_bounds_from_grid(grid, 3, 3, 5, 4, chip_id=1)
+    )
+    return clip_vector_with_rectangle(clip_boxes(spark), chips).select(
+        "chip_id", "geom_id", "clip_minx", "clip_miny", "clip_maxx", "clip_maxy"
+    )
+
+
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = datacube_for_mosaic(spark, nodata_variant=True)
+    return mosaic_first_valid(cube, order_col="tile", nodata=0.0).select(
+        "band", "y_idx", "x_idx", "value", "src"
+    )
+
+
+def q_stac_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = stac_items(spark, 50)
+    s = search(items, bbox=(-60, -40, 40, 40),
+               datetime_range=("2022-01-01", "2022-02-01"),
+               collections=["sentinel-2-l2a", "landsat-c2-l2"])
+    return s.groupBy("collection").agg(F.count("*").alias("n_items"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(docs).select("fp", "keep_id", "n_dups")
+
+
+def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level (1-gram) Jaccard near-dup pairs above 0.5 on documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard(docs, shingle_n=1, threshold=0.5)
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=8, shingle_n=2)
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(q, emb, k=3).select("query_id", "target_id", "rk")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(q, emb, k=3, dim=64, n_tables=6).select(
+        "query_id", "target_id", "rk"
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages → extract → cell-encode → PIP join → per-polygon
+    counts joined with world-tile counts (sf0.001-scale shapes)."""
+    pts = _points_df(spark)
+    pip = points_in_polygons(pts, _polys_df(spark), res=4)
+    per_geom = pip.groupBy("geom_id").agg(F.count("*").alias("n_points"))
+    cells = pts.withColumn("cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 6))
+    top_cells = (
+        cells.groupBy("cell").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cell").asc()).limit(10)
+    )
+    return per_geom.crossJoin(
+        top_cells.agg(F.count("*").alias("n_top_cells"),
+                      F.sum("n").alias("pages_in_top_cells"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pages_extract": q_pages_extract,
+        "pages_cell_counts": q_pages_cell_counts,
+        "pip_join": q_pip_join,
+        "pip_join_salted": q_pip_join_salted,
+        "knn_brute": q_knn_brute,
+        "knn_cells": q_knn_cells,
+        "rasterize_world_points": q_rasterize_world_points,
+        "rasterize_polygon": q_rasterize_polygon,
+        "rasterize_line": q_rasterize_line,
+        "chip_grid": q_chip_grid,
+        "chip_assign": q_chip_assign,
+        "rect_clip": q_rect_clip,
+        "mosaic": q_mosaic,
+        "stac_search": q_stac_search,
+        "dedup_exact": q_dedup_exact,
+        "token_quality": q_token_quality,
+        "word_jaccard": q_word_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "events_hourly": q_events_hourly,
+        "pricing_summary": q_pricing_summary,
+        "segment_orders": q_segment_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pts_cte = _points_cte()
+    edges = _edges_values()
+    cell12 = cell_id_sql("lat_us", "lon_us", 12, "duckdb")
+
+    pip_core = f"""
+    {pts_cte}
+    select p.point_id, e.geom_id
+    from pts p join {edges}
+      on ((e.y1 > p.lat_us) != (e.y2 > p.lat_us))
+    group by p.point_id, e.geom_id, p.lat_us, p.lon_us
+    having sum(case when p.lon_us < cast(e.x2 - e.x1 as double) * cast(p.lat_us - e.y1 as double)
+                                     / cast(e.y2 - e.y1 as double) + e.x1
+                    then 1 else 0 end) % 2 = 1
     """
-    return {}
+
+    knn_core = f"""
+    {pts_cte}
+    , pairs as (
+      select q.point_id as query_id, t.point_id as target_id,
+             (q.lat_us - t.lat_us) * (q.lat_us - t.lat_us)
+             + (q.lon_us - t.lon_us) * (q.lon_us - t.lon_us) as dist2
+      from pts q join pts t on true
+      where q.point_id < 30
+    ),
+    ranked as (
+      select query_id, target_id, dist2,
+             row_number() over (partition by query_id order by dist2 asc, target_id asc) as rk
+      from pairs
+    )
+    select query_id, target_id, rk, dist2 from ranked where rk <= 3
+    """
+
+    # winding-number polygon rasterization in pure SQL (mirrors the kernel:
+    # canvas coords = (v - vmin)*scale - 0.5, test at integer lattice)
+    poly_ring = [(6.0, 5.0), (3.5, 2.5), (6.0, 0.0), (6.0, 2.5), (5.0, 2.5)]
+    pedges = []
+    for i in range(len(poly_ring)):
+        x1, y1 = poly_ring[i]
+        x2, y2 = poly_ring[(i + 1) % len(poly_ring)]
+        pedges.append(f"({x1}, {y1}, {x2}, {y2})")
+    rasterize_polygon_sql = f"""
+    with edges_raw as (
+      select (x1 - 1.0) * 2.0 - 0.5 as x1c, (y1 - 0.0) * 2.0 - 0.5 as y1c,
+             (x2 - 1.0) * 2.0 - 0.5 as x2c, (y2 - 0.0) * 2.0 - 0.5 as y2c
+      from (values {", ".join(pedges)}) t(x1, y1, x2, y2)
+      where y1 <> y2
+    ),
+    edges as (
+      select case when y2c > y1c then x1c else x2c end as x0c,
+             case when y2c > y1c then y1c else y2c end as y0c,
+             case when y2c > y1c then x2c else x1c end as xuc,
+             case when y2c > y1c then y2c else y1c end as yuc,
+             case when y2c > y1c then 1 else -1 end as inc
+      from edges_raw
+    ),
+    pixels as (
+      select xi, yi
+      from (select unnest(generate_series(0, 13)) as xi),
+           (select unnest(generate_series(0, 9)) as yi)
+    ),
+    wn as (
+      select p.xi, p.yi,
+             sum(case when e.y0c < p.yi and p.yi <= e.yuc
+                       and ((p.xi > e.x0c and p.xi > e.xuc)
+                            or ((e.xuc - e.x0c) * (p.yi - e.y0c)
+                                - (e.yuc - e.y0c) * (p.xi - e.x0c)) < 0)
+                      then e.inc else 0 end) as w
+      from pixels p, edges e
+      group by p.xi, p.yi
+    )
+    select (9 - yi)::int as row, xi::int as col, 1.0 as value
+    from wn where w <> 0
+    """
+
+    world_bin = """
+    , binned as (
+      select least(cast(floor((lon_us / 1000000.0 - (-180.0)) / (180.0 - (-180.0)) * 360) as int), 359) as col0,
+             least(cast(floor((lat_us / 1000000.0 - (-90.0)) / (90.0 - (-90.0)) * 180) as int), 179) as yi
+      from pts
+    )
+    select (180 - 1 - yi)::int as row, col0::int as col, cast(count(*) as double) as value
+    from binned group by yi, col0
+    """
+
+    stac_cte = """
+    with items as (
+      select concat('item-', cast(id as varchar)) as item_id,
+             case cast(id % 3 as int) when 0 then 'sentinel-2-l2a' when 1 then 'sentinel-1-grd' else 'landsat-c2-l2' end as collection,
+             TIMESTAMP '2022-01-01 00:00:00' + to_days(cast(id as int)) as dt,
+             cast(-180 + (id * 37 % 340) as double) as minx,
+             cast(-85 + (id * 53 % 160) as double) as miny,
+             cast(-180 + (id * 37 % 340) + 10 as double) as maxx,
+             cast(-85 + (id * 53 % 160) + 8 as double) as maxy
+      from range(50) t(id)
+    )
+    select collection, count(*) as n_items
+    from items
+    where minx < 40 and maxx > -60 and miny < 40 and maxy > -40
+      and dt between TIMESTAMP '2022-01-01 00:00:00' and TIMESTAMP '2022-02-01 00:00:00'
+      and collection in ('sentinel-2-l2a', 'landsat-c2-l2')
+    group by collection
+    """
+
+    chip_grid_sql = """
+    with meta as (
+      select * from (values (0, 1024, 1536), (1, 1024, 1536)) m(scene_id, n_y, n_x)
+    ),
+    g as (
+      select scene_id,
+             (n_y - 512) // 256 + 1 as n_chips_y,
+             (n_x - 512) // 256 + 1 as n_chips_x
+      from meta
+    ),
+    cells as (
+      select scene_id, n_chips_x,
+             unnest(generate_series(0, n_chips_y - 1)) as chip_y
+      from g
+    ),
+    cells2 as (
+      select scene_id, chip_y, n_chips_x,
+             unnest(generate_series(0, n_chips_x - 1)) as chip_x
+      from cells
+    )
+    select cast(scene_id as bigint) as scene_id,
+           cast(chip_y * n_chips_x + chip_x as bigint) as chip_id,
+           cast(chip_y as int) as chip_y, cast(chip_x as int) as chip_x,
+           cast(chip_y * 256 as int) as y0, cast(chip_x * 256 as int) as x0
+    from cells2
+    """
+
+    chip_assign_sql = """
+    with px as (
+      select cast(id % 128 as int) as x_idx, cast(id // 128 as int) as y_idx
+      from range(16384) t(id)
+    ),
+    assigned as (
+      select x_idx // 64 as chip_x, y_idx // 64 as chip_y
+      from px where x_idx // 64 < 2 and y_idx // 64 < 2
+    )
+    select cast(0 as bigint) as scene_id,
+           cast(chip_y * 2 + chip_x as bigint) as chip_id,
+           count(*) as n_px, cast(count(*) as double) as sum_val
+    from assigned group by chip_y, chip_x
+    """
+
+    rect_clip_sql = """
+    with chips as (
+      select * from (values
+        (0, -1.5, -0.5, 1.5, 1.5),
+        (1, 2.5, 2.5, 5.5, 4.5)
+      ) c(chip_id, xmin, ymin, xmax, ymax)
+    ),
+    boxes as (
+      select * from (values
+        (0, 0.0, 0.0, 2.0, 2.0),
+        (1, 2.0, 2.0, 4.0, 4.0)
+      ) b(geom_id, minx, miny, maxx, maxy)
+    )
+    select cast(chip_id as bigint) as chip_id, cast(geom_id as bigint) as geom_id,
+           greatest(minx, xmin) as clip_minx, greatest(miny, ymin) as clip_miny,
+           least(maxx, xmax) as clip_maxx, least(maxy, ymax) as clip_maxy
+    from chips join boxes
+      on minx < xmax and maxx > xmin and miny < ymax and maxy > ymin
+    """
+
+    mosaic_sql = """
+    with cube as (
+      select t.tile, 0 as band,
+             cast(y.y as int) as y_idx, cast(x.x as int) as x_idx,
+             case when t.tile = 0 and y.y < 16 and x.x < 16 then 0.0 else 1.0 end as value
+      from range(3) t(tile), range(32) y(y), range(32) x(x)
+    )
+    select cast(band as int) as band, y_idx, x_idx,
+           arg_min(value, tile) as value, min(tile) as src
+    from cube where value <> 0.0
+    group by band, y_idx, x_idx
+    """
+
+    # word-level jaccard over documents (1-gram shingles)
+    word_jaccard_sql = """
+    with toks as (
+      select doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as tok,
+             len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as n_sh
+      from documents
+    ),
+    inter as (
+      select l.doc_id as a_id, r.doc_id as b_id, l.n_sh as n_a, r.n_sh as n_b,
+             count(*) as n_inter
+      from toks l join toks r on l.tok = r.tok and l.doc_id < r.doc_id
+      group by l.doc_id, r.doc_id, l.n_sh, r.n_sh
+    )
+    select a_id, b_id,
+           round(cast(n_inter as double) / (n_a + n_b - n_inter), 6) as jaccard
+    from inter
+    where cast(n_inter as double) / (n_a + n_b - n_inter) >= 0.5
+    """
+
+    ann_cosine_sql = """
+    with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
+    pairs as (
+      select q.query_id, t.vec_id as target_id,
+             list_cosine_similarity(q.qv, t.embedding) as cos
+      from q, embeddings t
+    ),
+    ranked as (
+      select query_id, target_id,
+             row_number() over (partition by query_id order by cos desc, target_id asc) as rk
+      from pairs
+    )
+    select query_id, target_id, rk from ranked where rk <= 3
+    """
+
+    tq = (
+        f"select doc_id, {token_count_sql('text', 'duckdb')} as n_tokens, "
+        f"round({quality_score_sql('text', 'duckdb')}, 6) as quality, "
+        f"{fingerprint_sql('text', 'duckdb')} as fp from documents"
+    )
+
+    return {
+        "pages_extract": (
+            f"with pages as ({pages_cte_sql(N_PAGES)}) "
+            "select url, "
+            "regexp_extract(text, 'lat=(-?\\d+\\.\\d{6}) lon=(-?\\d+\\.\\d{6})', 1) as lat_str, "
+            "regexp_extract(text, 'lat=(-?\\d+\\.\\d{6}) lon=(-?\\d+\\.\\d{6})', 2) as lon_str, "
+            "lang from pages "
+            "where regexp_extract(text, 'lat=(-?\\d+\\.\\d{6}) lon=(-?\\d+\\.\\d{6})', 1) <> ''"
+        ),
+        "pages_cell_counts": (
+            f"{_points_cte()} select {cell12} as cell, count(*) as n_pages "
+            "from pts group by 1"
+        ),
+        "pip_join": pip_core,
+        "pip_join_salted": pip_core,
+        "knn_brute": knn_core,
+        "knn_cells": knn_core,
+        "rasterize_world_points": f"{_points_cte()} {world_bin}",
+        "rasterize_polygon": rasterize_polygon_sql,
+        "chip_grid": chip_grid_sql,
+        "chip_assign": chip_assign_sql,
+        "rect_clip": rect_clip_sql,
+        "mosaic": mosaic_sql,
+        "stac_search": stac_cte,
+        "dedup_exact": (
+            "select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp, "
+            "min(doc_id) as keep_id, count(*) as n_dups from documents group by 1"
+        ),
+        "token_quality": tq,
+        "word_jaccard": word_jaccard_sql,
+        "ann_cosine": ann_cosine_sql,
+        "events_hourly": (
+            "select date_trunc('hour', ts) as hour, event_type, "
+            "count(*) as n, round(sum(value), 4) as sum_value "
+            "from events group by 1, 2"
+        ),
+        "pricing_summary": (
+            "select l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) as sum_qty, "
+            "round(sum(l_extendedprice), 2) as sum_base_price, "
+            "count(*) as count_order "
+            "from lineitem where l_shipdate <= TIMESTAMP '1998-09-02' "
+            "group by l_returnflag, l_linestatus"
+        ),
+        "segment_orders": (
+            "select c_mktsegment, count(*) as n_orders, "
+            "round(sum(o_totalprice), 2) as revenue "
+            "from orders join customer on o_custkey = c_custkey "
+            "group by c_mktsegment"
+        ),
+        # rows-only (non-SQL-expressible kernels): rasterize_line (Bresenham),
+        # minhash_lsh + simhash (engine-specific hash bit math in DuckDB),
+        # ann_lsh (approximate by construction)
+    }

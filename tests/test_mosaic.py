@@ -1,0 +1,48 @@
+"""Mosaic + stacker goldens
+(/root/reference/zen3geo/tests/test_datapipes_stackstac.py:15-50)."""
+
+from pyspark.sql import functions as F
+
+from zen3geo_spark.operators.mosaic import mosaic_first_valid
+from zen3geo_spark.operators.stacker import snap_to_grid, stack
+from zen3geo_spark.sources.fixtures import datacube_for_mosaic
+
+
+def test_mosaic_golden(spark):
+    """(3,1,32,32) of ones → (1,32,32) summing 32*32."""
+    cube = datacube_for_mosaic(spark)
+    out = mosaic_first_valid(cube, order_col="tile")
+    assert out.count() == 32 * 32
+    assert out.agg(F.sum("value")).collect()[0][0] == 32 * 32
+    # first-valid: everything should come from tile 0
+    assert out.agg(F.max("src")).collect()[0][0] == 0
+
+
+def test_mosaic_nodata_falls_through(spark):
+    """nodata quadrant in tile 0 → those pixels come from tile 1
+    (docs/stacking.md:309 nodata kwarg)."""
+    cube = datacube_for_mosaic(spark, nodata_variant=True)
+    out = mosaic_first_valid(cube, order_col="tile", nodata=0.0)
+    assert out.count() == 32 * 32
+    assert out.agg(F.sum("value")).collect()[0][0] == 32 * 32
+    srcs = dict(out.groupBy("src").count().collect())
+    assert srcs[1] == 16 * 16
+    assert srcs[0] == 32 * 32 - 16 * 16
+
+
+def test_stack_band_select_and_bounds(spark):
+    """Stacker: union + asset/band isin + bounds range filters + grid snap."""
+    t1 = spark.range(100).selectExpr(
+        "0 as time", "cast(id % 2 as int) as band",
+        "cast(id % 10 as double) as x", "cast(id div 10 as double) as y",
+        "1.0 as value")
+    t2 = spark.range(100).selectExpr(
+        "1 as time", "cast(id % 2 as int) as band",
+        "cast(id % 10 as double) as x", "cast(id div 10 as double) as y",
+        "2.0 as value")
+    cube = stack([t1, t2], assets=[0], bounds=(0.0, 0.0, 5.0, 5.0))
+    assert cube.select("band").distinct().count() == 1
+    assert cube.agg(F.max("x")).collect()[0][0] < 5.0
+    snapped = snap_to_grid(cube, xmin=0.0, ymax=5.0, res=1.0)
+    r = snapped.filter((F.col("x") == 2.0) & (F.col("y") == 1.0)).first()
+    assert r["x_idx"] == 2 and r["y_idx"] == 4  # row 0 at ymax, north-up

@@ -1,0 +1,122 @@
+"""PIP join + kNN: exactness vs the DuckDB edge-math oracle, salting
+row-identity, and cell-path vs brute-force kNN equality."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.geo import cell_encode, cell_parent
+from zen3geo_spark.operators.spatial_join import (
+    find_hot_cells, knn_join_bruteforce, knn_join_cells, pip_refine_sql,
+    points_in_polygons,
+)
+from zen3geo_spark.sources.fixtures import GEOM_SCHEMA, with_bbox
+
+# Two micro-degree polygons: a triangle and a notched quad (non-convex).
+TRIANGLE = [(0, 0), (20_000_000, 0), (10_000_000, 15_000_000)]
+NOTCHED = [(-30_000_000, -10_000_000), (-10_000_000, -10_000_000),
+           (-10_000_000, 10_000_000), (-20_000_000, 0),
+           (-30_000_000, 10_000_000)]
+
+
+def _polys(spark):
+    rows = []
+    for gid, ring in [(0, TRIANGLE), (1, NOTCHED)]:
+        parts = [[{"x": float(x), "y": float(y)} for x, y in ring]]
+        rows.append((gid, "polygon", parts, "OGC:CRS84"))
+    df = with_bbox(spark.createDataFrame(rows, GEOM_SCHEMA))
+    return df.select(
+        "geom_id", "geom_type", "parts", "crs",
+        F.col("minx").cast("long").alias("minx_us"),
+        F.col("miny").cast("long").alias("miny_us"),
+        F.col("maxx").cast("long").alias("maxx_us"),
+        F.col("maxy").cast("long").alias("maxy_us"),
+    )
+
+
+def _points(spark, n=4000):
+    """Deterministic points clustered around the polygons."""
+    return spark.range(n).selectExpr(
+        "id as point_id",
+        "cast((id * 48271 + 11) % 40000001 as long) - 20000000 as lat_us",
+        "cast((id * 69621 + 7) % 80000001 as long) - 40000000 as lon_us",
+    )
+
+
+def _edges_sql(polys):
+    rows = []
+    for gid, ring in polys:
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append(f"({gid}, {x1}, {y1}, {x2}, {y2})")
+    return "(select * from (values " + ", ".join(rows) + ") e(geom_id, x1, y1, x2, y2))"
+
+
+def test_pip_matches_duckdb_oracle(spark):
+    pts = _points(spark)
+    out = points_in_polygons(pts, _polys(spark), res=4)
+    got = sorted((r["point_id"], r["geom_id"]) for r in out.collect())
+
+    pts_pd = pts.toPandas()
+    con = duckdb.connect()
+    con.register("pts", pts_pd)
+    edges = _edges_sql([(0, TRIANGLE), (1, NOTCHED)])
+    oracle = con.sql(pip_refine_sql("pts", edges)).fetchall()
+    want = sorted((r[0], r[1]) for r in oracle)
+    assert got == want
+    assert len(got) > 50  # sanity: the clusters actually hit the polygons
+
+
+def test_pip_salted_equals_unsalted(spark):
+    pts = _points(spark, 2000)
+    polys = _polys(spark)
+    base = sorted(
+        (r["point_id"], r["geom_id"])
+        for r in points_in_polygons(pts, polys, res=4).collect()
+    )
+    hot = find_hot_cells(pts, res=4, threshold=50)
+    salted = sorted(
+        (r["point_id"], r["geom_id"])
+        for r in points_in_polygons(pts, polys, res=4, salt_factor=8,
+                                    hot_cells=hot).collect()
+    )
+    salted_all = sorted(
+        (r["point_id"], r["geom_id"])
+        for r in points_in_polygons(pts, polys, res=4, salt_factor=4).collect()
+    )
+    assert base == salted == salted_all
+
+
+def test_knn_cells_matches_bruteforce(spark):
+    """Dense uniform targets → the 3x3 ring at a coarse res holds the true
+    k nearest; cell path must equal brute force including tie-breaks."""
+    targets = spark.range(3000).selectExpr(
+        "id as target_id",
+        "cast((id * 40503 + 3) % 30000001 as long) - 15000000 as lat_us",
+        "cast((id * 69621 + 5) % 30000001 as long) - 15000000 as lon_us",
+    )
+    queries = spark.range(25).selectExpr(
+        "id as query_id",
+        "cast((id * 7919 + 1) % 20000001 as long) - 10000000 as lat_us",
+        "cast((id * 104729 + 9) % 20000001 as long) - 10000000 as lon_us",
+    )
+    brute = sorted(
+        (r["query_id"], r["rk"], r["target_id"])
+        for r in knn_join_bruteforce(queries, targets, k=5).collect()
+    )
+    cells = sorted(
+        (r["query_id"], r["rk"], r["target_id"])
+        for r in knn_join_cells(queries, targets, k=5, res=3).collect()
+    )
+    assert brute == cells
+    assert len(brute) == 25 * 5
+
+
+def test_cell_encode_parent_consistency(spark):
+    df = _points(spark, 500).select(
+        "point_id",
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 10).alias("c10"),
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 6).alias("c6"),
+    )
+    bad = df.filter(cell_parent(F.col("c10"), 10, 6) != F.col("c6")).count()
+    assert bad == 0

@@ -1,0 +1,136 @@
+"""Text-analysis functions + dedup/similarity operators over the driver's
+documents/embeddings tables (sf0.001 — small, fast)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.text import (
+    fingerprint, fingerprint_sql, lang_id, quality_score, quality_score_sql,
+    token_count, token_count_sql,
+)
+from zen3geo_spark.operators.dedup import (
+    dedup_exact, minhash_lsh_candidates, ngram_jaccard, simhash_near_dups,
+)
+from zen3geo_spark.operators.similarity import (
+    cosine_topk_bruteforce, cosine_topk_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_count_matches_duckdb(docs):
+    got = sorted(
+        (r["doc_id"], r["n"])
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    )
+    want = sorted(duckdb.sql(
+        f"select doc_id, {token_count_sql('text', 'duckdb')} as n "
+        f"from read_parquet('{SF}/documents.parquet')"
+    ).fetchall())
+    assert got == want
+
+
+def test_fingerprint_matches_duckdb(docs):
+    got = sorted(
+        (r["doc_id"], r["fp"])
+        for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    )
+    want = sorted(duckdb.sql(
+        f"select doc_id, {fingerprint_sql('text', 'duckdb')} as fp "
+        f"from read_parquet('{SF}/documents.parquet')"
+    ).fetchall())
+    assert got == want
+
+
+def test_quality_score_matches_duckdb(docs):
+    got = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    want = dict(duckdb.sql(
+        f"select doc_id, {quality_score_sql('text', 'duckdb')} as q "
+        f"from read_parquet('{SF}/documents.parquet')"
+    ).fetchall())
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_lang_id_runs(docs):
+    out = docs.select(lang_id(F.col("text")).alias("pred")).groupBy("pred").count().collect()
+    langs = {r["pred"] for r in out}
+    assert "en" in langs  # the synthetic docs are English-ish word soup
+
+
+def test_dedup_exact(spark, docs):
+    dup = docs.select("doc_id", "text").union(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = dedup_exact(dup)
+    assert out.count() == docs.count()
+    assert out.agg(F.max("n_dups")).collect()[0][0] == 2
+    # representative is the lower id
+    assert out.agg(F.max("keep_id")).collect()[0][0] < 100000
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    dup = docs.limit(50).select("doc_id", "text").union(
+        docs.limit(50).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = {(r["a_id"], r["b_id"]) for r in minhash_lsh_candidates(dup).collect()}
+    for i in [r["doc_id"] for r in docs.limit(50).collect()]:
+        assert (i, i + 100000) in pairs
+
+
+def test_ngram_jaccard_exact_dups_score_one(spark, docs):
+    dup = docs.limit(20).select("doc_id", "text").union(
+        docs.limit(20).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in ngram_jaccard(dup, threshold=0.99).collect()}
+    for i in [r["doc_id"] for r in docs.limit(20).collect()]:
+        assert out.get((i, i + 100000)) == pytest.approx(1.0)
+
+
+def test_simhash_near_dups(spark, docs):
+    dup = docs.limit(20).select("doc_id", "text").union(
+        docs.limit(20).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = {(r["a_id"], r["b_id"]) for r in simhash_near_dups(dup).collect()}
+    for i in [r["doc_id"] for r in docs.limit(20).collect()]:
+        assert (i, i + 100000) in pairs
+
+
+def test_cosine_topk_self_is_nearest(spark, emb):
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk_bruteforce(q, emb, k=3).filter(F.col("rk") == 1).collect()
+    for r in out:
+        assert r["target_id"] == r["query_id"]
+        assert r["cos"] == pytest.approx(1.0)
+
+
+def test_lsh_ann_recall_at_smallscale(spark, emb):
+    """LSH candidates must recover the true top-1 (self) and mostly the
+    true top-3 on 500 vectors."""
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["target_id"])
+             for r in cosine_topk_bruteforce(q, emb, k=3).collect()}
+    ann = {(r["query_id"], r["target_id"])
+           for r in cosine_topk_lsh(q, emb, k=3, dim=64, n_planes=4,
+                                    n_tables=8).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.6
+    for qid, tid in brute:
+        if qid == tid:
+            assert (qid, tid) in ann  # self always found

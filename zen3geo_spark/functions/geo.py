@@ -1,0 +1,200 @@
+"""Geospatial scalar functions: geotag extraction, hierarchical cell index,
+distances.
+
+Design rule: every function that participates in a DuckDB-oracle query is
+defined ONCE as an engine-parameterized SQL template so the Spark plan
+(`F.expr(...)`) and the oracle SQL are guaranteed to share the exact same
+arithmetic (integer fixed-point where possible → bit-exact parity).
+
+The cell index is an H3/S2-style hierarchical quad grid (SURVEY.md §7):
+at resolution ``r`` the globe is a ``2^r × 2^r`` lat/lon grid;
+``cell = 2^(2r) + iy * 2^r + ix`` (the leading term disambiguates
+resolutions, like H3's resolution bits). Parent = integer-halve the (iy,ix)
+pair. Exactness, not H3 bit-compatibility, is the contract
+(reference semantics are grid math — /root/reference/zen3geo/datapipes/
+datashader.py:352-368 canvas grids, xbatcher.py:105-116 chip grids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic geotag grammar used by the synthetic pages table and the
+# extractor. 6-decimal fixed point; the extractor must skip malformed tags.
+LAT_LON_PATTERN = r"lat=(-?\d+\.\d{6}) lon=(-?\d+\.\d{6})"
+
+# engine tokens: integer division + string cast differ between engines
+_DIV = {"spark": " div ", "duckdb": " // "}
+_STR = {"spark": "string", "duckdb": "varchar"}
+
+
+def sql_int_div(engine: str) -> str:
+    return _DIV[engine]
+
+
+# ---------------------------------------------------------------------------
+# cell index (integer fixed-point: micro-degrees in, bigint cell out)
+# ---------------------------------------------------------------------------
+
+MAX_RES = 20  # (x - pmod) / d stays < 2^53, so the idiv trick is exact
+
+
+def _idiv(x: Column, d: int) -> Column:
+    """Exact non-negative integer division as Column ops (JVM codegen).
+
+    floor(bigint/int) would route through double division and can disagree
+    with the oracle's true integer `//` at quotient boundaries; this stays
+    exact for x < 2^53.
+    """
+    return ((x - F.pmod(x, F.lit(d))) / F.lit(d)).cast("long")
+
+def cell_iy_sql(lat_micro: str, res: int, engine: str) -> str:
+    """Row index of the lat/lon quad grid at resolution ``res``.
+
+    Integer-only: ((lat_micro + 90e6) * 2^res) // (180e6 + 1).  The +1
+    denominator maps lat=+90 exactly to the last row without a clip.
+    Safe for res <= 30 (1.8e8 * 2^30 < 2^63).
+    """
+    d = _DIV[engine]
+    return f"(({lat_micro} + 90000000) * {1 << res}){d}180000001"
+
+
+def cell_ix_sql(lon_micro: str, res: int, engine: str) -> str:
+    d = _DIV[engine]
+    return f"(({lon_micro} + 180000000) * {1 << res}){d}360000001"
+
+
+def cell_id_sql(lat_micro: str, lon_micro: str, res: int, engine: str) -> str:
+    iy = cell_iy_sql(lat_micro, res, engine)
+    ix = cell_ix_sql(lon_micro, res, engine)
+    return f"({1 << (2 * res)} + ({iy}) * {1 << res} + ({ix}))"
+
+
+def cell_encode(lat_micro: Column | str, lon_micro: Column | str, res: int) -> Column:
+    """Spark Column: hierarchical cell id from micro-degree ints."""
+    if res > MAX_RES:
+        raise ValueError(f"res {res} exceeds MAX_RES {MAX_RES}")
+    lat_micro = F.col(lat_micro) if isinstance(lat_micro, str) else lat_micro
+    lon_micro = F.col(lon_micro) if isinstance(lon_micro, str) else lon_micro
+    iy = _idiv((lat_micro + F.lit(90000000)).cast("long") * F.lit(1 << res), 180000001)
+    ix = _idiv((lon_micro + F.lit(180000000)).cast("long") * F.lit(1 << res), 360000001)
+    return (F.lit(1 << (2 * res)) + iy * F.lit(1 << res) + ix).cast("long")
+
+
+def cell_parent(cell: Column, res: int, parent_res: int) -> Column:
+    """Parent cell at a coarser resolution (pure bigint math)."""
+    if parent_res > res:
+        raise ValueError(f"parent_res {parent_res} must be <= res {res}")
+    body = cell - F.lit(1 << (2 * res))
+    iy = _idiv(body, 1 << res)
+    ix = body - iy * F.lit(1 << res)
+    shift = res - parent_res
+    piy = _idiv(iy, 1 << shift)
+    pix = _idiv(ix, 1 << shift)
+    return (F.lit(1 << (2 * parent_res)) + piy * F.lit(1 << parent_res) + pix).cast(
+        "long"
+    )
+
+
+def cell_iy_ix(cell: Column, res: int) -> tuple[Column, Column]:
+    body = cell - F.lit(1 << (2 * res))
+    iy = _idiv(body, 1 << res)
+    ix = (body - iy * F.lit(1 << res)).cast("long")
+    return iy, ix
+
+
+def cell_neighbors(cell: Column, res: int) -> Column:
+    """Array of the 3x3 ring of cells around ``cell`` (kNN candidate ring).
+
+    Edge rows clamp; longitude wraps (the grid is cylindrical).
+    """
+    n = 1 << res
+    iy, ix = cell_iy_ix(cell, res)
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny = F.greatest(F.lit(0), F.least(F.lit(n - 1), iy + F.lit(dy)))
+            nx = (ix + F.lit(dx) + F.lit(n)) % F.lit(n)
+            out.append(F.lit(1 << (2 * res)) + ny * F.lit(n) + nx)
+    return F.array_distinct(F.array(*out))
+
+
+# ---------------------------------------------------------------------------
+# geotag extraction (the byte-identical-per-url invariant, BASELINE.json:15)
+# ---------------------------------------------------------------------------
+
+def extract_first_geotag(text: Column) -> tuple[Column, Column]:
+    """JVM fast path: first well-formed geotag as (lat_str, lon_str).
+
+    Returns empty string when no tag matches (regexp_extract contract).
+    """
+    return (
+        F.regexp_extract(text, LAT_LON_PATTERN, 1),
+        F.regexp_extract(text, LAT_LON_PATTERN, 2),
+    )
+
+
+def extract_all_geotags(text: Column) -> Column:
+    """All well-formed geotags as array<struct<lat_str,lon_str>>."""
+    pairs = F.regexp_extract_all(text, F.lit(LAT_LON_PATTERN), 0)
+    return F.transform(
+        pairs,
+        lambda m: F.struct(
+            F.regexp_extract(m, LAT_LON_PATTERN, 1).alias("lat_str"),
+            F.regexp_extract(m, LAT_LON_PATTERN, 2).alias("lon_str"),
+        ),
+    )
+
+
+def geotag_extract_pandas(texts):
+    """Arrow/pandas extraction path (pd.Series -> pd.DataFrame of lat/lon
+    strings). Exists to prove the vectorized-UDF path yields byte-identical
+    output to the JVM regexp path (tests/test_pages.py); operators use the
+    JVM path because it stays inside whole-stage codegen.
+    """
+    import re
+
+    ext = texts.str.extract(re.compile(LAT_LON_PATTERN), expand=True)
+    ext = ext.fillna("")
+    ext.columns = ["lat_str", "lon_str"]
+    return ext
+
+
+def micro_from_str(s: Column) -> Column:
+    """'12.345678' -> 12345678 micro-degrees (exact integer parse)."""
+    sign = F.when(F.substring(s, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+    # try_cast: ANSI-safe when the optimizer evaluates the projection on
+    # rows a sibling filter would have dropped (empty extraction → NULL)
+    ip = F.regexp_extract(s, r"(-?)(\d+)\.(\d{6})", 2).try_cast("long")
+    fp = F.regexp_extract(s, r"(-?)(\d+)\.(\d{6})", 3).try_cast("long")
+    return sign * (ip * F.lit(1000000) + fp)
+
+
+def micro_from_str_sql(s: str, engine: str) -> str:
+    """Same parse as :func:`micro_from_str`, as engine SQL."""
+    sign = f"(case when substring({s},1,1)='-' then -1 else 1 end)"
+    ip = rf"cast(regexp_extract({s}, '(-?)(\d+)\.(\d{{6}})', 2) as bigint)"
+    fp = rf"cast(regexp_extract({s}, '(-?)(\d+)\.(\d{{6}})', 3) as bigint)"
+    return f"({sign} * ({ip} * 1000000 + {fp}))"
+
+
+# ---------------------------------------------------------------------------
+# distances
+# ---------------------------------------------------------------------------
+
+def sq_euclidean_micro(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Squared planar distance in micro-degrees (bigint-exact for ranking)."""
+    dy = (lat1 - lat2).cast("long")
+    dx = (lon1 - lon2).cast("long")
+    return dy * dy + dx * dx
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle metres from degree columns (doubles)."""
+    r = 6371008.8
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1)
+    dl = F.radians(lon2 - lon1)
+    a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
+    return F.lit(2 * r) * F.asin(F.sqrt(a))

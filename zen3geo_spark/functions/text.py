@@ -1,0 +1,105 @@
+"""Text analysis for web-scale training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting — each defined as engine-parameterized SQL
+templates so the DuckDB oracle runs the exact same logic, and as Spark
+Column helpers that stay inside whole-stage codegen (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_STR = {"spark": "string", "duckdb": "varchar"}
+
+# tiny deterministic stopword lists per language (public knowledge)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "ja": ["no", "wa", "ga", "desu", "to"],
+    "ms": ["yang", "dan", "di", "itu", "ini"],
+    "id": ["yang", "dan", "di", "dari", "ini"],
+}
+
+# A BPE-ish token approximation: word pieces = runs of letters/digits or
+# single punctuation marks.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_sql(col: str, engine: str) -> str:
+    """Same whitespace token count as SQL (shared logic: trim → count
+    separator runs + 1)."""
+    t = f"trim({col})"
+    if engine == "spark":
+        return f"case when length({t}) = 0 then 0 else size(split({t}, '\\\\s+')) end"
+    return (
+        f"case when length({t}) = 0 then 0 else "
+        f"len(regexp_split_to_array({t}, '\\s+')) end"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: mean of
+    (1) length band score, (2) alpha ratio, (3) mean-word-length band.
+    Pure JVM expressions."""
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("double")
+    words = token_count(text).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    mean_word = F.when(words > 0, n / words).otherwise(F.lit(0.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_score + alpha_ratio + word_score) / F.lit(3.0)
+
+
+def quality_score_sql(col: str, engine: str) -> str:
+    n = f"cast(length({col}) as double)"
+    alpha = f"cast(length(regexp_replace({col}, '[^A-Za-z ]', '', 'g')) as double)" \
+        if engine == "duckdb" else f"cast(length(regexp_replace({col}, '[^A-Za-z ]', '')) as double)"
+    words = token_count_sql(col, engine)
+    mean_word = f"(case when ({words}) > 0 then {n} / ({words}) else 0.0 end)"
+    return (
+        f"(least({n} / 500.0, 1.0) "
+        f"+ (case when {n} > 0 then {alpha} / {n} else 0.0 end) "
+        f"+ (case when {mean_word} >= 3 and {mean_word} <= 10 then 1.0 else 0.0 end)"
+        f") / 3.0"
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: the language whose stopword hit-count (as
+    whole words) is highest; ties broken by language code order; 'und'
+    when nothing hits."""
+    best_n = F.lit(0)
+    best_lang = F.lit("und")
+    # scan languages in sorted order; strict > keeps the FIRST max (ties
+    # break toward the earlier language code) — deterministic
+    for lang, words in sorted(STOPWORDS.items()):
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        cnt = F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        is_better = cnt > best_n
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(is_better, cnt).otherwise(best_n)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (md5 is identical across Spark and DuckDB → oracle-checkable.)"""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(norm)
+
+
+def fingerprint_sql(col: str, engine: str) -> str:
+    if engine == "spark":
+        return f"md5(lower(regexp_replace(trim({col}), '\\\\s+', ' ')))"
+    return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"

@@ -1,0 +1,13 @@
+from zen3geo_spark.operators import (  # noqa: F401
+    canvas,
+    chipper,
+    clipper,
+    dedup,
+    mosaic,
+    multimodal,
+    rasterize,
+    similarity,
+    spatial_join,
+    stac,
+    stacker,
+)

@@ -1,0 +1,176 @@
+"""Deduplication suite for web-scale corpora.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash, and n-gram Jaccard — all over the ``documents`` table shape
+``(doc_id, text, ...)``. Hashing uses md5 (bit-identical in Spark and
+DuckDB) so every stage is oracle-checkable; minhash signatures are the
+lexicographic MIN of per-seed-salted md5 hex digests — a uniform random
+permutation proxy with no engine-specific hash function.
+
+Scale notes: every stage is a hash aggregate or equi-join on a derived
+key — no cross products. Candidate generation for near-dup is strictly
+band-bucket (LSH) or length-bucket blocked; verification joins only within
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.text import fingerprint
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical normalized text.
+
+    One hash aggregate; at 100 TB this is the cheapest dedup pass and runs
+    first to shrink everything downstream.
+    """
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct, order-free)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values: min(md5(seed || shingle))."""
+    sh = shingles(text, shingle_n)
+
+    def salted(j: int):
+        seed = f"seed{j}:"
+        return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+    sigs = [F.array_min(F.transform(sh, salted(j))) for j in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the minhash signature.
+
+    rows_per_band = num_hashes / bands. Output: (a_id, b_id) with a < b,
+    distinct. The band bucket join is an equi-join on the band hash —
+    shuffle keyed by bucket, never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    d = docs.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    banded = d.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.array_join(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                    )).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("a_id"), F.col("r.doc").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3, threshold: float = 0.8,
+                  block_col: Column | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity over candidate pairs.
+
+    Blocked by ``block_col`` (default: shared shingle) to avoid all-pairs:
+    explode shingles → self-join on shingle → per-pair intersection count /
+    union. Returns pairs with jaccard >= threshold.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(shingles(F.col(text_col), shingle_n)).alias("n_sh"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    inter = (
+        sh.alias("l").join(sh.alias("r"), "sh")
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .groupBy(F.col("l.doc").alias("a_id"), F.col("r.doc").alias("b_id"),
+                 F.col("l.n_sh").alias("n_a"), F.col("r.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return inter.select(
+        "a_id", "b_id",
+        (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash from shingle md5s: bit b of the result is 1 when the
+    majority of shingles have bit b set in their md5-derived 64-bit hash.
+
+    Pure array expressions (conv of the md5 hex prefix → bigint); no UDF.
+    """
+    sh = shingles(text, shingle_n)
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    n = F.size(sh)
+    def bit_pred(b: int):
+        # single-arg lambda via closure: a `b=b` default would make PySpark
+        # treat it as the two-arg (value, index) lambda form
+        lo, hi = 1 << b, 1 << (b + 1)
+        return lambda v: (v % F.lit(hi)) >= F.lit(lo)
+
+    bits = []
+    for b in range(60):
+        # bit test as pure arithmetic ((v % 2^(b+1)) >= 2^b)
+        ones = F.size(F.filter(h, bit_pred(b)))
+        bits.append(F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, shingle_n: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
+    hamming distance 3 shares at least one of 4 chunks — pigeonhole), then
+    verify exact hamming distance. Equi-join on chunk, never all-pairs."""
+    d = docs.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    chunks = d.select(
+        "doc", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("sh", c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("doc", "sh", "ck.chunk", "ck.key")
+    cand = (
+        chunks.alias("l").join(chunks.alias("r"), ["chunk", "key"])
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("a_id"), F.col("r.doc").alias("b_id"),
+                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .distinct()
+    )
+    return cand.select(
+        "a_id", "b_id",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,291 @@
+"""Vector→raster burn: the DatashaderRasterizer re-expressed for Spark.
+
+Reference semantics (/root/reference/zen3geo/datapipes/datashader.py:28-259):
+length contract (:176-185), CRS checks (:194-212), geometry-type dispatch
+with default aggs points→count / lines→any / polygons→any (:49-55,228-242),
+bool→uint8 (:244-246), north-up output affine e<0 (:249-253).
+
+Pixel-exact kernels (reverse-engineered against the reference's golden sums
+Point=3 / Line=13 / Polygon=15, tests/test_datapipes_datashader.py:77-104):
+
+* points — ``floor((v - vmin)/(vmax - vmin) * n)`` with the max edge snapped
+  to the last pixel (datashader ``map_onto_pixel``). Pure SQL: stays inside
+  whole-stage codegen, shuffles once for the groupBy(pixel) count.
+* lines — integer Bresenham between edge-snapped endpoint pixels
+  (datashader ``draw_segment``), per-canvas grouped applyInPandas.
+* polygons — winding-number test at the integer pixel lattice in canvas
+  coordinates shifted by −0.5 (pixel centers), half-open edge rule
+  ``y0c < yi <= y1c``, horizontal edges skipped (datashader
+  ``draw_polygon``), per-canvas grouped applyInPandas.
+
+Output is a long-form raster ``(canvas_id, row, col, value)`` where row 0 is
+the NORTH row (equivalent to the reference's final reproject to affine
+e=-0.5) plus pixel-center coordinates; use :func:`pixel_coords` to attach
+them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RASTER_SCHEMA = "canvas_id long, row int, col int, value double"
+
+DEFAULT_AGG = {"multipoint": "count", "point": "count",
+               "linestring": "any", "line": "any",
+               "polygon": "any", "multipolygon": "any"}
+
+_POINT_TYPES = {"multipoint", "point"}
+_LINE_TYPES = {"linestring", "line", "multilinestring"}
+_POLY_TYPES = {"polygon", "multipolygon"}
+
+
+def validate_rasterize_inputs(canvas_df: DataFrame, geoms_df: DataFrame) -> tuple[int, int, str]:
+    """Plan-time contract checks mirroring the reference's errors.
+
+    Returns (n_canvas, n_vector_sets, geom_kind). The reference raises these
+    at stream-iteration time (datashader.py:176-226); Spark's analogue is
+    plan-build time — same exception types and messages so tests transfer.
+    """
+    n_canvas = canvas_df.count()
+    vset = "vset_id" if "vset_id" in geoms_df.columns else None
+    n_vec = geoms_df.select(vset).distinct().count() if vset else min(geoms_df.count(), 1)
+    if n_vec > 1 and n_vec != n_canvas:
+        raise ValueError(
+            f"Unmatched lengths for the canvas datapipe ({n_canvas}) and "
+            f"vector datapipe ({n_vec})"
+        )
+    if canvas_df.filter(F.col("crs").isNull()).limit(1).count() > 0:
+        raise AttributeError(
+            "Missing crs information for datashader.Canvas; please set it "
+            "(e.g. canvas.crs = 'OGC:CRS84')"
+        )
+    if geoms_df.filter(F.col("crs").isNull()).limit(1).count() > 0:
+        raise AttributeError(
+            "Missing crs information for input geometries (geopandas.GeoSeries)"
+        )
+    kinds = [r[0] for r in geoms_df.select("geom_type").distinct().collect()]
+    if any(k == "geometrycollection" for k in kinds):
+        raise NotImplementedError(
+            "Unsupported geometry type: GeometryCollection"
+        )
+    if not kinds:
+        raise ValueError(
+            "Cannot infer spatialpandas geometry type from empty input"
+        )
+    kind_sets = {("point" if k in _POINT_TYPES else "line" if k in _LINE_TYPES else
+                  "polygon" if k in _POLY_TYPES else k) for k in kinds}
+    if len(kind_sets) > 1:
+        raise NotImplementedError(f"Unsupported mixed geometry types: {kinds}")
+    return n_canvas, n_vec, kind_sets.pop()
+
+
+def _paired(canvas_df: DataFrame, geoms_df: DataFrame, n_vec: int) -> DataFrame:
+    """Broadcast-1 (zip_longest fill, datashader.py:188-191) or N:N pairing
+    on vset_id == canvas_id."""
+    if n_vec <= 1:
+        return canvas_df.join(F.broadcast(geoms_df.drop("vset_id", "crs")))
+    return canvas_df.join(
+        F.broadcast(geoms_df.drop("crs")),
+        on=canvas_df["canvas_id"] == geoms_df["vset_id"],
+    ).drop("vset_id")
+
+
+def rasterize(canvas_df: DataFrame, geoms_df: DataFrame, agg: str | None = None,
+              validate: bool = True) -> DataFrame:
+    """Burn geometries onto canvases → long-form raster (north-up rows)."""
+    if validate:
+        _, n_vec, kind = validate_rasterize_inputs(canvas_df, geoms_df)
+    else:
+        n_vec, kind = 1, None
+        kinds = [r[0] for r in geoms_df.select("geom_type").distinct().collect()]
+        kind = ("point" if kinds[0] in _POINT_TYPES else
+                "line" if kinds[0] in _LINE_TYPES else "polygon")
+    agg = agg or DEFAULT_AGG.get(kind, "count" if kind == "point" else "any")
+    pairs = _paired(canvas_df, geoms_df, n_vec)
+    if kind == "point":
+        return _rasterize_points_sql(pairs, agg)
+    kernel = _line_kernel if kind == "line" else _polygon_kernel
+    burned = pairs.groupBy("canvas_id").applyInPandas(
+        _make_grouped_kernel(kernel), schema=RASTER_SCHEMA
+    )
+    if agg == "any":
+        return burned.groupBy("canvas_id", "row", "col").agg(
+            F.lit(1.0).alias("value")
+        )
+    return burned.groupBy("canvas_id", "row", "col").agg(
+        F.sum("value").alias("value")
+    )
+
+
+def _rasterize_points_sql(pairs: DataFrame, agg: str) -> DataFrame:
+    """Pure-SQL point binning: explode → affine floor-bin w/ edge snap →
+    groupBy pixel. No Python in the hot path; one shuffle."""
+    pts = pairs.select(
+        "canvas_id", "width", "height", "xmin", "ymin", "xmax", "ymax",
+        F.explode(F.flatten("parts")).alias("pt"),
+    )
+    fx = (F.col("pt.x") - F.col("xmin")) / (F.col("xmax") - F.col("xmin")) * F.col("width")
+    fy = (F.col("pt.y") - F.col("ymin")) / (F.col("ymax") - F.col("ymin")) * F.col("height")
+    xi = F.least(F.floor(fx).cast("int"), F.col("width") - 1)
+    yi = F.least(F.floor(fy).cast("int"), F.col("height") - 1)
+    binned = (
+        pts.withColumn("col", xi)
+        .withColumn("yi", yi)
+        .filter((F.col("col") >= 0) & (F.col("col") < F.col("width"))
+                & (F.col("yi") >= 0) & (F.col("yi") < F.col("height")))
+        .withColumn("row", F.col("height") - 1 - F.col("yi"))
+    )
+    if agg == "any":
+        return binned.groupBy("canvas_id", "row", "col").agg(F.lit(1.0).alias("value"))
+    return binned.groupBy("canvas_id", "row", "col").agg(
+        F.count("*").cast("double").alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (vectorized inside grouped applyInPandas)
+# ---------------------------------------------------------------------------
+
+def _snap_px(v: np.ndarray, vmin: float, vmax: float, n: int) -> np.ndarray:
+    out = np.floor((v - vmin) / (vmax - vmin) * n).astype(np.int64)
+    return np.minimum(out, n - 1)
+
+
+def _bresenham(x0: int, y0: int, x1: int, y1: int) -> np.ndarray:
+    """Integer Bresenham pixel walk, vectorized per segment (matches
+    datashader draw_segment; verified against the Line=13 golden)."""
+    dx, dy = abs(x1 - x0), abs(y1 - y0)
+    sx, sy = (1 if x0 < x1 else -1), (1 if y0 < y1 else -1)
+    if dx >= dy:
+        k = np.arange(dx + 1)
+        if dx == 0:
+            return np.array([[x0, y0]])
+        # err starts at dx//2, decremented by dy per step; y advances when
+        # err < 0: after k steps y moved m(k) = ceil((k*dy - dx//2)/dx) times
+        m = np.maximum(0, -(-(k * dy - dx // 2) // dx))
+        xs = x0 + sx * k
+        ys = y0 + sy * m
+    else:
+        k = np.arange(dy + 1)
+        m = np.maximum(0, -(-(k * dx - dy // 2) // dy))
+        ys = y0 + sy * k
+        xs = x0 + sx * m
+    return np.stack([xs, ys], axis=1)
+
+
+def _line_kernel(width, height, xmin, ymin, xmax, ymax, parts) -> np.ndarray:
+    """All pixels covered by the polyline parts → (col, yi) array."""
+    out = []
+    for part in parts:
+        xs = np.fromiter((p["x"] for p in part), dtype=np.float64)
+        ys = np.fromiter((p["y"] for p in part), dtype=np.float64)
+        px = _snap_px(xs, xmin, xmax, width)
+        py = _snap_px(ys, ymin, ymax, height)
+        for i in range(len(px) - 1):
+            out.append(_bresenham(px[i], py[i], px[i + 1], py[i + 1]))
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    pix = np.concatenate(out)
+    keep = (pix[:, 0] >= 0) & (pix[:, 0] < width) & (pix[:, 1] >= 0) & (pix[:, 1] < height)
+    return np.unique(pix[keep], axis=0)
+
+
+def _polygon_kernel(width, height, xmin, ymin, xmax, ymax, parts) -> np.ndarray:
+    """Winding-number fill at the −0.5-shifted integer lattice (pixel
+    centers), vectorized over the polygon's bbox pixels × edges.
+    Verified against the Polygon=15 golden."""
+    sx = width / (xmax - xmin)
+    sy = height / (ymax - ymin)
+    e0, e1, einc = [], [], []
+    gxmin = gymin = np.inf
+    gxmax = gymax = -np.inf
+    for ring in parts:
+        xs = np.fromiter((p["x"] for p in ring), dtype=np.float64)
+        ys = np.fromiter((p["y"] for p in ring), dtype=np.float64)
+        gxmin, gxmax = min(gxmin, xs.min()), max(gxmax, xs.max())
+        gymin, gymax = min(gymin, ys.min()), max(gymax, ys.max())
+        xc = (xs - xmin) * sx - 0.5
+        yc = (ys - ymin) * sy - 0.5
+        x0, y0 = xc, yc
+        x1, y1 = np.roll(xc, -1), np.roll(yc, -1)
+        up = y1 > y0
+        dn = y1 < y0
+        for lo_x, lo_y, hi_x, hi_y, inc in (
+            (x0[up], y0[up], x1[up], y1[up], 1),
+            (x1[dn], y1[dn], x0[dn], y0[dn], -1),
+        ):
+            for j in range(len(lo_x)):
+                e0.append((lo_x[j], lo_y[j]))
+                e1.append((hi_x[j], hi_y[j]))
+                einc.append(inc)
+    if not e0:
+        return np.empty((0, 2), dtype=np.int64)
+    e0 = np.asarray(e0)  # (E,2) lower-y endpoint
+    e1 = np.asarray(e1)  # (E,2) upper-y endpoint
+    einc = np.asarray(einc)
+
+    startx, starty = _snap_px(np.array([max(gxmin, xmin)]), xmin, xmax, width)[0], \
+        _snap_px(np.array([max(gymin, ymin)]), ymin, ymax, height)[0]
+    stopx = _snap_px(np.array([min(gxmax, xmax)]), xmin, xmax, width)[0] + 1
+    stopy = _snap_px(np.array([min(gymax, ymax)]), ymin, ymax, height)[0] + 1
+    xi = np.arange(max(startx, 0), min(stopx, width))
+    yi = np.arange(max(starty, 0), min(stopy, height))
+    if len(xi) == 0 or len(yi) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    XI, YI = np.meshgrid(xi, yi)  # (Y,X)
+    # (Y,X,E) eligibility: edge covers row if y0c < yi <= y1c
+    y0c = e0[:, 1][None, None, :]
+    y1c = e1[:, 1][None, None, :]
+    x0c = e0[:, 0][None, None, :]
+    x1c = e1[:, 0][None, None, :]
+    Y = YI[:, :, None]
+    X = XI[:, :, None]
+    covers = (y0c < Y) & (Y <= y1c)
+    left = (X > x0c) & (X > x1c)
+    cross = (x1c - x0c) * (Y - y0c) - (y1c - y0c) * (X - x0c)
+    hit = covers & (left | (cross < 0))
+    wn = (hit * einc[None, None, :]).sum(axis=2)
+    ys_in, xs_in = np.nonzero(wn != 0)
+    return np.stack([XI[ys_in, xs_in], YI[ys_in, xs_in]], axis=1)
+
+
+def _make_grouped_kernel(kernel):
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            pix = kernel(int(r.width), int(r.height), float(r.xmin), float(r.ymin),
+                         float(r.xmax), float(r.ymax), r.parts)
+            if len(pix):
+                rows.append(
+                    pd.DataFrame({
+                        "canvas_id": np.full(len(pix), r.canvas_id, dtype=np.int64),
+                        "row": (int(r.height) - 1 - pix[:, 1]).astype(np.int32),
+                        "col": pix[:, 0].astype(np.int32),
+                        "value": np.ones(len(pix)),
+                    })
+                )
+        if not rows:
+            return pd.DataFrame({"canvas_id": pd.Series([], dtype="int64"),
+                                 "row": pd.Series([], dtype="int32"),
+                                 "col": pd.Series([], dtype="int32"),
+                                 "value": pd.Series([], dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    return run
+
+
+def pixel_coords(raster: DataFrame, canvas_df: DataFrame) -> DataFrame:
+    """Attach pixel-center x/y coordinates (north-up affine, e<0)."""
+    c = F.broadcast(canvas_df.select("canvas_id", "width", "height",
+                                     "xmin", "ymin", "xmax", "ymax"))
+    j = raster.join(c, "canvas_id")
+    resx = (F.col("xmax") - F.col("xmin")) / F.col("width")
+    resy = (F.col("ymax") - F.col("ymin")) / F.col("height")
+    return j.select(
+        "canvas_id", "row", "col", "value",
+        (F.col("xmin") + (F.col("col") + F.lit(0.5)) * resx).alias("x"),
+        (F.col("ymax") - (F.col("row") + F.lit(0.5)) * resy).alias("y"),
+    )

@@ -1,0 +1,94 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k as the exactness baseline (JVM-side
+``aggregate``/``zip_with`` dot products — no Python), and an LSH-bucketed
+variant (random-hyperplane signs from a deterministic seed) as the scale
+path: queries and targets bucket on the sign signature; candidates come
+from an equi-join on bucket, then the same top-k window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda v: v.cast("double"))
+
+
+def cosine_topk_bruteforce(queries: DataFrame, targets: DataFrame, k: int,
+                           q_id: str = "query_id", t_id: str = "vec_id",
+                           q_vec: str = "embedding", t_vec: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine; ties broken by target id. Broadcast the query
+    side (queries are few; targets are the 100 TB side)."""
+    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
+                                   _as_double(F.col(q_vec)).alias("qv")))
+    t = targets.select(F.col(t_id).alias("target_id"),
+                       _as_double(F.col(t_vec)).alias("tv"))
+    pairs = t.join(q).select(
+        "query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("target_id").asc())
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "target_id", "cos", "rk"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-signature bucket id from fixed random hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(queries: DataFrame, targets: DataFrame, k: int, dim: int,
+                    n_planes: int = 8, n_tables: int = 4,
+                    q_id: str = "query_id", t_id: str = "vec_id",
+                    q_vec: str = "embedding", t_vec: str = "embedding") -> DataFrame:
+    """ANN top-k: candidates = union over ``n_tables`` independent
+    hyperplane tables of same-bucket targets, then exact cosine + window.
+    Recall grows with n_tables; candidates stay equi-join-shaped."""
+    q = queries.select(F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv"))
+    t = targets.select(F.col(t_id).alias("target_id"), _as_double(F.col(t_vec)).alias("tv"))
+    q_b, t_b = [], []
+    for tbl in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + tbl)
+        q_b.append(q.select("query_id", "qv", F.lit(tbl).alias("tbl"),
+                            lsh_bucket(F.col("qv"), planes).alias("bucket")))
+        t_b.append(t.select("target_id", "tv", F.lit(tbl).alias("tbl"),
+                            lsh_bucket(F.col("tv"), planes).alias("bucket")))
+    from functools import reduce
+    qb = reduce(DataFrame.unionByName, q_b)
+    tb = reduce(DataFrame.unionByName, t_b)
+    cand = (F.broadcast(qb).join(tb, ["tbl", "bucket"])
+            .select("query_id", "target_id", "qv", "tv").distinct())
+    pairs = cand.select("query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("target_id").asc())
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "target_id", "cos", "rk"))

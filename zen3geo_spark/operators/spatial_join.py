@@ -1,0 +1,226 @@
+"""Large-scale point-in-polygon and kNN joins over the cell index.
+
+This is the engine's answer to the north rule's "salted broadcast/
+range-partitioned spatial joins with explicit skew splitting for hot
+cells" (BASELINE.json:6). The reference's spatial pairing is a
+single-process broadcast (geopandas.py:161 materializes one global vector;
+datashader.py:188-191 broadcasts by zip_longest) — correct semantics, but
+the 10^12-row shape needs an equi-join plan:
+
+1. polygons → covering-cell table (bbox cover at resolution ``res``) via
+   ``explode(sequence(...))`` — pure SQL;
+2. points → ``cell_encode(lat, lon, res)`` — pure SQL, integer math;
+3. equi-join on ``cell`` (hash shuffle, never a nested-loop join) +
+   bbox prefilter;
+4. exact even-odd ray-cast refine, vectorized numpy over (points × edges)
+   per polygon group — grouped applyInPandas, no per-row Python;
+5. hot-cell salting: cells whose point count exceeds a threshold get a
+   salt ∈ [0,F); the polygon-cell side replicates F ways. Identical output
+   rows, F-way parallelism on the hot key (AQE skew-join helps after the
+   fact; explicit salting keeps the *refine* UDF groups bounded too).
+
+Coordinates are micro-degree integers (exactly representable as doubles),
+and the ray-cast formula is shared verbatim with the DuckDB oracle SQL
+(``pip_refine_sql``) so join output rows are bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.geo import cell_encode, cell_ix_sql, cell_iy_sql
+
+
+def polygon_cover_cells(polys: DataFrame, res: int) -> DataFrame:
+    """Covering cells (bbox cover) per polygon at resolution ``res``.
+
+    Input needs micro-degree bbox cols (minx_us, miny_us, maxx_us, maxy_us).
+    """
+    iy0 = F.expr(cell_iy_sql("miny_us", res, "spark"))
+    iy1 = F.expr(cell_iy_sql("maxy_us", res, "spark"))
+    ix0 = F.expr(cell_ix_sql("minx_us", res, "spark"))
+    ix1 = F.expr(cell_ix_sql("maxx_us", res, "spark"))
+    base = F.lit(1 << (2 * res))
+    n = F.lit(1 << res)
+    return (
+        polys.select("*", F.explode(F.sequence(iy0, iy1)).alias("_iy"))
+        .select("*", F.explode(F.sequence(ix0, ix1)).alias("_ix"))
+        .select("*", (base + F.col("_iy") * n + F.col("_ix")).alias("cell"))
+        .drop("_iy", "_ix")
+    )
+
+
+def tag_point_cells(points: DataFrame, res: int,
+                    lat_col: str = "lat_us", lon_col: str = "lon_us") -> DataFrame:
+    return points.withColumn("cell", cell_encode(F.col(lat_col), F.col(lon_col), res))
+
+
+PIP_SCHEMA_SUFFIX = "point_id long, geom_id long, lat_us long, lon_us long"
+
+
+def _pip_refine_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized even-odd ray cast: all points of the group vs the group's
+    polygon edges. One group = one (geom_id [, salt]) after the cell join."""
+    first = pdf.iloc[0]
+    edges = []
+    for ring in first["parts"]:
+        xs = np.fromiter((p["x"] for p in ring), dtype=np.float64)
+        ys = np.fromiter((p["y"] for p in ring), dtype=np.float64)
+        x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+        edges.append((xs, ys, x2, y2))
+    x1 = np.concatenate([e[0] for e in edges])
+    y1 = np.concatenate([e[1] for e in edges])
+    x2 = np.concatenate([e[2] for e in edges])
+    y2 = np.concatenate([e[3] for e in edges])
+    px = pdf["lon_us"].to_numpy(dtype=np.float64)
+    py = pdf["lat_us"].to_numpy(dtype=np.float64)
+    # (N,E) crossing test — formula mirrored in pip_refine_sql()
+    straddles = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
+    crosses = straddles & (px[:, None] < xint)
+    inside = (crosses.sum(axis=1) % 2) == 1
+    out = pdf.loc[inside, ["point_id", "geom_id", "lat_us", "lon_us"]]
+    return out
+
+
+def pip_refine_sql(points_rel: str, edges_rel: str, engine: str = "duckdb") -> str:
+    """Oracle SQL mirroring the numpy refine: points_rel(point_id, lat_us,
+    lon_us) × edges_rel(geom_id, x1, y1, x2, y2) → inside pairs."""
+    # double-arithmetic order mirrors the numpy kernel exactly:
+    # (x2-x1) * (py-y1) as doubles, then / (y2-y1), then + x1
+    return f"""
+    select p.point_id, e.geom_id, p.lat_us, p.lon_us
+    from {points_rel} p join {edges_rel} e
+      on ((e.y1 > p.lat_us) != (e.y2 > p.lat_us))
+    group by p.point_id, e.geom_id, p.lat_us, p.lon_us
+    having sum(case when p.lon_us < cast(e.x2 - e.x1 as double) * cast(p.lat_us - e.y1 as double)
+                                     / cast(e.y2 - e.y1 as double) + e.x1
+                    then 1 else 0 end) % 2 = 1
+    """
+
+
+def points_in_polygons(points: DataFrame, polys: DataFrame, res: int = 7,
+                       salt_factor: int = 0, hot_cells: DataFrame | None = None) -> DataFrame:
+    """Exact PIP join; returns (point_id, geom_id, lat_us, lon_us).
+
+    points: (point_id, lat_us, lon_us); polys: (geom_id, parts,
+    minx_us..maxy_us) where parts coords are micro-degrees (x=lon, y=lat).
+    salt_factor > 0 splits hot cells F ways (hot_cells: df with `cell`;
+    default = every cell, which is correct and just adds F-way fanout on
+    the small side).
+    """
+    pts = tag_point_cells(points, res)
+    pcs = polygon_cover_cells(
+        polys.select("geom_id", "parts", "minx_us", "miny_us", "maxx_us", "maxy_us"),
+        res,
+    )
+    if salt_factor > 1:
+        if hot_cells is not None:
+            hot = F.broadcast(hot_cells.select("cell").withColumn("_hot", F.lit(True)))
+            pts = pts.join(hot, "cell", "left")
+            pts = pts.withColumn(
+                "salt",
+                F.when(F.col("_hot").isNotNull(),
+                       F.pmod(F.xxhash64("point_id"), F.lit(salt_factor)))
+                .otherwise(F.lit(0)).cast("int"),
+            ).drop("_hot")
+            pcs = pcs.join(hot, "cell", "left").select(
+                "*",
+                F.explode(
+                    F.when(F.col("_hot").isNotNull(),
+                           F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+                    .otherwise(F.array(F.lit(0)))
+                ).alias("salt"),
+            ).drop("_hot")
+        else:
+            pts = pts.withColumn(
+                "salt", F.pmod(F.xxhash64("point_id"), F.lit(salt_factor)).cast("int")
+            )
+            pcs = pcs.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("salt")
+            )
+        join_keys = ["cell", "salt"]
+    else:
+        join_keys = ["cell"]
+    cand = pts.join(pcs, join_keys).filter(
+        (F.col("lat_us") >= F.col("miny_us")) & (F.col("lat_us") <= F.col("maxy_us"))
+        & (F.col("lon_us") >= F.col("minx_us")) & (F.col("lon_us") <= F.col("maxx_us"))
+    )
+    # group on (geom_id, salt) when salted so a hot polygon's refine work
+    # stays split across salt_factor tasks (the whole point of the salt)
+    group_keys = ["geom_id", "salt"] if salt_factor > 1 else ["geom_id"]
+    refined = cand.groupBy(*group_keys).applyInPandas(
+        _pip_refine_group, schema=PIP_SCHEMA_SUFFIX
+    )
+    return refined
+
+
+def find_hot_cells(points: DataFrame, res: int, threshold: int) -> DataFrame:
+    """Planning pass: cells whose point count exceeds ``threshold``.
+
+    On the 100 TB table this runs on a sample or rides a prior stage's
+    checkpoint metrics (plans/checkpoint.py records per-partition counts).
+    """
+    return (
+        tag_point_cells(points, res)
+        .groupBy("cell").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > threshold)
+    )
+
+
+def knn_join_bruteforce(queries: DataFrame, targets: DataFrame, k: int) -> DataFrame:
+    """Exact kNN by full pairwise distance + per-query top-k window.
+
+    queries: (query_id, lat_us, lon_us); targets: (target_id, lat_us,
+    lon_us). Deterministic tie-break on (dist2, target_id).
+    """
+    q = queries.select(
+        F.col("query_id"), F.col("lat_us").alias("q_lat"), F.col("lon_us").alias("q_lon")
+    )
+    t = targets.select(
+        F.col("target_id"), F.col("lat_us").alias("t_lat"), F.col("lon_us").alias("t_lon")
+    )
+    pairs = q.crossJoin(t).withColumn(
+        "dist2",
+        (F.col("q_lat") - F.col("t_lat")) * (F.col("q_lat") - F.col("t_lat"))
+        + (F.col("q_lon") - F.col("t_lon")) * (F.col("q_lon") - F.col("t_lon")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("target_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "target_id", "dist2", "rk")
+    )
+
+
+def knn_join_cells(queries: DataFrame, targets: DataFrame, k: int, res: int) -> DataFrame:
+    """Scale path: candidates from the 3×3 cell ring at ``res``, then the
+    same top-k window. Exact when the ring at ``res`` always contains the
+    true k nearest (caller picks res from target density; tests assert
+    equality vs brute force on such data). Equi-join on cell — no
+    nested-loop, no full cross product.
+    """
+    from zen3geo_spark.functions.geo import cell_neighbors
+
+    q = tag_point_cells(queries, res).select(
+        "query_id", F.col("lat_us").alias("q_lat"), F.col("lon_us").alias("q_lon"),
+        F.explode(cell_neighbors(F.col("cell"), res)).alias("cell"),
+    )
+    t = tag_point_cells(targets, res).select(
+        "target_id", F.col("lat_us").alias("t_lat"), F.col("lon_us").alias("t_lon"), "cell"
+    )
+    pairs = q.join(t, "cell").withColumn(
+        "dist2",
+        (F.col("q_lat") - F.col("t_lat")) * (F.col("q_lat") - F.col("t_lat"))
+        + (F.col("q_lon") - F.col("t_lon")) * (F.col("q_lon") - F.col("t_lon")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("target_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "target_id", "dist2", "rk")
+    )
