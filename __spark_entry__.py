@@ -6,7 +6,7 @@ the engine-parameterized SQL templates in zen3geo_spark.functions /
 sources.pages. Column names and dtypes are aligned on both sides; float
 aggregates are rounded identically. Queries marked rows-only (no oracle
 entry) are the genuinely non-SQL-expressible kernels (Bresenham line walk,
-simhash bit math, LSH ANN candidates).
+approximate-by-construction LSH ANN, the deterministic fake image codec).
 """
 
 from __future__ import annotations
@@ -21,26 +21,34 @@ from zen3geo_spark.functions.geo import (
     micro_from_str_sql,
 )
 from zen3geo_spark.functions.text import (
-    fingerprint, fingerprint_sql, quality_score, quality_score_sql,
-    token_count, token_count_sql,
+    fingerprint, fingerprint_sql, lang_id, lang_id_sql, quality_score,
+    quality_score_sql, token_count, token_count_sql,
 )
+from zen3geo_spark.operators.canvas import canvas_from_grid
 from zen3geo_spark.operators.chipper import chip_grid, assign_chips, chip_stats
 from zen3geo_spark.operators.clipper import clip_vector_with_rectangle
+from zen3geo_spark.operators.combinators import batcher, zipper
 from zen3geo_spark.operators.dedup import (
-    dedup_exact, minhash_lsh_candidates, ngram_jaccard, simhash_near_dups,
+    dedup_exact, minhash_lsh_candidates, minhash_signature_sql_duckdb,
+    ngram_jaccard, shingles_sql_duckdb, simhash64_sql_duckdb,
+    simhash_near_dups,
 )
 from zen3geo_spark.operators.mosaic import mosaic_first_valid
+from zen3geo_spark.operators.multimodal import (
+    decode_image, frame_sample, image_stats, synth_media,
+)
 from zen3geo_spark.operators.rasterize import rasterize
 from zen3geo_spark.operators.similarity import (
-    cosine_topk_bruteforce, cosine_topk_lsh,
+    cosine_near_dup_pairs, cosine_topk_bruteforce, cosine_topk_lsh,
 )
+from zen3geo_spark.operators.stacker import stack
 from zen3geo_spark.operators.spatial_join import (
     knn_join_bruteforce, knn_join_cells, points_in_polygons,
 )
 from zen3geo_spark.operators.stac import search
 from zen3geo_spark.sources.fixtures import (
     GEOM_SCHEMA, canvas_rasterize, datacube_for_mosaic, geometries_datashader,
-    scenes_meta, stac_items, with_bbox,
+    raster_grid, scenes_meta, stac_items, with_bbox,
 )
 from zen3geo_spark.sources.pages import pages_cte_sql, synth_pages
 
@@ -335,6 +343,98 @@ def q_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.4 (exactness baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_dup_pairs(emb, threshold=0.4)
+    return out.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+
+
+def q_canvas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XarrayCanvas semantics: grid → canvas spec (pixel-edge bounds)."""
+    return canvas_from_grid(raster_grid(spark)).select(
+        "canvas_id", "width", "height", "xmin", "ymin", "xmax", "ymax", "crs"
+    )
+
+
+def _item_tiles(spark: SparkSession) -> list[DataFrame]:
+    """Three synthetic items, two bands each, offset 16x16 grids at 2.0
+    resolution; item 0 has a nodata (0.0) strip so mosaic falls through."""
+    tiles = []
+    for item in range(3):
+        t = (
+            spark.range(256)
+            .selectExpr(
+                f"cast({item} as int) as time",
+                "cast(id % 16 as int) as xi",
+                "cast(id div 16 as int) as yi",
+            )
+            .selectExpr("time", "explode(array('vv', 'vh')) as band", "xi", "yi")
+            .selectExpr(
+                "time", "band",
+                f"cast(xi * 2.0 + {item} * 4.0 as double) as x",
+                "cast(30.0 - yi * 2.0 as double) as y",
+                "case when time = 0 and yi < 4 then 0.0 "
+                "else cast(time * 1000 + yi * 16 + xi as double) end as value",
+            )
+        )
+        tiles.append(t)
+    return tiles
+
+
+def q_stack_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StackSTACStacker + Mosaicker: union per-item tiles, select the 'vv'
+    asset, clip to bounds, snap to a common 2.0-res grid, then first-valid
+    mosaic along time with nodata=0."""
+    cube = stack(_item_tiles(spark), assets=["vv"],
+                 bounds=(0.0, 0.0, 40.0, 30.0), xmin=0.0, ymax=30.0, res=2.0)
+    return mosaic_first_valid(cube, order_col="time", nodata=0.0).select(
+        "band", "y_idx", "x_idx", "value", "src"
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, 300)
+    return frame_sample(media, every_ms=700).select(
+        "media_id", F.col("frame_ms").cast("int").alias("frame_ms")
+    )
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode images (deterministic stand-in codec) → per-image
+    stats; rows-only (the fake codec has no SQL analogue)."""
+    media = synth_media(spark, 300)
+    dec = decode_image(media, fake=True, out_h=4, out_w=4)
+    return image_stats(dec).select(
+        "media_id", F.round("mean_px", 6).alias("mean_px"), "min_px", "max_px"
+    )
+
+
+def q_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    b = batcher(docs, batch_size=64, order=["doc_id"])
+    return b.groupBy("batch_id").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
+def q_zipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 100).select("doc_id", "n_chars"))
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 100).select("vec_id", "label"))
+    return zipper(docs, emb, ["doc_id"], ["vec_id"]).select(
+        "doc_id", "n_chars", "vec_id", "label"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → extract → cell-encode → PIP join → per-polygon
     counts joined with world-tile counts (sf0.001-scale shapes)."""
@@ -378,6 +478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "segment_orders": q_segment_orders,
+        "lang_id": q_lang_id,
+        "embed_neardup": q_embed_neardup,
+        "canvas": q_canvas,
+        "stack_mosaic": q_stack_mosaic,
+        "frame_sample": q_frame_sample,
+        "image_stats": q_image_stats,
+        "batcher": q_batcher,
+        "zipper": q_zipper,
     }
 
 
@@ -604,6 +712,136 @@ def oracle_sql() -> dict[str, str]:
         f"{fingerprint_sql('text', 'duckdb')} as fp from documents"
     )
 
+    embed_neardup_sql = """
+    with d as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    pairs as (
+      select a.vec_id as a_id, b.vec_id as b_id, list_cosine_similarity(a.v, b.v) as cos
+      from d a join d b on a.vec_id < b.vec_id
+    )
+    select a_id, b_id, round(cos, 6) as cos from pairs where cos >= 0.4
+    """
+
+    canvas_sql = """
+    with grid as (
+      select cast(4.0 - y as double) as y, cast(-1.0 + x as double) as x
+      from range(5) t1(y), range(7) t2(x)
+    ),
+    agg as (
+      select count(distinct x) as width, count(distinct y) as height,
+             min(x) as cxmin, max(x) as cxmax, min(y) as cymin, max(y) as cymax
+      from grid
+    )
+    select cast(0 as bigint) as canvas_id,
+           cast(width as int) as width, cast(height as int) as height,
+           cxmin - ((cxmax - cxmin) / (width - 1)) / 2 as xmin,
+           cymin - ((cymax - cymin) / (height - 1)) / 2 as ymin,
+           cxmax + ((cxmax - cxmin) / (width - 1)) / 2 as xmax,
+           cymax + ((cymax - cymin) / (height - 1)) / 2 as ymax,
+           'OGC:CRS84' as crs
+    from agg
+    """
+
+    stack_mosaic_sql = """
+    with raw as (
+      select cast(t.item as int) as time, b.band,
+             cast((id % 16) * 2.0 + t.item * 4.0 as double) as x,
+             cast(30.0 - (id // 16) * 2.0 as double) as y,
+             id % 16 as xi, id // 16 as yi
+      from range(256) r(id), range(3) t(item), (select unnest(['vv', 'vh']) as band) b
+    ),
+    vals as (
+      select time, band, x, y,
+             case when time = 0 and yi < 4 then 0.0
+                  else cast(time * 1000 + yi * 16 + xi as double) end as value
+      from raw
+    ),
+    cube as (
+      select time, band,
+             cast(floor((x - 0.0) / 2.0) as int) as x_idx,
+             cast(floor((30.0 - y) / 2.0) as int) as y_idx,
+             value
+      from vals
+      where band = 'vv' and x >= 0.0 and x < 40.0 and y > 0.0 and y <= 30.0
+    )
+    select band, y_idx, x_idx, arg_min(value, time) as value, min(time) as src
+    from cube where value <> 0.0
+    group by band, y_idx, x_idx
+    """
+
+    frame_sample_sql = """
+    with media as (
+      select id as media_id, 1000 + id % 5000 as duration_ms
+      from range(300) t(id) where id % 3 = 2
+    ),
+    f as (
+      select media_id, unnest(generate_series(0, duration_ms - 1, 700)) as frame_ms
+      from media
+    )
+    select media_id, cast(frame_ms as int) as frame_ms from f
+    """
+
+    batcher_sql = """
+    with r as (
+      select doc_id, (row_number() over (order by doc_id) - 1) // 64 as batch_id
+      from documents
+    )
+    select batch_id, count(*) as n, min(doc_id) as first_id, max(doc_id) as last_id
+    from r group by batch_id
+    """
+
+    zipper_sql = """
+    with a as (
+      select doc_id, n_chars, row_number() over (order by doc_id) as rn
+      from documents where doc_id < 100
+    ),
+    b as (
+      select vec_id, label, row_number() over (order by vec_id) as rn
+      from embeddings where vec_id < 100
+    )
+    select a.doc_id, a.n_chars, b.vec_id, b.label from a join b using (rn)
+    """
+
+    # minhash LSH candidates (num_hashes=8, bands=4 → 2 rows/band, 2-gram
+    # shingles) — md5 min-hashing is identical in both engines
+    mh_grams = shingles_sql_duckdb("text", 2)
+    mh_sig = minhash_signature_sql_duckdb("grams", 8)
+    minhash_sql = f"""
+    with sh as (select doc_id, {mh_grams} as grams from documents),
+    sig as (select doc_id, {mh_sig} as sig from sh),
+    banded as (
+      select doc_id, band,
+             md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) as bucket
+      from sig, (select unnest(generate_series(0, 3)) as band) b
+    )
+    select distinct l.doc_id as a_id, r.doc_id as b_id
+    from banded l join banded r
+      on l.band = r.band and l.bucket = r.bucket and l.doc_id < r.doc_id
+    """
+
+    # simhash near-dups (2-gram shingles, hamming <= 8) — bit math mirrored
+    sim_expr = simhash64_sql_duckdb("hs", "n")
+    simhash_sql = f"""
+    with sh as (select doc_id, {mh_grams} as grams from documents),
+    h as (
+      select doc_id,
+             list_transform(grams, g -> cast('0x' || substr(md5(g), 1, 15) as bigint)) as hs,
+             len(grams) as n
+      from sh
+    ),
+    sim as (select doc_id, {sim_expr} as sh64 from h),
+    chunks as (
+      select doc_id, sh64, chunk, (sh64 >> (chunk * 15)) & 32767 as key
+      from sim, (select unnest(generate_series(0, 3)) as chunk) c
+    ),
+    cand as (
+      select distinct l.doc_id as a_id, r.doc_id as b_id, l.sh64 as sa, r.sh64 as sb
+      from chunks l join chunks r
+        on l.chunk = r.chunk and l.key = r.key and l.doc_id < r.doc_id
+    )
+    select a_id, b_id, cast(bit_count(xor(sa, sb)) as int) as hamming
+    from cand where bit_count(xor(sa, sb)) <= 8
+    """
+
     return {
         "pages_extract": (
             f"with pages as ({pages_cte_sql(N_PAGES)}) "
@@ -634,7 +872,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_quality": tq,
         "word_jaccard": word_jaccard_sql,
+        "minhash_lsh": minhash_sql,
+        "simhash": simhash_sql,
         "ann_cosine": ann_cosine_sql,
+        "lang_id": (
+            f"select doc_id, {lang_id_sql('text', 'duckdb')} as lang_pred "
+            "from documents"
+        ),
+        "embed_neardup": embed_neardup_sql,
+        "canvas": canvas_sql,
+        "stack_mosaic": stack_mosaic_sql,
+        "frame_sample": frame_sample_sql,
+        "batcher": batcher_sql,
+        "zipper": zipper_sql,
         "events_hourly": (
             "select date_trunc('hour', ts) as hour, event_type, "
             "count(*) as n, round(sum(value), 4) as sum_value "
@@ -655,6 +905,6 @@ def oracle_sql() -> dict[str, str]:
             "group by c_mktsegment"
         ),
         # rows-only (non-SQL-expressible kernels): rasterize_line (Bresenham),
-        # minhash_lsh + simhash (engine-specific hash bit math in DuckDB),
-        # ann_lsh (approximate by construction)
+        # ann_lsh (approximate by construction), image_stats (deterministic
+        # fake codec has no SQL analogue)
     }

@@ -1,0 +1,91 @@
+"""Language-ID, embedding near-dup, and stack+mosaic pipeline goldens."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.text import lang_id
+from zen3geo_spark.operators.mosaic import mosaic_first_valid
+from zen3geo_spark.operators.similarity import cosine_near_dup_pairs
+from zen3geo_spark.operators.stacker import stack
+
+
+def test_lang_id_goldens(spark):
+    rows = [
+        (0, "The cat and a dog of ours went to town"),       # en
+        (1, "der Hund und die Katze und das Haus"),          # de
+        (2, "yang dan di dari ini dan yang"),                # id (beats ms: 'dari')
+        (3, "xyzzy plugh qwerty"),                           # no stopwords → und
+        (4, ""),                                             # empty → und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "id"
+    assert got[3] == "und"
+    assert got[4] == "und"
+
+
+def test_lang_id_tiebreak_deterministic(spark):
+    # 'yang dan di' hits both ms and id stopword lists with equal count 3
+    # → first language code in sorted order ('id' < 'ms') wins
+    df = spark.createDataFrame([(0, "yang dan di")], "doc_id long, text string")
+    assert df.select(lang_id(F.col("text")).alias("l")).first()["l"] == "id"
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),   # ~parallel to 0
+        (2, [0.0, 1.0]),    # orthogonal to 0
+        (3, [-1.0, 0.0]),   # antiparallel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a_id"], r["b_id"]): r["cos"]
+           for r in cosine_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert set(got) == {(0, 1)}
+    assert math.isclose(got[(0, 1)], 1.0 / math.sqrt(1.0001), rel_tol=1e-12)
+    # id ordering invariant: a_id < b_id always
+    assert all(a < b for a, b in got)
+
+
+def test_cosine_near_dup_max_left(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    all_pairs = cosine_near_dup_pairs(emb, threshold=0.99).count()
+    bounded = cosine_near_dup_pairs(emb, threshold=0.99, max_left=1).count()
+    assert all_pairs == 10  # C(5,2)
+    assert bounded == 4     # only a_id=0 on the left
+
+
+def test_stack_band_select_bounds_and_snap(spark):
+    import __spark_entry__ as E
+    cube = stack(E._item_tiles(spark), assets=["vv"],
+                 bounds=(0.0, 0.0, 40.0, 30.0), xmin=0.0, ymax=30.0, res=2.0)
+    rows = cube.collect()
+    assert all(r["band"] == "vv" for r in rows)
+    # y > 0 cut drops the yi=15 row of each item; 15 rows x 16 cols x 3 items
+    assert len(rows) == 3 * 15 * 16
+    # snap math: x_idx = xi + 2*item, y_idx = yi
+    for r in rows:
+        assert r["x_idx"] == int(r["x"] / 2.0)
+        assert r["y_idx"] == int((30.0 - r["y"]) / 2.0)
+
+
+def test_stack_mosaic_first_valid_fallthrough(spark):
+    import __spark_entry__ as E
+    cube = stack(E._item_tiles(spark), assets=["vv"],
+                 bounds=(0.0, 0.0, 40.0, 30.0), xmin=0.0, ymax=30.0, res=2.0)
+    out = mosaic_first_valid(cube, order_col="time", nodata=0.0)
+    by_px = {(r["y_idx"], r["x_idx"]): (r["value"], r["src"]) for r in out.collect()}
+    # pixel (0,0): item 0 is nodata there (yi<4 strip) and items 1,2 don't
+    # cover x_idx 0 (their grids start at x_idx 2 and 4) → absent entirely
+    assert (0, 0) not in by_px
+    # pixel (0,2): item 0 nodata, item 1 covers (xi=0,yi=0) → value 1000, src 1
+    assert by_px[(0, 2)] == (1000.0, 1)
+    # pixel (5,0): only item 0 covers, valid (yi=5 ≥ 4) → 0*1000+5*16+0
+    assert by_px[(5, 0)] == (80.0, 0)
+    # pixel (5,2): items 0 (xi=2) and 1 (xi=0) both valid → first = item 0
+    assert by_px[(5, 2)] == (82.0, 0)

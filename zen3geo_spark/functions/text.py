@@ -92,6 +92,27 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def _stopword_count_sql(col: str, lang: str, engine: str) -> str:
+    pat = r"(?i)\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    if engine == "duckdb":
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+    pat_sql = pat.replace("\\", "\\\\")
+    return f"size(regexp_extract_all({col}, '{pat_sql}', 0))"
+
+
+def lang_id_sql(col: str, engine: str) -> str:
+    """Engine template mirroring ``lang_id``: per-language whole-word
+    stopword hit counts; winner = first language (sorted code order) whose
+    count equals the max; 'und' when no stopword hits at all. The Column
+    fold in ``lang_id`` (strict >, sorted scan) picks the same leftmost
+    maximum — integer counts, so equivalence is exact."""
+    langs = sorted(STOPWORDS)
+    counts = {lang: _stopword_count_sql(col, lang, engine) for lang in langs}
+    m = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(f"when ({counts[lang]}) = {m} then '{lang}'" for lang in langs)
+    return f"(case when {m} = 0 then 'und' {whens} else 'und' end)"
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (md5 is identical across Spark and DuckDB → oracle-checkable.)"""

@@ -123,6 +123,46 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     ).filter(F.col("jaccard") >= threshold)
 
 
+def shingles_sql_duckdb(col: str, n: int) -> str:
+    """DuckDB expression mirroring ``shingles``: distinct word n-grams.
+
+    Spark generates i in 0..greatest(size-n, 0) and takes slice(words,
+    i+1, n); here i in 1..greatest(len-n, 0)+1 with the inclusive slice
+    words[i : i+n-1] — identical gram sets, including the short-text case
+    (one gram = the whole word list)."""
+    words = f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({words}) - {n}, 0) + 1), "
+        f"i -> array_to_string(({words})[i:i+{n - 1}], ' ')))"
+    )
+
+
+def minhash_signature_sql_duckdb(grams: str, num_hashes: int) -> str:
+    """DuckDB expression mirroring ``minhash_signature`` over a grams-list
+    expression: per-seed min of salted md5 hex digests."""
+    sigs = ", ".join(
+        f"list_min(list_transform({grams}, g -> md5('seed{j}:' || g)))"
+        for j in range(num_hashes)
+    )
+    return f"[{sigs}]"
+
+
+def simhash64_sql_duckdb(hs: str, n: str) -> str:
+    """DuckDB expression mirroring ``simhash64`` given ``hs`` (list of
+    bigint shingle hashes) and ``n`` (shingle count): bit b set when the
+    majority of shingle hashes have bit b set; same (v % 2^(b+1)) >= 2^b
+    bit test as the Spark side."""
+    terms = []
+    for b in range(60):
+        lo, hi = 1 << b, 1 << (b + 1)
+        terms.append(
+            f"(case when 2 * len(list_filter({hs}, v -> (v % {hi}) >= {lo})) > {n} "
+            f"then {1 << b} else 0 end)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
     """64-bit SimHash from shingle md5s: bit b of the result is 1 when the
     majority of shingles have bit b set in their md5-derived 64-bit hash.

@@ -52,6 +52,32 @@ def cosine_topk_bruteforce(queries: DataFrame, targets: DataFrame, k: int,
             .select("query_id", "target_id", "cos", "rk"))
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          max_left: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cos) with
+    a_id < b_id and cos >= threshold.
+
+    This is the exactness baseline (all-pairs). It is deliberately a
+    broadcast nested-loop: the id inequality is the only join condition, so
+    use it when one side fits in memory or on bounded candidate sets; the
+    100 TB path blocks candidates first (``cosine_topk_lsh``'s hyperplane
+    buckets) and verifies pairs with this same cosine expression.
+    ``max_left`` bounds the left side (a_id < max_left) to keep the pair
+    count linear in the table size rather than quadratic.
+    """
+    d = emb.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    left = d.select(F.col("_id").alias("a_id"), F.col("_v").alias("va"))
+    if max_left is not None:
+        left = left.filter(F.col("a_id") < max_left)
+    right = d.select(F.col("_id").alias("b_id"), F.col("_v").alias("vb"))
+    pairs = F.broadcast(left).join(right, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()
