@@ -15,10 +15,30 @@ buckets.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 from zen3geo_spark.functions.text import fingerprint
+from zen3geo_spark.operators._util import ensure_parallelism as _ensure_parallelism
+
+# mirrors Java/RE2 \s (ASCII whitespace) used by the Spark/DuckDB shingle
+# split — Python's default \s is unicode-wide
+_WS = re.compile(r"\s+", flags=re.ASCII)
+
+
+def _shingle_list(text: str, n: int) -> list[str]:
+    """Python twin of ``shingles``: distinct word n-grams, identical to the
+    Spark Column version including the short-text edge (one gram = the
+    whole word list; empty text → one '' gram)."""
+    words = _WS.split(text.strip())
+    k = max(len(words) - n, 0) + 1
+    return list(dict.fromkeys(" ".join(words[j:j + n]) for j in range(k)))
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text",
@@ -60,6 +80,47 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     return F.array(*sigs)
 
 
+def minhash_signature_pd(num_hashes: int, shingle_n: int):
+    """Arrow-vectorized twin of ``minhash_signature``: per-seed min of
+    salted md5 hex digests, computed with hashlib inside a pandas UDF.
+    Value-identical to the Column version (md5 of utf-8 bytes, string min
+    is lexicographic in both) but ~20x faster — Catalyst higher-order
+    lambdas run interpreted, and md5-per-shingle is the hot loop."""
+    seeds = [f"seed{j}:".encode() for j in range(num_hashes)]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            grams = [g.encode() for g in _shingle_list(t, shingle_n)]
+            out.append([min(hashlib.md5(s + g).hexdigest() for g in grams)
+                        for s in seeds])
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash_pd(shingle_n: int):
+    """Arrow-vectorized twin of ``simhash64``/``simhash64_agg``: hashlib
+    md5 per shingle + numpy majority-bit math. Value-identical (integer
+    arithmetic throughout), ~20x faster than the Column paths."""
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        bit_idx = np.arange(60)
+        for i, t in enumerate(texts):
+            grams = _shingle_list(t, shingle_n)
+            hs = np.fromiter(
+                (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams),
+                dtype=np.int64, count=len(grams))
+            ones = ((hs[:, None] >> bit_idx[None, :]) & 1).sum(axis=0)
+            out[i] = ((ones * 2 > len(grams)).astype(np.int64) << bit_idx).sum()
+        return pd.Series(out)
+
+    return sh
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, shingle_n: int = 3) -> DataFrame:
@@ -70,8 +131,9 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     shuffle keyed by bucket, never all-pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    d = docs.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    sig_udf = minhash_signature_pd(num_hashes, shingle_n)
+    d = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc"), sig_udf(F.col(text_col)).alias("sig"))
     banded = d.select(
         "doc",
         F.explode(
@@ -105,7 +167,7 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     explode shingles → self-join on shingle → per-pair intersection count /
     union. Returns pairs with jaccard >= threshold.
     """
-    sh = docs.select(
+    sh = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.size(shingles(F.col(text_col), shingle_n)).alias("n_sh"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
@@ -189,12 +251,42 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     return out
 
 
+def simhash64_agg(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
+    """Value-identical to ``simhash64`` but computed as explode + 60
+    codegen'd sum aggregates instead of per-row array lambdas (HOF lambdas
+    run interpreted; this path is ~10x faster and map-side-combines, so the
+    shuffle carries one row of bit counters per doc). Returns (doc, sh)."""
+    ex = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc"),
+        F.size(shingles(F.col(text_col), shingle_n)).alias("n"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    h = ex.select(
+        "doc", "n",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    ones = [
+        F.sum(((F.col("h") % F.lit(1 << (b + 1))) >= F.lit(1 << b)).cast("int")).alias(f"_o{b}")
+        for b in range(60)
+    ]
+    per = h.groupBy("doc", "n").agg(*ones)
+    sh = None
+    for b in range(60):
+        bit = (F.when(F.col(f"_o{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long"))
+               .otherwise(F.lit(0).cast("long")))
+        sh = bit if sh is None else sh + bit
+    return per.select("doc", sh.alias("sh"))
+
+
 def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, shingle_n: int = 2) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
     hamming distance 3 shares at least one of 4 chunks — pigeonhole), then
     verify exact hamming distance. Equi-join on chunk, never all-pairs."""
-    d = docs.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    sh_udf = simhash_pd(shingle_n)
+    d = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc"), sh_udf(F.col(text_col)).alias("sh"))
     chunks = d.select(
         "doc", "sh",
         F.explode(F.array(*[

@@ -10,6 +10,7 @@ from an equi-join on bucket, then the same top-k window.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,10 +40,12 @@ def cosine_topk_bruteforce(queries: DataFrame, targets: DataFrame, k: int,
                            q_vec: str = "embedding", t_vec: str = "embedding") -> DataFrame:
     """Exact top-k by cosine; ties broken by target id. Broadcast the query
     side (queries are few; targets are the 100 TB side)."""
+    from zen3geo_spark.operators._util import ensure_parallelism
+
     q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
                                    _as_double(F.col(q_vec)).alias("qv")))
-    t = targets.select(F.col(t_id).alias("target_id"),
-                       _as_double(F.col(t_vec)).alias("tv"))
+    t = ensure_parallelism(targets.select(F.col(t_id).alias("target_id"),
+                                          _as_double(F.col(t_vec)).alias("tv")))
     pairs = t.join(q).select(
         "query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos"),
     )
@@ -66,11 +69,17 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float,
     ``max_left`` bounds the left side (a_id < max_left) to keep the pair
     count linear in the table size rather than quadratic.
     """
+    from zen3geo_spark.operators._util import ensure_parallelism
+
     d = emb.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     left = d.select(F.col("_id").alias("a_id"), F.col("_v").alias("va"))
     if max_left is not None:
         left = left.filter(F.col("a_id") < max_left)
-    right = d.select(F.col("_id").alias("b_id"), F.col("_v").alias("vb"))
+    # the streamed (non-broadcast) side carries the O(n^2) cosine work:
+    # make sure it isn't a single scan partition
+    right = ensure_parallelism(
+        d.select(F.col("_id").alias("b_id"), F.col("_v").alias("vb"))
+    )
     pairs = F.broadcast(left).join(right, F.col("a_id") < F.col("b_id"))
     return (
         pairs.select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos"))
@@ -81,6 +90,47 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float,
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket_pd(planes: list[list[float]]):
+    """Arrow-vectorized sign-signature bucket: one (batch x dim) @ (dim x
+    planes) matmul per Arrow batch instead of per-row fold lambdas.
+    Same bits as ``lsh_bucket`` up to float summation order (a sign can
+    only differ when |dot| is at rounding noise — irrelevant for an
+    approximate index)."""
+    P = np.asarray(planes, dtype=np.float64)
+    shifts = np.arange(P.shape[0])
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        d = M @ P.T
+        bits = ((d >= 0).astype(np.int64) << shifts).sum(axis=1)
+        return pd.Series(bits)
+
+    return bucket
+
+
+def lsh_buckets_multi_pd(planes_list: list[list[list[float]]]):
+    """All hash tables' buckets in ONE Arrow pass: returns an array of
+    ``len(planes_list)`` bucket ids per vector (posexplode downstream).
+    One UDF scan of the table instead of one per hash table."""
+    Ps = np.stack([np.asarray(p, dtype=np.float64) for p in planes_list])
+    n_planes = Ps.shape[1]
+    shifts = np.arange(n_planes)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        sims = np.einsum("bd,tpd->btp", M, Ps)
+        bits = ((sims >= 0).astype(np.int64) << shifts).sum(axis=2)
+        return pd.Series(list(bits))
+
+    return buckets
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -99,20 +149,28 @@ def cosine_topk_lsh(queries: DataFrame, targets: DataFrame, k: int, dim: int,
     """ANN top-k: candidates = union over ``n_tables`` independent
     hyperplane tables of same-bucket targets, then exact cosine + window.
     Recall grows with n_tables; candidates stay equi-join-shaped."""
+    from zen3geo_spark.operators._util import ensure_parallelism
+
     q = queries.select(F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv"))
-    t = targets.select(F.col(t_id).alias("target_id"), _as_double(F.col(t_vec)).alias("tv"))
-    q_b, t_b = [], []
-    for tbl in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=42 + tbl)
-        q_b.append(q.select("query_id", "qv", F.lit(tbl).alias("tbl"),
-                            lsh_bucket(F.col("qv"), planes).alias("bucket")))
-        t_b.append(t.select("target_id", "tv", F.lit(tbl).alias("tbl"),
-                            lsh_bucket(F.col("tv"), planes).alias("bucket")))
-    from functools import reduce
-    qb = reduce(DataFrame.unionByName, q_b)
-    tb = reduce(DataFrame.unionByName, t_b)
-    cand = (F.broadcast(qb).join(tb, ["tbl", "bucket"])
-            .select("query_id", "target_id", "qv", "tv").distinct())
+    t = ensure_parallelism(
+        targets.select(F.col(t_id).alias("target_id"), _as_double(F.col(t_vec)).alias("tv")))
+    planes_list = [_hyperplanes(dim, n_planes, seed=42 + tbl)
+                   for tbl in range(n_tables)]
+    buckets_udf = lsh_buckets_multi_pd(planes_list)
+    qb = q.select(
+        "query_id", "qv",
+        F.posexplode(buckets_udf(F.col("qv"))).alias("tbl", "bucket"))
+    tb = t.select(
+        "target_id", "tv",
+        F.posexplode(buckets_udf(F.col("tv"))).alias("tbl", "bucket"))
+    # dedupe on the id pair only — a distinct over rows carrying both
+    # embedding arrays would hash 2x64 floats per candidate; reattach the
+    # vectors afterwards (targets by shuffle join, queries broadcast)
+    cand_ids = (F.broadcast(qb.select("query_id", "tbl", "bucket"))
+                .join(tb.select("target_id", "tbl", "bucket"), ["tbl", "bucket"])
+                .select("query_id", "target_id").distinct())
+    cand = (cand_ids.join(t, "target_id")
+            .join(F.broadcast(q), "query_id"))
     pairs = cand.select("query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("target_id").asc())
     return (pairs.withColumn("rk", F.row_number().over(w))
