@@ -51,6 +51,7 @@ from zen3geo_spark.sources.fixtures import (
     raster_grid, scenes_meta, stac_items, with_bbox,
 )
 from zen3geo_spark.sources.pages import pages_cte_sql, synth_pages
+from zen3geo_spark.streaming.windows import session_stats, tumbling_event_stats
 
 N_PAGES = 5000  # fixed-size synthetic pages table for geo queries
 
@@ -435,6 +436,20 @@ def q_zipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (the streaming transform run as batch;
+    epoch-aligned F.window semantics, UTC session)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_event_stats(ev, window="6 hours")
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-merged session windows (F.session_window; oracle is
+    the lag/cumsum gaps-and-islands rewrite)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap="30 minutes")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → extract → cell-encode → PIP join → per-polygon
     counts joined with world-tile counts (sf0.001-scale shapes)."""
@@ -486,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "batcher": q_batcher,
         "zipper": q_zipper,
+        "tumbling_window": q_tumbling_window,
+        "session_window": q_session_window,
     }
 
 
@@ -885,6 +902,38 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": frame_sample_sql,
         "batcher": batcher_sql,
         "zipper": zipper_sql,
+        "tumbling_window": (
+            "select TIMESTAMP '1970-01-01 00:00:00' "
+            "+ to_seconds(cast(floor(epoch(ts) / 21600) * 21600 as bigint)) as window_start, "
+            "event_type, count(*) as n, round(sum(value), 4) as sum_value, "
+            "round(avg(cast(json_extract_string(props, '$.k') as int)), 6) as avg_k "
+            "from events group by 1, 2"
+        ),
+        "session_window": """
+            with o as (
+              select user_id, ts, value,
+                     lag(ts) over (partition by user_id order by ts) as prev
+              from events
+            ),
+            m as (
+              select user_id, ts, value,
+                     -- Spark merges an event landing exactly at the previous
+                     -- session's end (ts == prev + gap): strict > here
+                     case when prev is null
+                               or ts > prev + interval '30 minutes'
+                          then 1 else 0 end as new_s
+              from o
+            ),
+            s as (
+              select user_id, ts, value,
+                     sum(new_s) over (partition by user_id order by ts
+                                      rows unbounded preceding) as sid
+              from m
+            )
+            select user_id, min(ts) as session_start, max(ts) as session_last,
+                   count(*) as n_events, round(sum(value), 4) as sum_value
+            from s group by user_id, sid
+        """,
         "events_hourly": (
             "select date_trunc('hour', ts) as hour, event_type, "
             "count(*) as n, round(sum(value), 4) as sum_value "

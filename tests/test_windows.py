@@ -1,0 +1,97 @@
+"""Event-time windowing: tumbling + session windows, streaming parity."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from zen3geo_spark.streaming.windows import (
+    run_windowed_stream, session_stats, tumbling_event_stats,
+    with_watermark_ts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+
+
+def test_session_window_goldens(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0, 10, 25 (one session), then 70 (new session:
+        # 70 - 25 = 45 >= 30)
+        (0, at(0), 1, "view", 1.0, "{}"),
+        (1, at(10), 1, "view", 2.0, "{}"),
+        (2, at(25), 1, "view", 3.0, "{}"),
+        (3, at(70), 1, "view", 4.0, "{}"),
+        # user 2: events exactly 30 apart → ONE session (Spark merges an
+        # event landing exactly at the previous session end), then a clear
+        # new session at 61
+        (4, at(0), 2, "view", 5.0, "{}"),
+        (5, at(30), 2, "view", 6.0, "{}"),
+        (6, at(61), 2, "view", 7.0, "{}"),
+    ]
+    out = session_stats(_ev(spark, rows), gap="30 minutes").collect()
+    by_key = {(r["user_id"], r["session_start"]): r for r in out}
+    assert len(out) == 4
+    s1 = by_key[(1, at(0))]
+    assert s1["n_events"] == 3 and s1["session_last"] == at(25) and s1["sum_value"] == 6.0
+    s2 = by_key[(1, at(70))]
+    assert s2["n_events"] == 1
+    s3 = by_key[(2, at(0))]
+    assert s3["n_events"] == 2 and s3["session_last"] == at(30)  # boundary merges
+    assert by_key[(2, at(61))]["n_events"] == 1
+
+
+def test_tumbling_matches_manual_bucket(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = tumbling_event_stats(ev, window="6 hours")
+    manual = (
+        ev.groupBy(
+            F.to_timestamp(F.floor(F.unix_timestamp("ts") / 21600) * 21600).alias("window_start"),
+            "event_type",
+        ).agg(F.count("*").alias("n"))
+    )
+    j = got.select("window_start", "event_type", "n").exceptAll(
+        manual.select("window_start", "event_type", "n"))
+    assert j.count() == 0
+
+
+def test_streaming_windowed_available_now(spark, tmp_path):
+    """The streaming driver emits exactly the batch plan's finalized
+    windows (append mode holds back windows newer than the watermark)."""
+    ev_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(ev_dir)
+
+    run_windowed_stream(spark, ev_dir, out_dir, ck,
+                        window="6 hours", watermark="2 hours")
+    got = spark.read.parquet(out_dir)
+
+    batch = tumbling_event_stats(ev, window="6 hours")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=2)
+    finalized = batch.filter(
+        F.col("window_start") + F.expr("interval 6 hours") <= F.lit(horizon))
+    assert got.count() == finalized.count() > 0
+    assert got.exceptAll(finalized).count() == 0
+
+    # second run with more data: only new finalized windows are appended
+    ev.withColumn("ts", F.col("ts") + F.expr("interval 40 days")).write.mode(
+        "append").parquet(ev_dir)
+    run_windowed_stream(spark, ev_dir, out_dir, ck,
+                        window="6 hours", watermark="2 hours")
+    n2 = spark.read.parquet(out_dir).count()
+    assert n2 > finalized.count()
+
+
+def test_watermark_marker_batch_noop(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert with_watermark_ts(ev) is ev
