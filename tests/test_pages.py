@@ -103,3 +103,24 @@ def test_all_geotags_counts(spark):
     for r in got:
         expect = 0 if r["id"] % 7 == 3 else 1 + (r["id"] % 3)
         assert r["n"] == expect, r
+
+
+def test_extract_points_arrow_matches_jvm(spark):
+    """The Arrow scan path (mapInPandas) and the JVM expression path must
+    produce identical (point_id, lat_us, lon_us) sets."""
+    from zen3geo_spark.functions.geo import extract_points_arrow
+
+    pages = synth_pages(spark, 500)
+    arrow = {(r["point_id"], r["lat_us"], r["lon_us"])
+             for r in extract_points_arrow(pages).collect()}
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    jvm_df = (
+        pages.select(
+            F.regexp_extract("url", r"/page/(\d+)", 1).cast("long").alias("point_id"),
+            lat_s.alias("lat"), lon_s.alias("lon"))
+        .filter(F.col("lat") != "")
+        .select("point_id", micro_from_str(F.col("lat")).alias("lat_us"),
+                micro_from_str(F.col("lon")).alias("lon_us"))
+    )
+    jvm = {(r["point_id"], r["lat_us"], r["lon_us"]) for r in jvm_df.collect()}
+    assert arrow == jvm and len(arrow) > 300

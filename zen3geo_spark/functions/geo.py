@@ -161,22 +161,68 @@ def geotag_extract_pandas(texts):
     return ext
 
 
+def extract_points_arrow(pages, url_id_pattern: str = r"/page/(\d+)"):
+    """Arrow-vectorized scan→points: (url, text) → (point_id, lat_us,
+    lon_us) via mapInPandas.
+
+    This is the 100 TB scan path the north star describes ("geolocations
+    extracted from page text via vectorized Arrow UDFs"): the Python node
+    materializes the extracted columns once, so downstream cell-encode /
+    bbox / refine references are plain attribute reads. The pure-JVM
+    expression path (extract_first_geotag + micro_from_str) is
+    value-identical (tests/test_pages.py) but re-evaluates the page regexp
+    once per collapsed-projection reference — fine for a handful of
+    references, wrong for a deep operator chain. No shuffle is involved
+    in either path; this one just adds an Arrow hop.
+    """
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    pat = _re.compile(LAT_LON_PATTERN)
+    idpat = _re.compile(url_id_pattern)
+
+    def run(batches):
+        for pdf in batches:
+            ext = pdf["text"].str.extract(pat, expand=True)
+            ok = ext[0].notna()
+            if not ok.any():
+                continue
+            ids = pdf.loc[ok, "url"].str.extract(idpat, expand=True)[0].astype("int64")
+
+            def micro(series: pd.Series) -> np.ndarray:
+                m = series.str.extract(r"(-?)(\d+)\.(\d{6})", expand=True)
+                sign = np.where(m[0] == "-", -1, 1)
+                return sign * (m[1].astype("int64") * 1000000 + m[2].astype("int64"))
+
+            yield pd.DataFrame({
+                "point_id": ids.to_numpy(),
+                "lat_us": micro(ext.loc[ok, 0]),
+                "lon_us": micro(ext.loc[ok, 1]),
+            })
+
+    return pages.select("url", "text").mapInPandas(
+        run, schema="point_id long, lat_us long, lon_us long")
+
+
 def micro_from_str(s: Column) -> Column:
-    """'12.345678' -> 12345678 micro-degrees (exact integer parse)."""
-    sign = F.when(F.substring(s, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
-    # try_cast: ANSI-safe when the optimizer evaluates the projection on
-    # rows a sibling filter would have dropped (empty extraction → NULL)
-    ip = F.regexp_extract(s, r"(-?)(\d+)\.(\d{6})", 2).try_cast("long")
-    fp = F.regexp_extract(s, r"(-?)(\d+)\.(\d{6})", 3).try_cast("long")
-    return sign * (ip * F.lit(1000000) + fp)
+    """'12.345678' -> 12345678 micro-degrees (exact fixed-point parse).
+
+    References ``s`` exactly ONCE. Callers compose this onto expensive
+    extraction expressions (regexp over the full page text) and Catalyst
+    inlines every reference when collapsing projections — the previous
+    sign/int/frac regexp split evaluated the upstream extraction 3x per
+    coordinate (observed: 22 copies of the page regexp in one collapsed
+    projection). decimal(10,6) holds +-180.000000 exactly; *1e6 and the
+    bigint cast are exact; try_cast is ANSI-safe for '' (NULL).
+    """
+    return (s.try_cast("decimal(10,6)") * F.lit(1000000)).cast("long")
 
 
 def micro_from_str_sql(s: str, engine: str) -> str:
     """Same parse as :func:`micro_from_str`, as engine SQL."""
-    sign = f"(case when substring({s},1,1)='-' then -1 else 1 end)"
-    ip = rf"cast(regexp_extract({s}, '(-?)(\d+)\.(\d{{6}})', 2) as bigint)"
-    fp = rf"cast(regexp_extract({s}, '(-?)(\d+)\.(\d{{6}})', 3) as bigint)"
-    return f"({sign} * ({ip} * 1000000 + {fp}))"
+    return f"cast(try_cast({s} as decimal(10,6)) * 1000000 as bigint)"
 
 
 # ---------------------------------------------------------------------------

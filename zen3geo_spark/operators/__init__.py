@@ -2,6 +2,7 @@ from zen3geo_spark.operators import (  # noqa: F401
     canvas,
     chipper,
     clipper,
+    combinators,
     dedup,
     mosaic,
     multimodal,

@@ -146,7 +146,10 @@ def points_in_polygons(points: DataFrame, polys: DataFrame, res: int = 7,
         join_keys = ["cell", "salt"]
     else:
         join_keys = ["cell"]
-    cand = pts.join(pcs, join_keys).filter(
+    # explicit broadcast: the polygon-cell side is known-small (cells x
+    # salt of the dimension table); without the hint AQE first materializes
+    # it through a shuffle to learn its size — two extra serial stages
+    cand = pts.join(F.broadcast(pcs), join_keys).filter(
         (F.col("lat_us") >= F.col("miny_us")) & (F.col("lat_us") <= F.col("maxy_us"))
         & (F.col("lon_us") >= F.col("minx_us")) & (F.col("lon_us") <= F.col("maxx_us"))
     )

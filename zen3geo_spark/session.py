@@ -41,7 +41,10 @@ def get_spark(
         # geometry tables are tiny relative to point tables: let Spark
         # broadcast aggressively (dimension side of every spatial join)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs every task thread in the driver JVM: size the heap
+        # for cores x concurrent task allocations (string-heavy scans GC-
+        # thrash in 8g at 32 threads)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
