@@ -436,6 +436,51 @@ def q_zipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tiles_table(spark: SparkSession) -> DataFrame:
+    """Synthetic raster tile table with a COG-style pyramid ``level``
+    column (RioXarrayReader's overview_level ≙ partition-column filter,
+    reference rioxarray.py:70-74, docs/walkthrough.md:142)."""
+    return spark.range(3 * 2 * 16 * 16).selectExpr(
+        "cast(id % 16 as int) as x_idx",
+        "cast((id div 16) % 16 as int) as y_idx",
+        "cast((id div 256) % 2 as int) as band",
+        "cast(id div 512 as int) as level",
+        "cast(id % 97 as double) as value",
+    )
+
+
+def q_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster scan with pyramid-level + band pruning → per-band stats
+    (the RioXarrayReader overview_level semantics)."""
+    tiles = _tiles_table(spark)
+    # same predicate shape sources.raster.scan_tiles pushes onto a
+    # parquet tile table (level/band are partition columns there)
+    pruned = tiles.filter((F.col("level") == 1) & F.col("band").isin([0]))
+    return pruned.groupBy("band").agg(
+        F.count("*").alias("n_px"),
+        F.round(F.sum("value"), 4).alias("sum_val"),
+        F.max("x_idx").alias("max_x"),
+    )
+
+
+def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector scan with bbox predicate pruning (PyogrioReader + the
+    denormalized-bbox GeoParquet layout, SURVEY.md §1 row 5)."""
+    geoms = spark.range(500).selectExpr(
+        "id as geom_id",
+        "cast(-170 + (id * 7 % 340) as double) as minx",
+        "cast(-80 + (id * 11 % 160) as double) as miny",
+        "cast(-170 + (id * 7 % 340) + 5 as double) as maxx",
+        "cast(-80 + (id * 11 % 160) + 4 as double) as maxy",
+    )
+    qxmin, qymin, qxmax, qymax = -30.0, -20.0, 40.0, 35.0
+    hit = geoms.filter(
+        (F.col("minx") < qxmax) & (F.col("maxx") > qxmin)
+        & (F.col("miny") < qymax) & (F.col("maxy") > qymin)
+    )
+    return hit.select("geom_id", "minx", "miny", "maxx", "maxy")
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (the streaming transform run as batch;
     epoch-aligned F.window semantics, UTC session)."""
@@ -503,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipper": q_zipper,
         "tumbling_window": q_tumbling_window,
         "session_window": q_session_window,
+        "tile_scan": q_tile_scan,
+        "vector_scan": q_vector_scan,
     }
 
 
@@ -909,6 +956,33 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(cast(json_extract_string(props, '$.k') as int)), 6) as avg_k "
             "from events group by 1, 2"
         ),
+        "tile_scan": """
+            with tiles as (
+              select cast(id % 16 as int) as x_idx,
+                     cast((id // 16) % 16 as int) as y_idx,
+                     cast((id // 256) % 2 as int) as band,
+                     cast(id // 512 as int) as level,
+                     cast(id % 97 as double) as value
+              from range(1536) t(id)
+            )
+            select band, count(*) as n_px, round(sum(value), 4) as sum_val,
+                   max(x_idx) as max_x
+            from tiles where level = 1 and band in (0)
+            group by band
+        """,
+        "vector_scan": """
+            with geoms as (
+              select id as geom_id,
+                     cast(-170 + (id * 7 % 340) as double) as minx,
+                     cast(-80 + (id * 11 % 160) as double) as miny,
+                     cast(-170 + (id * 7 % 340) + 5 as double) as maxx,
+                     cast(-80 + (id * 11 % 160) + 4 as double) as maxy
+              from range(500) t(id)
+            )
+            select geom_id, minx, miny, maxx, maxy
+            from geoms
+            where minx < 40.0 and maxx > -30.0 and miny < 35.0 and maxy > -20.0
+        """,
         "session_window": """
             with o as (
               select user_id, ts, value,
