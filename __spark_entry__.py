@@ -17,8 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zen3geo_spark.functions.geo import (
-    cell_encode, cell_id_sql, extract_first_geotag, micro_from_str,
-    micro_from_str_sql,
+    cell_encode, cell_id_sql, cell_parent, extract_all_geotags,
+    extract_first_geotag, mercator_x, mercator_x_sql, mercator_y,
+    mercator_y_sql, micro_from_str, micro_from_str_sql,
 )
 from zen3geo_spark.functions.text import (
     fingerprint, fingerprint_sql, lang_id, lang_id_sql, quality_score,
@@ -481,6 +482,39 @@ def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("geom_id", "minx", "miny", "maxx", "maxy")
 
 
+def q_mercator_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reprojection kernel: extracted points → EPSG:3857 metres → 100 km
+    bin counts (integer bins make the cross-engine float compare safe)."""
+    pts = _points_df(spark).filter(F.abs(F.col("lat_us")) <= 85051129)
+    m = pts.select(
+        mercator_x(F.col("lon_us") / 1e6).alias("x"),
+        mercator_y(F.col("lat_us") / 1e6).alias("y"),
+    )
+    return m.groupBy(
+        F.floor(F.col("x") / 100000.0).alias("bx"),
+        F.floor(F.col("y") / 100000.0).alias("by"),
+    ).agg(F.count("*").alias("n"))
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: res-12 cells aggregated to their res-6 parents
+    (oracle encodes res 6 directly — equal by the floor-nesting identity
+    floor(floor(x/m)/n) == floor(x/(m*n)))."""
+    pts = _points_df(spark).withColumn(
+        "cell12", cell_encode(F.col("lat_us"), F.col("lon_us"), 12))
+    return pts.groupBy(
+        cell_parent(F.col("cell12"), 12, 6).alias("cell6")
+    ).agg(F.count("*").alias("n_pages"))
+
+
+def q_extract_all_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-geotag extraction: every well-formed tag per page (pages
+    embed 0-3 plus malformed ones the extractor must skip)."""
+    pages = synth_pages(spark, N_PAGES)
+    return pages.select(
+        "url", F.size(extract_all_geotags(F.col("text"))).alias("n_tags"))
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (the streaming transform run as batch;
     epoch-aligned F.window semantics, UTC session)."""
@@ -550,6 +584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "tile_scan": q_tile_scan,
         "vector_scan": q_vector_scan,
+        "mercator_bins": q_mercator_bins,
+        "cell_rollup": q_cell_rollup,
+        "extract_all_tags": q_extract_all_tags,
     }
 
 
@@ -949,6 +986,22 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": frame_sample_sql,
         "batcher": batcher_sql,
         "zipper": zipper_sql,
+        "mercator_bins": (
+            f"{pts_cte} "
+            f"select cast(floor({mercator_x_sql('(lon_us / 1000000.0)', 'duckdb')} / 100000.0) as bigint) as bx, "
+            f"cast(floor({mercator_y_sql('(lat_us / 1000000.0)', 'duckdb')} / 100000.0) as bigint) as by, "
+            "count(*) as n from pts where abs(lat_us) <= 85051129 group by 1, 2"
+        ),
+        "cell_rollup": (
+            f"{pts_cte} select {cell_id_sql('lat_us', 'lon_us', 6, 'duckdb')} as cell6, "
+            "count(*) as n_pages from pts group by 1"
+        ),
+        "extract_all_tags": (
+            f"with pages as ({pages_cte_sql(N_PAGES)}) "
+            "select url, cast(len(regexp_extract_all(text, "
+            "'lat=(-?\\d+\\.\\d{6}) lon=(-?\\d+\\.\\d{6})')) as int) as n_tags "
+            "from pages"
+        ),
         "tumbling_window": (
             "select TIMESTAMP '1970-01-01 00:00:00' "
             "+ to_seconds(cast(floor(epoch(ts) / 21600) * 21600 as bigint)) as window_start, "

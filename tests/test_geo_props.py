@@ -1,0 +1,98 @@
+"""Property-style tests for the geo kernels: mercator reprojection
+goldens + roundtrip, cell-hierarchy identities on seeded random points."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.geo import (
+    cell_encode, cell_iy_ix, cell_neighbors, cell_parent, mercator_inv_lat,
+    mercator_inv_lon, mercator_x, mercator_y, micro_from_str,
+)
+
+
+def _random_points(spark, n=20000, seed=7):
+    rng = np.random.RandomState(seed)
+    lat = rng.randint(-90_000_000, 90_000_001, size=n).astype("int64")
+    lon = rng.randint(-180_000_000, 180_000_001, size=n).astype("int64")
+    return spark.createDataFrame(
+        [(int(a), int(o)) for a, o in zip(lat, lon)], "lat_us long, lon_us long")
+
+
+def test_mercator_forward_goldens(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (180.0, 0.0), (-180.0, 0.0), (0.0, 85.051128779806)],
+        "lon double, lat double")
+    r = df.select(
+        mercator_x(F.col("lon")).alias("x"), mercator_y(F.col("lat")).alias("y")
+    ).collect()
+    assert r[0]["x"] == pytest.approx(0.0, abs=1e-9)
+    assert r[0]["y"] == pytest.approx(0.0, abs=1e-6)
+    # the web-mercator world half-width: pi * R
+    assert r[1]["x"] == pytest.approx(20037508.342789244, rel=1e-12)
+    assert r[2]["x"] == pytest.approx(-20037508.342789244, rel=1e-12)
+    # the square-world latitude maps to the same magnitude
+    assert r[3]["y"] == pytest.approx(20037508.34, abs=1.0)
+
+
+def test_mercator_roundtrip(spark):
+    pts = _random_points(spark, 5000).filter(F.abs(F.col("lat_us")) <= 85_000_000)
+    back = pts.select(
+        (F.col("lon_us") / 1e6).alias("lon"), (F.col("lat_us") / 1e6).alias("lat"),
+        mercator_inv_lon(mercator_x(F.col("lon_us") / 1e6)).alias("lon2"),
+        mercator_inv_lat(mercator_y(F.col("lat_us") / 1e6)).alias("lat2"),
+    )
+    bad = back.filter(
+        (F.abs(F.col("lon") - F.col("lon2")) > 1e-9)
+        | (F.abs(F.col("lat") - F.col("lat2")) > 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_cell_parent_equals_direct_encode(spark):
+    """parent(encode(res 12), 12, 6) == encode(res 6) for all points —
+    the floor-nesting identity the rollup oracle relies on."""
+    pts = _random_points(spark)
+    bad = pts.filter(
+        cell_parent(cell_encode(F.col("lat_us"), F.col("lon_us"), 12), 12, 6)
+        != cell_encode(F.col("lat_us"), F.col("lon_us"), 6)
+    ).count()
+    assert bad == 0
+
+
+def test_cell_encode_bounds(spark):
+    """Every res-r cell id lies in [4^r, 4^r + 2^r * 2^r)."""
+    for res in (1, 4, 9):
+        pts = _random_points(spark, 5000, seed=res)
+        base, n = 1 << (2 * res), 1 << res
+        c = pts.select(cell_encode(F.col("lat_us"), F.col("lon_us"), res).alias("c"))
+        agg = c.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
+        assert agg["lo"] >= base
+        assert agg["hi"] < base + n * n
+
+
+def test_cell_neighbors_contain_self_and_same_res(spark):
+    res = 5
+    pts = _random_points(spark, 3000, seed=3)
+    d = pts.select(cell_encode(F.col("lat_us"), F.col("lon_us"), res).alias("c")).distinct()
+    d = d.select("c", F.explode(cell_neighbors(F.col("c"), res)).alias("nb"))
+    base, n = 1 << (2 * res), 1 << res
+    # all neighbors valid cells at the same res
+    assert d.filter((F.col("nb") < base) | (F.col("nb") >= base + n * n)).count() == 0
+    # self always among neighbors
+    per = d.groupBy("c").agg(F.max((F.col("nb") == F.col("c")).cast("int")).alias("has_self"))
+    assert per.filter(F.col("has_self") == 0).count() == 0
+    # ring size: 9 interior; 6 at the lat clamp edges (lon wraps, lat
+    # clamps and array_distinct merges the clamped duplicates)
+    sizes = d.groupBy("c").count().agg(F.min("count").alias("lo"), F.max("count").alias("hi")).first()
+    assert sizes["lo"] >= 6 and sizes["hi"] <= 9
+
+
+def test_micro_from_str_matches_python_parse(spark):
+    rng = np.random.RandomState(11)
+    vals = rng.randint(-180_000_000, 180_000_001, size=4000)
+    strs = [f"{'-' if v < 0 else ''}{abs(v) // 1000000}.{abs(v) % 1000000:06d}"
+            for v in vals]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = [r["m"] for r in df.select(micro_from_str(F.col("s")).alias("m")).collect()]
+    assert got == [int(v) for v in vals]

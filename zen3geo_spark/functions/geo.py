@@ -226,6 +226,40 @@ def micro_from_str_sql(s: str, engine: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# reprojection (the pluggable CRS kernel; public spherical-mercator math)
+# ---------------------------------------------------------------------------
+
+WEB_MERCATOR_R = 6378137.0  # WGS84 semi-major axis (EPSG:3857 sphere radius)
+
+
+def mercator_x(lon_deg: Column) -> Column:
+    """EPSG:4326 lon → EPSG:3857 x metres (spherical mercator forward)."""
+    return F.lit(WEB_MERCATOR_R) * F.radians(lon_deg)
+
+
+def mercator_y(lat_deg: Column) -> Column:
+    """EPSG:4326 lat → EPSG:3857 y metres. Valid for |lat| < 90; the
+    standard web-mercator clip is |lat| <= 85.051129 (callers filter)."""
+    return F.lit(WEB_MERCATOR_R) * F.log(F.tan(F.radians(F.lit(45.0) + lat_deg / 2)))
+
+
+def mercator_inv_lon(x_m: Column) -> Column:
+    return F.degrees(x_m / F.lit(WEB_MERCATOR_R))
+
+
+def mercator_inv_lat(y_m: Column) -> Column:
+    return F.degrees(F.lit(2.0) * F.atan(F.exp(y_m / F.lit(WEB_MERCATOR_R)))) - F.lit(90.0)
+
+
+def mercator_x_sql(lon_deg: str, engine: str) -> str:
+    return f"({WEB_MERCATOR_R!r} * radians({lon_deg}))"
+
+
+def mercator_y_sql(lat_deg: str, engine: str) -> str:
+    return f"({WEB_MERCATOR_R!r} * ln(tan(radians(45.0 + ({lat_deg}) / 2))))"
+
+
+# ---------------------------------------------------------------------------
 # distances
 # ---------------------------------------------------------------------------
 
