@@ -1,0 +1,93 @@
+"""End-to-end checkpointed pipeline: run, resume, spark-submit packaging."""
+
+import importlib.util
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_pipeline():
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline", os.path.join(REPO, "tools", "run_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _manifest_times(root):
+    out = {}
+    for stage in ("extract", "cells", "pip", "rollup"):
+        mp = os.path.join(root, stage, "_MANIFEST.json")
+        with open(mp) as f:
+            out[stage] = json.load(f)["written_at_unix_ms"]
+    return out
+
+
+def test_pipeline_run_resume_and_partial_invalidation(spark, tmp_path):
+    mod = _load_pipeline()
+    root = str(tmp_path / "ckpt")
+
+    out1 = mod.run(spark, "synth:20000", root, res=12, salt=4)
+    assert out1["extracted"] > 15000
+    assert out1["pip_pairs"] > 0
+    assert out1["rollup_cells"] > 0
+    t1 = _manifest_times(root)
+
+    # identical inputs → every stage resumes from checkpoint (no rewrite)
+    out2 = mod.run(spark, "synth:20000", root, res=12, salt=4)
+    assert out2 == out1 or (
+        out2["extracted"] == out1["extracted"]
+        and out2["pip_pairs"] == out1["pip_pairs"]
+        and out2["rollup_cells"] == out1["rollup_cells"]
+    )
+    assert _manifest_times(root) == t1
+
+    # res change → cells + rollup rerun; extract + pip stay checkpointed
+    out3 = mod.run(spark, "synth:20000", root, res=10, salt=4)
+    t3 = _manifest_times(root)
+    assert t3["extract"] == t1["extract"]
+    assert t3["pip"] == t1["pip"]
+    assert t3["cells"] > t1["cells"]
+    assert t3["rollup"] > t1["rollup"]
+    assert out3["extracted"] == out1["extracted"]
+
+
+def test_spark_submit_py_files(tmp_path):
+    """The north rule's packaging path: spark-submit --py-files with the
+    zipped package runs the pipeline end to end."""
+    zip_path = str(tmp_path / "zen3geo_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _, files in os.walk(os.path.join(REPO, "zen3geo_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    out_dir = str(tmp_path / "ckpt")
+    # run a COPY of the script from tmp so the zen3geo_spark package can
+    # only come from the --py-files zip, not the checkout
+    script = str(tmp_path / "run_pipeline.py")
+    shutil.copy(os.path.join(REPO, "tools", "run_pipeline.py"), script)
+    p = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.session.timeZone=UTC",
+         "--py-files", zip_path,
+         script,
+         "--pages", "synth:5000", "--out", out_dir],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path),  # NOT the repo: proves the zip supplies the package
+        env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["extracted"] > 3000
+    assert res["rollup_cells"] > 0
+    assert os.path.exists(os.path.join(out_dir, "pip", "_MANIFEST.json"))
