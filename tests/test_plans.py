@@ -1,0 +1,88 @@
+"""Physical-plan quality gates: these are the properties that make the
+operators survive a 100x scale-up — filters reaching the parquet scan,
+dimension sides broadcast, no nested-loop/cartesian fallbacks, column
+pruning. A regression here is a performance bug even when results stay
+correct."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark):
+    plan = _plan(E.q_pricing_summary(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1][:200]
+
+
+def test_segment_orders_broadcasts_customer(spark):
+    plan = _plan(E.q_segment_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pip_join_is_broadcast_equi_join_not_nested_loop(spark):
+    plan = _plan(E.q_pip_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vector_scan_bbox_prune_pushdown(spark, tmp_path):
+    """scan_vectors' bbox predicate must reach the parquet scan."""
+    from zen3geo_spark.sources.raster import scan_vectors
+
+    path = str(tmp_path / "geoms")
+    spark.range(100).selectExpr(
+        "id as geom_id",
+        "cast(id as double) as minx", "cast(id as double) as miny",
+        "cast(id + 1 as double) as maxx", "cast(id + 1 as double) as maxy",
+    ).write.mode("overwrite").parquet(path)
+    df = scan_vectors(spark, path, bbox=(10.0, 10.0, 20.0, 20.0))
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:", 1)[1][:300]
+    assert "minx" in pushed and "maxy" in pushed
+    assert df.count() > 0
+
+
+def test_tile_scan_level_filter_pushdown(spark, tmp_path):
+    from zen3geo_spark.sources.raster import scan_tiles
+
+    path = str(tmp_path / "tiles")
+    spark.range(1000).selectExpr(
+        "cast(id % 10 as int) as level", "cast(id % 3 as int) as band",
+        "cast(id as double) as value",
+    ).write.mode("overwrite").parquet(path)
+    df = scan_tiles(spark, path, overview_level=3, bands=[0, 1])
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:", 1)[1][:300]
+    assert "level" in pushed
+    assert df.count() > 0
+
+
+def test_token_quality_column_pruning(spark):
+    """A 2-column projection must not read the whole documents schema."""
+    plan = _plan(E.q_token_quality(spark, SF))
+    read = plan.split("ReadSchema:", 1)[1][:200]
+    assert "text" in read and "doc_id" in read
+    assert "source" not in read and "lang" not in read
+
+
+def test_mosaic_is_single_hash_aggregate_no_window(spark):
+    """First-valid mosaic must stay a (partial+final) hash aggregate —
+    not a sort or window — so the shuffle carries one row per pixel."""
+    plan = _plan(E.q_mosaic(spark, SF))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_knn_cells_no_cartesian(spark):
+    plan = _plan(E.q_knn_cells(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
