@@ -31,8 +31,8 @@ from zen3geo_spark.operators.clipper import clip_vector_with_rectangle
 from zen3geo_spark.operators.combinators import batcher, zipper
 from zen3geo_spark.operators.dedup import (
     dedup_exact, minhash_lsh_candidates, minhash_signature_sql_duckdb,
-    ngram_jaccard, shingles_sql_duckdb, simhash64_sql_duckdb,
-    simhash_near_dups,
+    ngram_jaccard, shingles as shingles_col, shingles_sql_duckdb,
+    simhash64_sql_duckdb, simhash_near_dups,
 )
 from zen3geo_spark.operators.mosaic import mosaic_first_valid
 from zen3geo_spark.operators.multimodal import (
@@ -482,6 +482,42 @@ def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("geom_id", "minx", "miny", "maxx", "maxy")
 
 
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: MinHash-LSH candidate pairs → exact
+    n-gram Jaccard verification (candidates only, never all-pairs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=2)
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(shingles_col(F.col("text"), 2)).alias("n_sh"),
+        F.explode(shingles_col(F.col("text"), 2)).alias("sh"),
+    )
+    inter = (
+        cand.join(sh.alias("l"), F.col("a_id") == F.col("l.doc"))
+        .join(sh.alias("r"),
+              (F.col("b_id") == F.col("r.doc")) & (F.col("l.sh") == F.col("r.sh")))
+        .groupBy("a_id", "b_id", F.col("l.n_sh").alias("n_a"),
+                 F.col("r.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return inter.select(
+        "a_id", "b_id",
+        F.round(F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+def q_month_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMapper month-boundary split (reference
+    docs/multi-resolution.md:354-370): events re-keyed by month via
+    date_trunc, per-month stats."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
 def q_mercator_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reprojection kernel: extracted points → EPSG:3857 metres → 100 km
     bin counts (integer bins make the cross-engine float compare safe)."""
@@ -587,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercator_bins": q_mercator_bins,
         "cell_rollup": q_cell_rollup,
         "extract_all_tags": q_extract_all_tags,
+        "near_dup_verified": q_near_dup_verified,
+        "month_split": q_month_split,
     }
 
 
@@ -919,6 +957,33 @@ def oracle_sql() -> dict[str, str]:
       on l.band = r.band and l.bucket = r.bucket and l.doc_id < r.doc_id
     """
 
+    near_dup_verified_sql = f"""
+    with sh0 as (select doc_id, {mh_grams} as grams from documents),
+    sig as (select doc_id, {mh_sig} as sig from sh0),
+    banded as (
+      select doc_id, band,
+             md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) as bucket
+      from sig, (select unnest(generate_series(0, 3)) as band) b
+    ),
+    cand as (
+      select distinct l.doc_id as a_id, r.doc_id as b_id
+      from banded l join banded r
+        on l.band = r.band and l.bucket = r.bucket and l.doc_id < r.doc_id
+    ),
+    toks as (select doc_id, unnest(grams) as sh, len(grams) as n_sh from sh0),
+    inter as (
+      select c.a_id, c.b_id, l.n_sh as n_a, r.n_sh as n_b, count(*) as n_inter
+      from cand c
+      join toks l on l.doc_id = c.a_id
+      join toks r on r.doc_id = c.b_id and r.sh = l.sh
+      group by 1, 2, 3, 4
+    )
+    select a_id, b_id,
+           round(cast(n_inter as double) / (n_a + n_b - n_inter), 6) as jaccard
+    from inter
+    where round(cast(n_inter as double) / (n_a + n_b - n_inter), 6) >= 0.5
+    """
+
     # simhash near-dups (2-gram shingles, hamming <= 8) — bit math mirrored
     sim_expr = simhash64_sql_duckdb("hs", "n")
     simhash_sql = f"""
@@ -986,6 +1051,14 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": frame_sample_sql,
         "batcher": batcher_sql,
         "zipper": zipper_sql,
+        "near_dup_verified": near_dup_verified_sql,
+        "month_split": (
+            # duckdb's month-trunc yields DATE; cast back to timestamp to
+            # match Spark's date_trunc
+            "select cast(date_trunc('month', ts) as timestamp) as month, "
+            "event_type, count(*) as n, round(sum(value), 4) as sum_value "
+            "from events group by 1, 2"
+        ),
         "mercator_bins": (
             f"{pts_cte} "
             f"select cast(floor({mercator_x_sql('(lon_us / 1000000.0)', 'duckdb')} / 100000.0) as bigint) as bx, "
