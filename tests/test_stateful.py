@@ -1,0 +1,43 @@
+"""Custom stateful streaming operator: state carries across micro-batches
+and across separate availableNow runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zen3geo_spark.streaming.stateful import latest_totals, run_stateful
+
+
+def test_stateful_running_totals_across_runs(spark, tmp_path):
+    ev_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    first = ev.filter(F.col("event_id") < 500)
+    second = ev.filter((F.col("event_id") >= 500) & (F.col("event_id") < 900))
+
+    first.write.mode("overwrite").parquet(ev_dir)
+    run_stateful(spark, ev_dir, out_dir, ck)
+    got1 = {r["user_id"]: (r["n_events"], r["total_value"])
+            for r in latest_totals(spark, out_dir).collect()}
+    exp1 = {r["user_id"]: (r["n"], r["s"]) for r in
+            first.groupBy("user_id").agg(
+                F.count("*").alias("n"), F.sum("value").alias("s")).collect()}
+    assert set(got1) == set(exp1)
+    for u in exp1:
+        assert got1[u][0] == exp1[u][0]
+        assert got1[u][1] == pytest.approx(exp1[u][1], rel=1e-9)
+
+    # second incremental run: state CONTINUES (totals = first+second)
+    second.write.mode("append").parquet(ev_dir)
+    run_stateful(spark, ev_dir, out_dir, ck)
+    got2 = {r["user_id"]: (r["n_events"], r["total_value"])
+            for r in latest_totals(spark, out_dir).collect()}
+    both = first.unionByName(second)
+    exp2 = {r["user_id"]: (r["n"], r["s"]) for r in
+            both.groupBy("user_id").agg(
+                F.count("*").alias("n"), F.sum("value").alias("s")).collect()}
+    assert set(got2) == set(exp2)
+    for u in exp2:
+        assert got2[u][0] == exp2[u][0]
+        assert got2[u][1] == pytest.approx(exp2[u][1], rel=1e-9)
