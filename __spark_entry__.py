@@ -482,6 +482,20 @@ def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("geom_id", "minx", "miny", "maxx", "maxy")
 
 
+def q_raster_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mapper per-pixel transforms from the reference's documented
+    pipelines: linear→decibel with zero masking and longitude shift."""
+    from zen3geo_spark.functions.raster_math import (
+        linear_to_decibel, shift_longitude,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.round(linear_to_decibel(F.col("value")), 6).alias("db"),
+        F.round(shift_longitude(F.col("value") * 3.7), 6).alias("lon_shifted"),
+    )
+
+
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate pairs → exact
     n-gram Jaccard verification (candidates only, never all-pairs)."""
@@ -625,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_all_tags": q_extract_all_tags,
         "near_dup_verified": q_near_dup_verified,
         "month_split": q_month_split,
+        "raster_math": q_raster_math,
     }
 
 
@@ -1052,6 +1067,12 @@ def oracle_sql() -> dict[str, str]:
         "batcher": batcher_sql,
         "zipper": zipper_sql,
         "near_dup_verified": near_dup_verified_sql,
+        "raster_math": (
+            "select event_id, "
+            "round(10.0 * log(10, nullif(value, 0.0)), 6) as db, "
+            "round((((value * 3.7 + 180.0) % 360.0 + 360.0) % 360.0) - 180.0, 6) as lon_shifted "
+            "from events"
+        ),
         "month_split": (
             # duckdb's month-trunc yields DATE; cast back to timestamp to
             # match Spark's date_trunc
