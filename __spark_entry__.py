@@ -31,8 +31,8 @@ from zen3geo_spark.operators.clipper import clip_vector_with_rectangle
 from zen3geo_spark.operators.combinators import batcher, zipper
 from zen3geo_spark.operators.dedup import (
     dedup_exact, minhash_lsh_candidates, minhash_signature_sql_duckdb,
-    ngram_jaccard, shingles as shingles_col, shingles_sql_duckdb,
-    simhash64_sql_duckdb, simhash_near_dups,
+    ngram_jaccard, shingles_sql_duckdb, simhash64_sql_duckdb,
+    simhash_near_dups, verify_jaccard_pairs,
 )
 from zen3geo_spark.operators.mosaic import mosaic_first_valid
 from zen3geo_spark.operators.multimodal import (
@@ -40,7 +40,8 @@ from zen3geo_spark.operators.multimodal import (
 )
 from zen3geo_spark.operators.rasterize import rasterize
 from zen3geo_spark.operators.similarity import (
-    cosine_near_dup_pairs, cosine_topk_bruteforce, cosine_topk_lsh,
+    cosine_near_dup_pairs, cosine_topk_bruteforce, cosine_topk_ivf,
+    cosine_topk_lsh,
 )
 from zen3geo_spark.operators.stacker import stack
 from zen3geo_spark.operators.spatial_join import (
@@ -276,8 +277,14 @@ def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-level (1-gram) Jaccard near-dup pairs above 0.5 on documents."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Word-level (1-gram) Jaccard near-dup pairs above 0.5, bounded to
+    the first 1000 docs: all-pairs-with-shared-token verification is the
+    exactness baseline and is intentionally bounded (the synthetic corpus'
+    ~60-word vocabulary makes every doc share tokens with every other —
+    worst case for token blocking); minhash/simhash/near_dup_verified are
+    the unbounded scale paths."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 1000)
     out = ngram_jaccard(docs, shingle_n=1, threshold=0.5)
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
@@ -482,6 +489,31 @@ def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("geom_id", "minx", "miny", "maxx", "maxy")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (inverted lists by nearest centroid, n_probe probes)
+    — rows-only check (approximate by construction; recall asserted vs
+    brute force in tests)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_ivf(q, emb, k=3, n_lists=16, n_probe=6).select(
+        "query_id", "target_id", "rk")
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning shape: exact-dup keep-list ∘
+    language filter ∘ quality threshold → surviving docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = dedup_exact(docs).select("keep_id", "n_dups")
+    return (
+        docs.join(keep, docs["doc_id"] == keep["keep_id"])
+        .filter(lang_id(F.col("text")) == "en")
+        .filter(quality_score(F.col("text")) >= 0.5)
+        .select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"),
+                "n_dups")
+    )
+
+
 def q_raster_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Mapper per-pixel transforms from the reference's documented
     pipelines: linear→decibel with zero masking and longitude shift."""
@@ -501,23 +533,9 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram Jaccard verification (candidates only, never all-pairs)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cand = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=2)
-    sh = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.size(shingles_col(F.col("text"), 2)).alias("n_sh"),
-        F.explode(shingles_col(F.col("text"), 2)).alias("sh"),
-    )
-    inter = (
-        cand.join(sh.alias("l"), F.col("a_id") == F.col("l.doc"))
-        .join(sh.alias("r"),
-              (F.col("b_id") == F.col("r.doc")) & (F.col("l.sh") == F.col("r.sh")))
-        .groupBy("a_id", "b_id", F.col("l.n_sh").alias("n_a"),
-                 F.col("r.n_sh").alias("n_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return inter.select(
-        "a_id", "b_id",
-        F.round(F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+    verified = verify_jaccard_pairs(cand, docs, shingle_n=2)
+    return verified.select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.5)
 
 
@@ -640,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_verified": q_near_dup_verified,
         "month_split": q_month_split,
         "raster_math": q_raster_math,
+        "ann_ivf": q_ann_ivf,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -831,7 +851,7 @@ def oracle_sql() -> dict[str, str]:
     with toks as (
       select doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as tok,
              len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as n_sh
-      from documents
+      from documents where doc_id < 1000
     ),
     inter as (
       select l.doc_id as a_id, r.doc_id as b_id, l.n_sh as n_a, r.n_sh as n_b,
@@ -1067,6 +1087,19 @@ def oracle_sql() -> dict[str, str]:
         "batcher": batcher_sql,
         "zipper": zipper_sql,
         "near_dup_verified": near_dup_verified_sql,
+        "corpus_clean": (
+            "with keep as ("
+            "  select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp, "
+            "         min(doc_id) as keep_id, count(*) as n_dups "
+            "  from documents group by 1"
+            ") "
+            "select d.doc_id, "
+            f"round({quality_score_sql('d.text', 'duckdb')}, 6) as quality, "
+            "k.n_dups "
+            "from documents d join keep k on d.doc_id = k.keep_id "
+            f"where {lang_id_sql('d.text', 'duckdb')} = 'en' "
+            f"and {quality_score_sql('d.text', 'duckdb')} >= 0.5"
+        ),
         "raster_math": (
             "select event_id, "
             "round(10.0 * log(10, nullif(value, 0.0)), 6) as db, "

@@ -89,3 +89,24 @@ def test_stack_mosaic_first_valid_fallthrough(spark):
     assert by_px[(5, 0)] == (80.0, 0)
     # pixel (5,2): items 0 (xi=2) and 1 (xi=0) both valid → first = item 0
     assert by_px[(5, 2)] == (82.0, 0)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with generous probes recovers most exact top-k pairs (and all
+    plans stay equi-join shaped — no cartesian fallback)."""
+    from pyspark.sql import functions as F
+    from zen3geo_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["target_id"])
+             for r in cosine_topk_bruteforce(q, emb, k=3).collect()}
+    approx = {(r["query_id"], r["target_id"])
+              for r in cosine_topk_ivf(q, emb, k=3, n_lists=16, n_probe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+    plan = cosine_topk_ivf(q, emb, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

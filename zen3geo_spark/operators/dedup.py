@@ -225,6 +225,44 @@ def simhash64_sql_duckdb(hs: str, n: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
+                         shingle_n: int = 2, threshold: float | None = None,
+                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard over CANDIDATE pairs (a_id, b_id) via Arrow
+    set-intersection — the verify stage after LSH blocking.
+
+    The relational alternative (explode shingles, equi-join on shingle,
+    group per pair) multiplies every candidate pair by its shingle count
+    before aggregating; for verification the pair list is already small,
+    so one broadcast-join of the texts plus a per-pair set intersection in
+    pandas is orders of magnitude cheaper. Values are identical (exact
+    integer set math feeding the same ratio).
+    """
+    d = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtext"))
+    joined = (
+        cand.join(F.broadcast(d).withColumnRenamed("_vid", "a_id")
+                  .withColumnRenamed("_vtext", "_ta"), "a_id")
+        .join(F.broadcast(d).withColumnRenamed("_vid", "b_id")
+              .withColumnRenamed("_vtext", "_tb"), "b_id")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            jac = []
+            for ta, tb in zip(pdf["_ta"], pdf["_tb"]):
+                sa = set(_shingle_list(ta, shingle_n))
+                sb = set(_shingle_list(tb, shingle_n))
+                inter = len(sa & sb)
+                jac.append(inter / (len(sa) + len(sb) - inter))
+            out = pdf[["a_id", "b_id"]].copy()
+            out["jaccard"] = jac
+            yield out if threshold is None else out[out["jaccard"] >= threshold]
+
+    return joined.mapInPandas(run, schema="a_id long, b_id long, jaccard double")
+
+
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
     """64-bit SimHash from shingle md5s: bit b of the result is 1 when the
     majority of shingles have bit b set in their md5-derived 64-bit hash.
