@@ -43,7 +43,7 @@ from zen3geo_spark.operators.similarity import (
     cosine_near_dup_pairs, cosine_topk_bruteforce, cosine_topk_ivf,
     cosine_topk_lsh,
 )
-from zen3geo_spark.operators.stacker import stack
+from zen3geo_spark.operators.stacker import build_overviews, stack
 from zen3geo_spark.operators.spatial_join import (
     knn_join_bruteforce, knn_join_cells, points_in_polygons,
 )
@@ -489,6 +489,20 @@ def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("geom_id", "minx", "miny", "maxx", "maxy")
 
 
+def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution pyramid build (COG overviews / DataTree
+    hierarchy): level L+1 = 2x2-block average of level L. Integer-valued
+    base pixels make avg-of-avgs dyadic-exact on both engines."""
+    base = spark.range(1024).selectExpr(
+        "cast(0 as int) as band",
+        "cast(id div 32 as int) as y_idx",
+        "cast(id % 32 as int) as x_idx",
+        "cast((id * 7) % 97 as double) as value",
+    )
+    return build_overviews(base, levels=2).select(
+        "level", "band", "y_idx", "x_idx", "value")
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (inverted lists by nearest centroid, n_probe probes)
     — rows-only check (approximate by construction; recall asserted vs
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_math": q_raster_math,
         "ann_ivf": q_ann_ivf,
         "corpus_clean": q_corpus_clean,
+        "overviews": q_overviews,
     }
 
 
@@ -1087,6 +1102,28 @@ def oracle_sql() -> dict[str, str]:
         "batcher": batcher_sql,
         "zipper": zipper_sql,
         "near_dup_verified": near_dup_verified_sql,
+        "overviews": """
+            with base as (
+              select cast(0 as int) as band,
+                     cast(id // 32 as int) as y_idx,
+                     cast(id % 32 as int) as x_idx,
+                     cast((id * 7) % 97 as double) as value
+              from range(1024) t(id)
+            ),
+            l1 as (
+              select band, cast(y_idx // 2 as int) as y_idx,
+                     cast(x_idx // 2 as int) as x_idx, avg(value) as value
+              from base group by 1, 2, 3
+            ),
+            l2 as (
+              select band, cast(y_idx // 2 as int) as y_idx,
+                     cast(x_idx // 2 as int) as x_idx, avg(value) as value
+              from l1 group by 1, 2, 3
+            )
+            select cast(0 as int) as level, * from base
+            union all select cast(1 as int), * from l1
+            union all select cast(2 as int), * from l2
+        """,
         "corpus_clean": (
             "with keep as ("
             "  select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp, "

@@ -46,3 +46,26 @@ def test_stack_band_select_and_bounds(spark):
     snapped = snap_to_grid(cube, xmin=0.0, ymax=5.0, res=1.0)
     r = snapped.filter((F.col("x") == 2.0) & (F.col("y") == 1.0)).first()
     assert r["x_idx"] == 2 and r["y_idx"] == 4  # row 0 at ymax, north-up
+
+
+def test_build_overviews_pyramid(spark):
+    """Level L+1 = 2x2-block average; pyramid row counts shrink 4x per
+    level; level means are preserved (avg of avgs over full blocks)."""
+    from pyspark.sql import functions as F
+    from zen3geo_spark.operators.stacker import build_overviews
+
+    base = spark.range(1024).selectExpr(
+        "cast(0 as int) as band",
+        "cast(id div 32 as int) as y_idx",
+        "cast(id % 32 as int) as x_idx",
+        "cast(id as double) as value",
+    )
+    pyr = build_overviews(base, levels=2)
+    counts = {r["level"]: r["count"] for r in pyr.groupBy("level").count().collect()}
+    assert counts == {0: 1024, 1: 256, 2: 64}
+    means = {r["level"]: r["m"] for r in
+             pyr.groupBy("level").agg(F.avg("value").alias("m")).collect()}
+    assert means[0] == means[1] == means[2] == 511.5
+    # golden block: level-1 pixel (0,0) = avg of ids {0,1,32,33} = 16.5
+    v = pyr.filter("level = 1 and y_idx = 0 and x_idx = 0").first()["value"]
+    assert v == 16.5

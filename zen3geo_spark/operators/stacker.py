@@ -32,6 +32,37 @@ def snap_to_grid(tiles: DataFrame, xmin: float, ymax: float, res: float) -> Data
     )
 
 
+def build_overviews(tiles: DataFrame, levels: int = 2,
+                    agg: str = "avg") -> DataFrame:
+    """Build a multi-resolution pyramid (COG overviews / the reference's
+    DataTree multi-resolution hierarchy, docs/multi-resolution.md:221-234):
+    level L+1 is the 2x2-block aggregate of level L.
+
+    Input: long-form pixels (band, y_idx, x_idx, value) at level 0.
+    Output: union of all levels with a ``level`` column — the table
+    ``sources.raster.scan_tiles`` prunes by. One hash aggregate per level,
+    each reading the previous level (geometric shrink: the whole pyramid
+    costs ~1/3 extra rows).
+    """
+    agg_fn = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[agg]
+    out = tiles.select(
+        F.lit(0).alias("level"), "band", "y_idx", "x_idx", "value")
+    levels_dfs = [out]
+    cur = out
+    for lvl in range(1, levels + 1):
+        cur = (
+            cur.groupBy(
+                "band",
+                (F.col("y_idx") / 2).cast("int").alias("y_idx"),
+                (F.col("x_idx") / 2).cast("int").alias("x_idx"),
+            )
+            .agg(agg_fn("value").alias("value"))
+            .select(F.lit(lvl).alias("level"), "band", "y_idx", "x_idx", "value")
+        )
+        levels_dfs.append(cur)
+    return reduce(DataFrame.unionByName, levels_dfs)
+
+
 def stack(item_tiles: list[DataFrame] | DataFrame, assets: list[str] | None = None,
           bounds: tuple[float, float, float, float] | None = None,
           xmin: float | None = None, ymax: float | None = None,
