@@ -32,7 +32,8 @@ from zen3geo_spark.operators.combinators import batcher, zipper
 from zen3geo_spark.operators.dedup import (
     dedup_exact, minhash_lsh_candidates, minhash_signature_sql_duckdb,
     ngram_jaccard, shingles_sql_duckdb, simhash64_sql_duckdb,
-    simhash_near_dups, verify_jaccard_pairs,
+    simhash_near_dups, verify_jaccard_pairs, winnow_fingerprints_pd,
+    winnow_fingerprints_sql_duckdb,
 )
 from zen3geo_spark.operators.mosaic import mosaic_first_valid
 from zen3geo_spark.operators.multimodal import (
@@ -489,6 +490,14 @@ def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("geom_id", "minx", "miny", "maxx", "maxy")
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) document fingerprints: one row per
+    (doc_id, fingerprint)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp_udf = winnow_fingerprints_pd(k=8, w=4)
+    return docs.select("doc_id", F.explode(fp_udf(F.col("text"))).alias("fp"))
+
+
 def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution pyramid build (COG overviews / DataTree
     hierarchy): level L+1 = 2x2-block average of level L. Integer-valued
@@ -675,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "corpus_clean": q_corpus_clean,
         "overviews": q_overviews,
+        "winnow": q_winnow,
     }
 
 
@@ -1102,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "batcher": batcher_sql,
         "zipper": zipper_sql,
         "near_dup_verified": near_dup_verified_sql,
+        "winnow": winnow_fingerprints_sql_duckdb("documents", "doc_id", "text", 8, 4),
         "overviews": """
             with base as (
               select cast(0 as int) as band,

@@ -134,3 +134,27 @@ def test_lsh_ann_recall_at_smallscale(spark, emb):
     for qid, tid in brute:
         if qid == tid:
             assert (qid, tid) in ann  # self always found
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint texts don't."""
+    from pyspark.sql import functions as F
+    from zen3geo_spark.operators.dedup import winnow_fingerprints_pd
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, f"AAA {shared} BBB"),
+        (1, f"xyz123 {shared} qqqq"),
+        (2, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp_udf = winnow_fingerprints_pd(k=8, w=4)
+    fps = {r["doc_id"]: set(r["fp"]) for r in
+           df.select("doc_id", fp_udf(F.col("text")).alias("fp")).collect()}
+    assert fps[0] & fps[1]          # shared substring -> shared fingerprint
+    assert not (fps[0] & fps[2])    # disjoint text -> disjoint fingerprints
+    # determinism
+    fps2 = {r["doc_id"]: set(r["fp"]) for r in
+            df.select("doc_id", fp_udf(F.col("text")).alias("fp")).collect()}
+    assert fps == fps2

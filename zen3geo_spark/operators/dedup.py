@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from zen3geo_spark.functions.text import fingerprint
 from zen3geo_spark.operators._util import ensure_parallelism as _ensure_parallelism
@@ -119,6 +119,67 @@ def simhash_pd(shingle_n: int):
         return pd.Series(out)
 
     return sh
+
+
+def winnow_fingerprints_pd(k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    public algorithm): hash all character k-grams of the whitespace-
+    normalized text (48-bit md5 prefix), slide a w-window over the hash
+    sequence, keep each window's minimum; the distinct sorted minima are
+    the document's fingerprint set. Guarantees any shared substring of
+    length >= k + w - 1 yields a shared fingerprint. Arrow-batched
+    pandas; value-identical to ``winnow_fingerprints_sql_duckdb``."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = _WS.sub(" ", t.strip()).lower()
+            n_g = max(len(norm) - k + 1, 1)
+            hs = np.fromiter(
+                (int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:12], 16)
+                 for i in range(n_g)),
+                dtype=np.int64, count=n_g)
+            if len(hs) <= w:
+                mins = np.array([hs.min()])
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return fp
+
+
+def winnow_fingerprints_sql_duckdb(rel: str, id_col: str, col: str,
+                                   k: int = 8, w: int = 4) -> str:
+    """DuckDB query mirroring ``winnow_fingerprints_pd``: yields
+    (id_col, fp) rows. Staged CTEs — inlining the list expressions into
+    one expression would re-evaluate the whole hash list per window
+    element (no CSE across lambda references), which is O(n^2) md5s."""
+    return f"""
+    with _n as (
+      select {id_col}, lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')) as norm
+      from {rel}
+    ),
+    _g as (
+      select {id_col},
+             list_transform(generate_series(1, greatest(length(norm) - {k}, 0) + 1),
+                            i -> substr(norm, i, {k})) as grams
+      from _n
+    ),
+    _h as (
+      select {id_col},
+             list_transform(grams, g -> cast('0x' || substr(md5(g), 1, 12) as bigint)) as hs
+      from _g
+    ),
+    _w as (
+      select {id_col},
+             list_transform(generate_series(1, greatest(len(hs) - {w}, 0) + 1),
+                            j -> list_min(hs[j : j + {w - 1}])) as wins
+      from _h
+    )
+    select {id_col}, unnest(list_sort(list_distinct(wins))) as fp from _w
+    """
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
