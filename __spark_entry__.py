@@ -30,9 +30,10 @@ from zen3geo_spark.operators.chipper import chip_grid, assign_chips, chip_stats
 from zen3geo_spark.operators.clipper import clip_vector_with_rectangle
 from zen3geo_spark.operators.combinators import batcher, zipper
 from zen3geo_spark.operators.dedup import (
-    dedup_exact, minhash_lsh_candidates, minhash_signature_sql_duckdb,
-    ngram_jaccard, shingles_sql_duckdb, simhash64_sql_duckdb,
-    simhash_near_dups, verify_jaccard_pairs, winnow_fingerprints_pd,
+    dedup_exact, gram_hash60_sql_duckdb, gram_hashes40_sql_duckdb,
+    minhash_lsh_candidates, minhash_signature_sql_duckdb, ngram_jaccard,
+    shingles_sql_duckdb, simhash64_sql_duckdb, simhash_near_dups,
+    verify_jaccard_pairs, winnow_fingerprints_pd,
     winnow_fingerprints_sql_duckdb,
 )
 from zen3geo_spark.operators.mosaic import mosaic_first_valid
@@ -1001,12 +1002,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # minhash LSH candidates (num_hashes=8, bands=4 → 2 rows/band, 2-gram
-    # shingles) — md5 min-hashing is identical in both engines
+    # shingles) — the polynomial gram hash + affine permutations are
+    # mirrored exactly (operators/dedup.py constants)
     mh_grams = shingles_sql_duckdb("text", 2)
-    mh_sig = minhash_signature_sql_duckdb("grams", 8)
+    mh_hashes = gram_hashes40_sql_duckdb("grams")
+    mh_sig = minhash_signature_sql_duckdb("hs", 8)
     minhash_sql = f"""
     with sh as (select doc_id, {mh_grams} as grams from documents),
-    sig as (select doc_id, {mh_sig} as sig from sh),
+    hashed as (select doc_id, {mh_hashes} as hs from sh),
+    sig as (select doc_id, {mh_sig} as sig from hashed),
     banded as (
       select doc_id, band,
              md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) as bucket
@@ -1019,7 +1023,8 @@ def oracle_sql() -> dict[str, str]:
 
     near_dup_verified_sql = f"""
     with sh0 as (select doc_id, {mh_grams} as grams from documents),
-    sig as (select doc_id, {mh_sig} as sig from sh0),
+    hashed as (select doc_id, grams, {mh_hashes} as hs from sh0),
+    sig as (select doc_id, {mh_sig} as sig from hashed),
     banded as (
       select doc_id, band,
              md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) as bucket
@@ -1050,7 +1055,7 @@ def oracle_sql() -> dict[str, str]:
     with sh as (select doc_id, {mh_grams} as grams from documents),
     h as (
       select doc_id,
-             list_transform(grams, g -> cast('0x' || substr(md5(g), 1, 15) as bigint)) as hs,
+             list_transform(grams, g -> {gram_hash60_sql_duckdb('g')}) as hs,
              len(grams) as n
       from sh
     ),

@@ -99,6 +99,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             fn(spark, sf_dir).count()
             times[name] = round(time.time() - t0, 3)
         except Exception:
+            import traceback
+
+            print(f"[bench] query {name} FAILED:", file=sys.stderr)
+            traceback.print_exc()
             times[name] = -1.0
     return times
 
@@ -126,7 +130,8 @@ def main() -> None:
     pages_per_sec = n_pages / flagship_sec
 
     qtimes["flagship_pages_pipeline"] = round(flagship_sec, 3)
-    total = round(sum(qtimes.values()), 3)
+    failed = sorted(n for n, t in qtimes.items() if t < 0)
+    total = round(sum(t for t in qtimes.values() if t >= 0), 3)
     spark.stop()
 
     out = {
@@ -139,6 +144,8 @@ def main() -> None:
         "n_pages": n_pages,
         "cpus": CPUS,
     }
+    if failed:
+        out["failed_queries"] = failed
 
     if scaling:
         out["scaling"] = measure_scaling()

@@ -136,6 +136,52 @@ def test_lsh_ann_recall_at_smallscale(spark, emb):
             assert (qid, tid) in ann  # self always found
 
 
+def test_hash_kernel_parity_mixed_case(spark):
+    """The pandas hash kernels, their Column twins, and the DuckDB oracle
+    expressions must agree on MIXED-CASE and unicode input (the lowercase
+    normalization lives in all three paths)."""
+    from zen3geo_spark.operators.dedup import (
+        gram_hash60_sql_duckdb, gram_hashes40_sql_duckdb,
+        minhash_signature, minhash_signature_pd, minhash_signature_sql_duckdb,
+        shingles_sql_duckdb, simhash64, simhash64_agg, simhash64_sql_duckdb,
+        simhash_pd,
+    )
+
+    rows = [(0, "The Quick BROWN Fox jumps"), (1, "héllo WÖRLD ünïcode text"),
+            (2, "plain lowercase words here"), (3, "  Trim ME  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig_col = {r["doc_id"]: list(r["s"]) for r in
+               df.select("doc_id", minhash_signature(F.col("text"), 8, 2).alias("s")).collect()}
+    sig_pd = {r["doc_id"]: list(r["s"]) for r in
+              df.select("doc_id", minhash_signature_pd(8, 2)(F.col("text")).alias("s")).collect()}
+    assert sig_col == sig_pd
+
+    grams = shingles_sql_duckdb("text", 2)
+    con = duckdb.connect()
+    con.sql("create table t as select * from (values (0, 'The Quick BROWN Fox jumps'),"
+            "(1, 'héllo WÖRLD ünïcode text'), (2, 'plain lowercase words here'),"
+            "(3, '  Trim ME  ')) v(doc_id, text)")
+    sig_duck = dict(con.sql(
+        f"with sh as (select doc_id, {grams} as grams from t), "
+        f"h as (select doc_id, {gram_hashes40_sql_duckdb('grams')} as hs from sh) "
+        f"select doc_id, {minhash_signature_sql_duckdb('hs', 8)} from h").fetchall())
+    assert sig_pd == {k: list(v) for k, v in sig_duck.items()}
+
+    sh_col = {r["doc_id"]: r["s"] for r in
+              df.select("doc_id", simhash64(F.col("text"), 2).alias("s")).collect()}
+    sh_pd = {r["doc_id"]: r["s"] for r in
+             df.select("doc_id", simhash_pd(2)(F.col("text")).alias("s")).collect()}
+    sh_agg = {r["doc"]: r["sh"] for r in simhash64_agg(df, shingle_n=2).collect()}
+    assert sh_col == sh_pd == sh_agg
+    sh_duck = dict(con.sql(
+        f"with sh as (select doc_id, {grams} as grams from t), "
+        f"h as (select doc_id, list_transform(grams, g -> {gram_hash60_sql_duckdb('g')}) as hs, "
+        f"       len(grams) as n from sh) "
+        f"select doc_id, {simhash64_sql_duckdb('hs', 'n')} from h").fetchall())
+    assert sh_pd == sh_duck
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing guarantee: documents sharing a substring of length
     >= k + w - 1 share at least one fingerprint; disjoint texts don't."""

@@ -189,7 +189,14 @@ def extract_points_arrow(pages, url_id_pattern: str = r"/page/(\d+)"):
             ok = ext[0].notna()
             if not ok.any():
                 continue
-            ids = pdf.loc[ok, "url"].str.extract(idpat, expand=True)[0].astype("int64")
+            ids = pdf.loc[ok, "url"].str.extract(idpat, expand=True)[0]
+            # a row can carry a geotag in text but an id-less url: drop it
+            # (NaN .astype('int64') would crash the executor)
+            id_ok = ids.notna()
+            if not id_ok.all():
+                ok = ok & id_ok.reindex(ok.index, fill_value=False)
+                ids = ids[id_ok]
+            ids = ids.astype("int64")
 
             def micro(series: pd.Series) -> np.ndarray:
                 m = series.str.extract(r"(-?)(\d+)\.(\d{6})", expand=True)
@@ -208,6 +215,12 @@ def extract_points_arrow(pages, url_id_pattern: str = r"/page/(\d+)"):
 
 def micro_from_str(s: Column) -> Column:
     """'12.345678' -> 12345678 micro-degrees (exact fixed-point parse).
+
+    Input contract: ``s`` must be an exact ``-?\\d+\\.\\d{6}`` string (the
+    geotag grammar's capture groups) or '' / NULL → NULL. Strings with
+    surrounding text yield NULL (no embedded-match extraction), and extra
+    fractional digits would ROUND under the decimal cast — callers feed
+    regexp capture groups, which can't produce either.
 
     References ``s`` exactly ONCE. Callers compose this onto expensive
     extraction expressions (regexp over the full page text) and Catalyst

@@ -2,27 +2,32 @@
 
 Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
 SimHash, and n-gram Jaccard — all over the ``documents`` table shape
-``(doc_id, text, ...)``. Hashing uses md5 (bit-identical in Spark and
-DuckDB) so every stage is oracle-checkable; minhash signatures are the
-lexicographic MIN of per-seed-salted md5 hex digests — a uniform random
-permutation proxy with no engine-specific hash function.
+``(doc_id, text, ...)``. Hashing uses a 40-bit polynomial hash over unicode
+code points (h(s) = Σ code(s_i)·P^i mod M) — chosen because it is BOTH
+NumPy-vectorizable (one fused pass over a padded code-point matrix per
+Arrow batch, no per-shingle Python loop) and exactly expressible in DuckDB
+SQL (``ord``/``substr`` list arithmetic with the same precomputed power
+table), so every stage stays oracle-checkable bit-for-bit. MinHash
+signatures are per-seed affine permutations ``(a_j·h + b_j) mod (2^61-1)``
+of the base hash (Broder's min-wise permutation scheme — public
+construction); SimHash combines two independent 40-bit hashes into a
+60-bit gram hash for the majority-bit vote.
 
 Scale notes: every stage is a hash aggregate or equi-join on a derived
 key — no cross products. Candidate generation for near-dup is strictly
-band-bucket (LSH) or length-bucket blocked; verification joins only within
-buckets.
+band-bucket (LSH) or chunk-blocked (pigeonhole); verification joins only
+within buckets.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.sql.types import ArrayType, LongType
 
 from zen3geo_spark.functions.text import fingerprint
 from zen3geo_spark.operators._util import ensure_parallelism as _ensure_parallelism
@@ -31,12 +36,105 @@ from zen3geo_spark.operators._util import ensure_parallelism as _ensure_parallel
 # split — Python's default \s is unicode-wide
 _WS = re.compile(r"\s+", flags=re.ASCII)
 
+# ---------------------------------------------------------------------------
+# shared hash constants (every engine mirrors these EXACT values)
+# ---------------------------------------------------------------------------
+
+HASH_M = (1 << 40) - 87       # largest prime < 2^40: products code·P^i and
+                              # a_j·h stay < 2^61 (int64-safe on every engine)
+HASH_P1 = 1_000_003           # polynomial bases (odd primes)
+HASH_P2 = 999_983
+GRAM_CAP = 64                 # chars hashed per gram (both engines cap here)
+# the affine minhash permutations (a_j·h + b_j) mod HASH_M are true
+# permutations of Z_p (prime modulus, a_j ≠ 0) and WRAP for nearly every h
+# — a modulus much larger than a_j·max(h) would be order-preserving, i.e.
+# every signature position would pick the same min gram
+MINHASH_PRIME = HASH_M
+
+POWS1 = [pow(HASH_P1, i, HASH_M) for i in range(GRAM_CAP)]
+POWS2 = [pow(HASH_P2, i, HASH_M) for i in range(GRAM_CAP)]
+_POWS1_NP = np.array(POWS1, dtype=np.uint64)
+_POWS2_NP = np.array(POWS2, dtype=np.uint64)
+
+
+def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic affine-permutation params a_j (odd, < 2^20 so that
+    a·h < 2^60 stays in int64 on every engine) and b_j (< 2^20)."""
+    a = np.array([((2 * j + 1) * 2654435761) % (1 << 20) | 1
+                  for j in range(num_hashes)], dtype=np.uint64)
+    b = np.array([(j * 40503 + 12345) % (1 << 20)
+                  for j in range(num_hashes)], dtype=np.uint64)
+    return a, b
+
+
+def _poly_hash_batch(grams: list[str], pows: np.ndarray) -> np.ndarray:
+    """Vectorized polynomial hash of a list of strings: pad code points
+    into an (n, width) matrix, accumulate column-by-column mod HASH_M.
+    The only Python-level loop is the per-string utf-32 encode."""
+    n = len(grams)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = [g[:GRAM_CAP].encode("utf-32-le") for g in grams]
+    lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64, count=n)
+    width = int(lens.max()) if n else 0
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    M = np.zeros((n, width), dtype=np.uint64)
+    for i, e in enumerate(enc):
+        if e:
+            M[i, : lens[i]] = np.frombuffer(e, dtype=np.uint32)
+    acc = np.zeros(n, dtype=np.uint64)
+    for i in range(width):
+        acc = (acc + M[:, i] * pows[i]) % HASH_M
+    return acc
+
+
+def _batch_grams(texts, shingle_n: int):
+    """All shingles of an Arrow batch flattened + per-doc offsets + a
+    unique-gram index (shingle vocabularies repeat heavily across docs, so
+    hash each distinct gram once per batch)."""
+    all_idx: list[int] = []
+    offsets: list[int] = [0]
+    uniq: dict[str, int] = {}
+    for t in texts:
+        for g in _shingle_list(t, shingle_n):
+            j = uniq.get(g)
+            if j is None:
+                j = len(uniq)
+                uniq[g] = j
+            all_idx.append(j)
+        offsets.append(len(all_idx))
+    return list(uniq), np.asarray(all_idx, dtype=np.int64), np.asarray(offsets[:-1], dtype=np.int64)
+
+
+def hash40_sql_duckdb(g: str, which: int = 1) -> str:
+    """DuckDB expression computing the exact ``_poly_hash_batch`` value for
+    a varchar expression ``g``: Σ ord(char_i)·P^(i-1) mod M over the first
+    GRAM_CAP characters (empty string → 0)."""
+    pows = POWS1 if which == 1 else POWS2
+    pows_lit = "[" + ", ".join(str(p) for p in pows) + "]"
+    return (
+        f"cast(coalesce(list_sum(list_transform("
+        f"generate_series(1, least(length({g}), {GRAM_CAP})), "
+        f"i -> (ord(substr({g}, i, 1)) * ({pows_lit})[i]) % {HASH_M})), 0) "
+        f"% {HASH_M} as bigint)"
+    )
+
+
+def gram_hash60_sql_duckdb(g: str) -> str:
+    """DuckDB expression for the 60-bit SimHash gram hash:
+    h1 + (h2 mod 2^20)·2^40 (two independent 40-bit polynomials)."""
+    h1 = hash40_sql_duckdb(g, 1)
+    h2 = hash40_sql_duckdb(g, 2)
+    return f"({h1} + ({h2} % {1 << 20}) * {1 << 40})"
+
 
 def _shingle_list(text: str, n: int) -> list[str]:
     """Python twin of ``shingles``: distinct word n-grams, identical to the
-    Spark Column version including the short-text edge (one gram = the
-    whole word list; empty text → one '' gram)."""
-    words = _WS.split(text.strip())
+    Spark Column version including the lowercase normalization and the
+    short-text edge (one gram = the whole word list; empty text → one ''
+    gram)."""
+    words = _WS.split(text.strip().lower())
     k = max(len(words) - n, 0) + 1
     return list(dict.fromkeys(" ".join(words[j:j + n]) for j in range(k)))
 
@@ -68,83 +166,131 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def gram_hash40(s: Column, which: int = 1) -> Column:
+    """Spark Column twin of ``_poly_hash_batch`` for one string expression:
+    Σ ascii(char_i)·P^(i-1) mod M over the first GRAM_CAP chars. HOF
+    lambdas run interpreted — this is the parity/documentation path; hot
+    paths use the vectorized pandas kernels (value-identical, pytest)."""
+    pows = POWS1 if which == 1 else POWS2
+    capped = F.substring(s, 1, GRAM_CAP)
+    chars = F.split(capped, "")
+    pows_arr = F.array(*[F.lit(p) for p in pows])
+    terms = F.zip_with(
+        chars, pows_arr,
+        lambda c, p: F.when(c.isNull() | (c == ""), F.lit(0).cast("long"))
+        .otherwise(F.pmod(F.ascii(c).cast("long") * p, F.lit(HASH_M))),
+    )
+    return F.pmod(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v),
+        F.lit(HASH_M),
+    )
+
+
+def gram_hash60(s: Column) -> Column:
+    """60-bit SimHash gram hash: h1 + (h2 mod 2^20)·2^40 (mirrors
+    ``gram_hash60_sql_duckdb`` / the numpy kernel)."""
+    return gram_hash40(s, 1) + F.pmod(gram_hash40(s, 2), F.lit(1 << 20)) * F.lit(1 << 40)
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash values: min(md5(seed || shingle))."""
+    """Array of ``num_hashes`` minhash values: min over shingles of the
+    j-th affine permutation (a_j·h + b_j mod 2^61-1) of the 40-bit gram
+    hash. Value-identical to ``minhash_signature_pd`` (parity-tested)."""
     sh = shingles(text, shingle_n)
+    hs = F.transform(sh, lambda g: gram_hash40(g))
+    a, b = _perm_params(num_hashes)
 
-    def salted(j: int):
-        seed = f"seed{j}:"
-        return lambda s: F.md5(F.concat(F.lit(seed), s))
+    def permute(j: int):
+        aj, bj = int(a[j]), int(b[j])
+        return lambda h: F.pmod(h * F.lit(aj) + F.lit(bj), F.lit(MINHASH_PRIME))
 
-    sigs = [F.array_min(F.transform(sh, salted(j))) for j in range(num_hashes)]
+    sigs = [F.array_min(F.transform(hs, permute(j))) for j in range(num_hashes)]
     return F.array(*sigs)
 
 
 def minhash_signature_pd(num_hashes: int, shingle_n: int):
-    """Arrow-vectorized twin of ``minhash_signature``: per-seed min of
-    salted md5 hex digests, computed with hashlib inside a pandas UDF.
-    Value-identical to the Column version (md5 of utf-8 bytes, string min
-    is lexicographic in both) but ~20x faster — Catalyst higher-order
-    lambdas run interpreted, and md5-per-shingle is the hot loop."""
-    seeds = [f"seed{j}:".encode() for j in range(num_hashes)]
+    """Arrow-vectorized minhash: one fused NumPy pass per Arrow batch —
+    distinct grams hashed once (shingle vocabularies repeat heavily), all
+    permutations as one (k × n_grams) matrix op, per-doc minima via
+    ``minimum.reduceat``. No per-shingle Python loop. Value-identical to
+    the ``minhash_signature`` Column twin and the DuckDB oracle."""
+    a, b = _perm_params(num_hashes)
+    A, B = a[:, None], b[:, None]
+    P = np.uint64(MINHASH_PRIME)
 
-    @F.pandas_udf(ArrayType(StringType()))
+    @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            grams = [g.encode() for g in _shingle_list(t, shingle_n)]
-            out.append([min(hashlib.md5(s + g).hexdigest() for g in grams)
-                        for s in seeds])
-        return pd.Series(out)
+        if len(texts) == 0:
+            return pd.Series([], dtype="object")
+        uniq, idx, starts = _batch_grams(texts, shingle_n)
+        h = _poly_hash_batch(uniq, _POWS1_NP)[idx]          # (n_all,)
+        vals = (A * h[None, :] + B) % P                      # (k, n_all)
+        mins = np.minimum.reduceat(vals, starts, axis=1)     # (k, n_docs)
+        return pd.Series([r.tolist() for r in mins.T.astype(np.int64)])
 
     return sig
 
 
 def simhash_pd(shingle_n: int):
-    """Arrow-vectorized twin of ``simhash64``/``simhash64_agg``: hashlib
-    md5 per shingle + numpy majority-bit math. Value-identical (integer
-    arithmetic throughout), ~20x faster than the Column paths."""
+    """Arrow-vectorized twin of ``simhash64``/``simhash64_agg``: 60-bit
+    gram hashes (two 40-bit polynomials) + majority-bit vote, fused over
+    the whole Arrow batch with ``add.reduceat``. Value-identical to the
+    Column paths and the DuckDB oracle."""
+    bit_idx = np.arange(60, dtype=np.uint64)
 
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        bit_idx = np.arange(60)
-        for i, t in enumerate(texts):
-            grams = _shingle_list(t, shingle_n)
-            hs = np.fromiter(
-                (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams),
-                dtype=np.int64, count=len(grams))
-            ones = ((hs[:, None] >> bit_idx[None, :]) & 1).sum(axis=0)
-            out[i] = ((ones * 2 > len(grams)).astype(np.int64) << bit_idx).sum()
-        return pd.Series(out)
+        if len(texts) == 0:
+            return pd.Series([], dtype="int64")
+        uniq, idx, starts = _batch_grams(texts, shingle_n)
+        h1 = _poly_hash_batch(uniq, _POWS1_NP)
+        h2 = _poly_hash_batch(uniq, _POWS2_NP)
+        h = (h1 + (h2 % np.uint64(1 << 20)) * np.uint64(1 << 40))[idx]
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bits, starts, axis=0)         # (n_docs, 60)
+        n_grams = np.diff(np.append(starts, len(h)))
+        maj = (ones * 2 > n_grams[:, None]).astype(np.int64)
+        return pd.Series((maj << np.arange(60)).sum(axis=1))
 
     return sh
 
 
 def winnow_fingerprints_pd(k: int = 8, w: int = 4):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
-    public algorithm): hash all character k-grams of the whitespace-
-    normalized text (48-bit md5 prefix), slide a w-window over the hash
+    public algorithm): polynomial-hash all character k-grams of the
+    whitespace-normalized lowercased text, slide a w-window over the hash
     sequence, keep each window's minimum; the distinct sorted minima are
     the document's fingerprint set. Guarantees any shared substring of
-    length >= k + w - 1 yields a shared fingerprint. Arrow-batched
-    pandas; value-identical to ``winnow_fingerprints_sql_duckdb``."""
+    length >= k + w - 1 yields a shared fingerprint. The k-gram hashes are
+    a true vectorized rolling pass: ``sliding_window_view`` over the
+    code-point array × the power table — zero per-gram Python.
+    Value-identical to ``winnow_fingerprints_sql_duckdb``."""
+    pk = _POWS1_NP[:k]
+    M = np.uint64(HASH_M)
 
     @F.pandas_udf(ArrayType(LongType()))
     def fp(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             norm = _WS.sub(" ", t.strip()).lower()
-            n_g = max(len(norm) - k + 1, 1)
-            hs = np.fromiter(
-                (int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:12], 16)
-                 for i in range(n_g)),
-                dtype=np.int64, count=n_g)
+            codes = np.frombuffer(
+                norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            if len(codes) <= k:
+                acc = np.uint64(0)
+                for j in range(len(codes)):
+                    acc = (acc + codes[j] * pk[j]) % M
+                hs = np.array([acc], dtype=np.uint64)
+            else:
+                W = np.lib.stride_tricks.sliding_window_view(codes, k)
+                acc = np.zeros(len(W), dtype=np.uint64)
+                for j in range(k):
+                    acc = (acc + W[:, j] * pk[j]) % M
+                hs = acc
             if len(hs) <= w:
                 mins = np.array([hs.min()])
             else:
                 mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
-            out.append(np.unique(mins).tolist())
+            out.append(np.unique(mins).astype(np.int64).tolist())
         return pd.Series(out)
 
     return fp
@@ -155,22 +301,21 @@ def winnow_fingerprints_sql_duckdb(rel: str, id_col: str, col: str,
     """DuckDB query mirroring ``winnow_fingerprints_pd``: yields
     (id_col, fp) rows. Staged CTEs — inlining the list expressions into
     one expression would re-evaluate the whole hash list per window
-    element (no CSE across lambda references), which is O(n^2) md5s."""
+    element (no CSE across lambda references), which is O(n^2) hashes."""
+    pows_lit = "[" + ", ".join(str(p) for p in POWS1[:k]) + "]"
     return f"""
     with _n as (
       select {id_col}, lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')) as norm
       from {rel}
     ),
-    _g as (
-      select {id_col},
-             list_transform(generate_series(1, greatest(length(norm) - {k}, 0) + 1),
-                            i -> substr(norm, i, {k})) as grams
-      from _n
-    ),
     _h as (
       select {id_col},
-             list_transform(grams, g -> cast('0x' || substr(md5(g), 1, 12) as bigint)) as hs
-      from _g
+             list_transform(generate_series(1, greatest(length(norm) - {k}, 0) + 1),
+                i -> cast(coalesce(list_sum(list_transform(
+                       generate_series(1, least(length(norm) - i + 1, {k})),
+                       j -> (ord(substr(norm, i + j - 1, 1)) * ({pows_lit})[j]) % {HASH_M})), 0)
+                     % {HASH_M} as bigint)) as hs
+      from _n
     ),
     _w as (
       select {id_col},
@@ -202,7 +347,10 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                 F.struct(
                     F.lit(b).alias("band"),
                     F.md5(F.array_join(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ), "|"
                     )).alias("bucket"),
                 )
                 for b in range(bands)
@@ -261,11 +409,20 @@ def shingles_sql_duckdb(col: str, n: int) -> str:
     )
 
 
-def minhash_signature_sql_duckdb(grams: str, num_hashes: int) -> str:
-    """DuckDB expression mirroring ``minhash_signature`` over a grams-list
-    expression: per-seed min of salted md5 hex digests."""
+def gram_hashes40_sql_duckdb(grams: str) -> str:
+    """DuckDB expression hashing a grams-list expression to the 40-bit
+    polynomial hashes (stage this in a CTE so each gram hashes once)."""
+    return f"list_transform({grams}, g -> {hash40_sql_duckdb('g', 1)})"
+
+
+def minhash_signature_sql_duckdb(hs: str, num_hashes: int) -> str:
+    """DuckDB expression mirroring ``minhash_signature`` over an
+    already-hashed bigint list expression ``hs``: per-seed min of the
+    affine permutations (a_j·h + b_j mod 2^61-1)."""
+    a, b = _perm_params(num_hashes)
     sigs = ", ".join(
-        f"list_min(list_transform({grams}, g -> md5('seed{j}:' || g)))"
+        f"list_min(list_transform({hs}, h -> "
+        f"(h * {int(a[j])} + {int(b[j])}) % {MINHASH_PRIME}))"
         for j in range(num_hashes)
     )
     return f"[{sigs}]"
@@ -325,13 +482,13 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash from shingle md5s: bit b of the result is 1 when the
-    majority of shingles have bit b set in their md5-derived 64-bit hash.
+    """60-bit SimHash: bit b of the result is 1 when the majority of
+    shingles have bit b set in their 60-bit polynomial gram hash.
 
-    Pure array expressions (conv of the md5 hex prefix → bigint); no UDF.
+    Pure array expressions; no UDF (parity path for ``simhash_pd``).
     """
     sh = shingles(text, shingle_n)
-    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    h = F.transform(sh, lambda s: gram_hash60(s))
     n = F.size(sh)
     def bit_pred(b: int):
         # single-arg lambda via closure: a `b=b` default would make PySpark
@@ -363,7 +520,7 @@ def simhash64_agg(docs: DataFrame, text_col: str = "text",
     )
     h = ex.select(
         "doc", "n",
-        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+        gram_hash60(F.col("g")).alias("h"),
     )
     ones = [
         F.sum(((F.col("h") % F.lit(1 << (b + 1))) >= F.lit(1 << b)).cast("int")).alias(f"_o{b}")

@@ -53,8 +53,10 @@ def build_overviews(tiles: DataFrame, levels: int = 2,
         cur = (
             cur.groupBy(
                 "band",
-                (F.col("y_idx") / 2).cast("int").alias("y_idx"),
-                (F.col("x_idx") / 2).cast("int").alias("x_idx"),
+                # floor-div (not truncate-toward-zero) so negative grid
+                # indices bucket identically to the oracle's `//`
+                F.floor(F.col("y_idx") / 2).cast("int").alias("y_idx"),
+                F.floor(F.col("x_idx") / 2).cast("int").alias("x_idx"),
             )
             .agg(agg_fn("value").alias("value"))
             .select(F.lit(lvl).alias("level"), "band", "y_idx", "x_idx", "value")
