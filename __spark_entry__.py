@@ -5,8 +5,8 @@ has a DuckDB ``oracle_sql()`` twin sharing the exact same arithmetic via
 the engine-parameterized SQL templates in zen3geo_spark.functions /
 sources.pages. Column names and dtypes are aligned on both sides; float
 aggregates are rounded identically. Queries marked rows-only (no oracle
-entry) are the genuinely non-SQL-expressible kernels (Bresenham line walk,
-approximate-by-construction LSH ANN, the deterministic fake image codec).
+entry) are the genuinely non-SQL-expressible kernels (the
+approximate-by-construction LSH/IVF ANN variants).
 """
 
 from __future__ import annotations
@@ -42,7 +42,7 @@ from zen3geo_spark.operators.multimodal import (
 )
 from zen3geo_spark.operators.rasterize import rasterize
 from zen3geo_spark.operators.similarity import (
-    cosine_near_dup_pairs, cosine_topk_bruteforce, cosine_topk_ivf,
+    cosine_near_dup_pairs_blocked, cosine_topk_bruteforce, cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from zen3geo_spark.operators.stacker import build_overviews, stack
@@ -150,13 +150,14 @@ def q_pages_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = points_in_polygons(_points_df(spark), _polys_df(spark), res=4)
+    out = points_in_polygons(_points_df(spark), _polys_df(spark), res=4,
+                             broadcast_polys=True)
     return out.select("point_id", "geom_id")
 
 
 def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = points_in_polygons(_points_df(spark), _polys_df(spark), res=4,
-                             salt_factor=4)
+                             salt_factor=4, broadcast_polys=True)
     return out.select("point_id", "geom_id")
 
 
@@ -199,6 +200,28 @@ def q_rasterize_world_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canvas_id long, width int, height int, xmin double, ymin double, xmax double, ymax double, crs string",
     )
     return rasterize(canvas, geoms, validate=False).select("row", "col", "value")
+
+
+def q_rasterize_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-reduction rasterize (the reference's pluggable datashader
+    ``agg`` kwarg, datashader.py:49-55): mean of a per-point value per
+    world-canvas pixel."""
+    pts = _points_df(spark)
+    geoms = pts.select(
+        F.col("point_id").alias("geom_id"),
+        F.lit("multipoint").alias("geom_type"),
+        F.array(F.array(F.struct(
+            (F.col("lon_us") / 1e6).alias("x"), (F.col("lat_us") / 1e6).alias("y")
+        ))).alias("parts"),
+        F.lit("OGC:CRS84").alias("crs"),
+        (F.col("point_id") % 97).cast("double").alias("pval"),
+    )
+    canvas = spark.createDataFrame(
+        [(0, 360, 180, -180.0, -90.0, 180.0, 90.0, "OGC:CRS84")],
+        "canvas_id long, width int, height int, xmin double, ymin double, xmax double, ymax double, crs string",
+    )
+    out = rasterize(canvas, geoms, agg="mean", validate=False, value_col="pval")
+    return out.select("row", "col", F.round("value", 6).alias("value"))
 
 
 def q_rasterize_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,16 +301,18 @@ def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WORD_JACCARD_MAX_DF = 0.06  # blocking tokens must appear in <= 6% of docs
+
+
 def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-level (1-gram) Jaccard near-dup pairs above 0.5, bounded to
-    the first 1000 docs: all-pairs-with-shared-token verification is the
-    exactness baseline and is intentionally bounded (the synthetic corpus'
-    ~60-word vocabulary makes every doc share tokens with every other —
-    worst case for token blocking); minhash/simhash/near_dup_verified are
-    the unbounded scale paths."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") < 1000)
-    out = ngram_jaccard(docs, shingle_n=1, threshold=0.5)
+    """Word-level (1-gram) Jaccard near-dup pairs above 0.5 over ALL docs:
+    candidates blocked on shared sub-6%-document-frequency tokens (the
+    stop-token prefilter — this corpus' ~30-word vocabulary makes the
+    common tokens quadratic blocking keys), then exact full-set Jaccard
+    verification. The df filter is mirrored in the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard(docs, shingle_n=1, threshold=0.5,
+                        max_df_frac=WORD_JACCARD_MAX_DF)
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -360,9 +385,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above 0.4 (exactness baseline)."""
+    """Embedding-cosine near-dup pairs above 0.4: exact block-matrix
+    decomposition (NumPy matmul per block pair, no join — replaces the
+    all-pairs nested-loop baseline with identical output)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_near_dup_pairs(emb, threshold=0.4)
+    out = cosine_near_dup_pairs_blocked(emb, threshold=0.4)
     return out.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
 
 
@@ -417,10 +444,11 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake-decode images (deterministic stand-in codec) → per-image
-    stats; rows-only (the fake codec has no SQL analogue)."""
+    """REAL image decode (netpbm P6 PPM parsed with NumPy) → nearest-
+    neighbor resize → per-image stats; the deterministic pixel formula is
+    recomputed by the DuckDB oracle."""
     media = synth_media(spark, 300)
-    dec = decode_image(media, fake=True, out_h=4, out_w=4)
+    dec = decode_image(media, out_h=4, out_w=4)
     return image_stats(dec).select(
         "media_id", F.round("mean_px", 6).alias("mean_px"), "min_px", "max_px"
     )
@@ -625,7 +653,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → extract → cell-encode → PIP join → per-polygon
     counts joined with world-tile counts (sf0.001-scale shapes)."""
     pts = _points_df(spark)
-    pip = points_in_polygons(pts, _polys_df(spark), res=4)
+    pip = points_in_polygons(pts, _polys_df(spark), res=4, broadcast_polys=True)
     per_geom = pip.groupBy("geom_id").agg(F.count("*").alias("n_points"))
     cells = pts.withColumn("cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 6))
     top_cells = (
@@ -647,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "knn_cells": q_knn_cells,
         "rasterize_world_points": q_rasterize_world_points,
+        "rasterize_mean": q_rasterize_mean,
         "rasterize_polygon": q_rasterize_polygon,
         "rasterize_line": q_rasterize_line,
         "chip_grid": q_chip_grid,
@@ -768,6 +797,60 @@ def oracle_sql() -> dict[str, str]:
     from wn where w <> 0
     """
 
+    rasterize_mean_sql = f"""
+    {_points_cte()}
+    , binned as (
+      select least(cast(floor((lon_us / 1000000.0 - (-180.0)) / (180.0 - (-180.0)) * 360) as int), 359) as col0,
+             least(cast(floor((lat_us / 1000000.0 - (-90.0)) / (90.0 - (-90.0)) * 180) as int), 179) as yi,
+             cast(point_id % 97 as double) as pval
+      from pts
+    )
+    select (180 - 1 - yi)::int as row, col0::int as col,
+           round(avg(pval), 6) as value
+    from binned group by yi, col0
+    """
+
+    # Bresenham line rasterization in closed form (the kernel's per-step
+    # y-advance m(k) = max(0, ceil((k·dy − dx//2)/dx)) is pure integer
+    # arithmetic — rasterize.py:168): walk each snapped segment of the
+    # linestring golden, union pixels
+    line_pts = [(3.0, 5.0), (5.0, 3.0), (3.0, 2.0), (5.0, 0.0)]
+    line_vals = ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(line_pts))
+    rasterize_line_sql = f"""
+    with pts as (select * from (values {line_vals}) p(i, x, y)),
+    sn as (
+      select i,
+             least(cast(floor((x - 1.0) / (8.0 - 1.0) * 14) as bigint), 13) as px,
+             least(cast(floor((y - 0.0) / (5.0 - 0.0) * 10) as bigint), 9) as py
+      from pts
+    ),
+    seg as (
+      select s.px as x0, s.py as y0, e.px as x1, e.py as y1
+      from sn s join sn e on e.i = s.i + 1
+    ),
+    par as (
+      select x0, y0, x1, y1, abs(x1 - x0) as dx, abs(y1 - y0) as dy,
+             case when x0 < x1 then 1 else -1 end as sx,
+             case when y0 < y1 then 1 else -1 end as sy
+      from seg
+    ),
+    walk as (
+      -- m(k) = max(0, ceil((k·d_minor − d_major//2)/d_major)); DuckDB //
+      -- truncates toward zero, so ceil(a/b) = a//b + (a % b > 0) (b > 0)
+      select case when dx >= dy then x0 + sx * k
+                  else x0 + sx * greatest(0, (k * dx - dy // 2) // dy
+                       + (case when (k * dx - dy // 2) % dy > 0 then 1 else 0 end)) end as xi,
+             case when dx >= dy then
+                    (case when dx = 0 then y0
+                          else y0 + sy * greatest(0, (k * dy - dx // 2) // dx
+                               + (case when (k * dy - dx // 2) % dx > 0 then 1 else 0 end)) end)
+                  else y0 + sy * k end as yi
+      from par, unnest(generate_series(0, greatest(dx, dy))) t(k)
+    )
+    select distinct cast(9 - yi as int) as row, cast(xi as int) as col, 1.0 as value
+    from walk where xi between 0 and 13 and yi between 0 and 9
+    """
+
     world_bin = """
     , binned as (
       select least(cast(floor((lon_us / 1000000.0 - (-180.0)) / (180.0 - (-180.0)) * 360) as int), 359) as col0,
@@ -872,18 +955,31 @@ def oracle_sql() -> dict[str, str]:
     group by band, y_idx, x_idx
     """
 
-    # word-level jaccard over documents (1-gram shingles)
-    word_jaccard_sql = """
+    # word-level jaccard over ALL documents: sub-6%-df blocking tokens →
+    # candidate pairs → exact full-set jaccard (mirrors ngram_jaccard's
+    # max_df_frac path)
+    word_jaccard_sql = f"""
     with toks as (
       select doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as tok,
              len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as n_sh
-      from documents where doc_id < 1000
+      from documents
+    ),
+    total as (select count(*) as n_docs from documents),
+    rare as (
+      select tok from toks, total group by tok, n_docs
+      having count(*) <= n_docs * {WORD_JACCARD_MAX_DF}
+    ),
+    cand as (
+      select distinct l.doc_id as a_id, r.doc_id as b_id
+      from toks l join rare using (tok) join toks r
+        on r.tok = l.tok and l.doc_id < r.doc_id
     ),
     inter as (
-      select l.doc_id as a_id, r.doc_id as b_id, l.n_sh as n_a, r.n_sh as n_b,
-             count(*) as n_inter
-      from toks l join toks r on l.tok = r.tok and l.doc_id < r.doc_id
-      group by l.doc_id, r.doc_id, l.n_sh, r.n_sh
+      select c.a_id, c.b_id, l.n_sh as n_a, r.n_sh as n_b, count(*) as n_inter
+      from cand c
+      join toks l on l.doc_id = c.a_id
+      join toks r on r.doc_id = c.b_id and r.tok = l.tok
+      group by 1, 2, 3, 4
     )
     select a_id, b_id,
            round(cast(n_inter as double) / (n_a + n_b - n_inter), 6) as jaccard
@@ -966,6 +1062,33 @@ def oracle_sql() -> dict[str, str]:
     select band, y_idx, x_idx, arg_min(value, time) as value, min(time) as src
     from cube where value <> 0.0
     group by band, y_idx, x_idx
+    """
+
+    # image decode oracle: synth_media's P6 payload pixel i is
+    # (media_id·7 + i·13) mod 256; the 4x4 nearest-neighbor resize samples
+    # source rows oy·h//4 and cols ox·w//4 (multimodal.py ppm_bytes /
+    # decode_image) — recompute the 48 sampled values per image directly
+    image_stats_sql = """
+    with media as (
+      select id as media_id, cast(16 + id % 16 as int) as w,
+             cast(16 + id % 8 as int) as h
+      from range(300) t(id) where id % 3 = 0
+    ),
+    px as (
+      select media_id,
+             (((oy * h) // 4) * w + ((ox * w) // 4)) * 3 + c as idx
+      from media,
+           (select unnest(generate_series(0, 3)) as oy),
+           (select unnest(generate_series(0, 3)) as ox),
+           (select unnest(generate_series(0, 2)) as c)
+    ),
+    vals as (
+      select media_id, cast((media_id * 7 + idx * 13) % 256 as double) as v
+      from px
+    )
+    select media_id, round(avg(v), 6) as mean_px, min(v) as min_px,
+           max(v) as max_px
+    from vals group by media_id
     """
 
     frame_sample_sql = """
@@ -1091,7 +1214,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": knn_core,
         "knn_cells": knn_core,
         "rasterize_world_points": f"{_points_cte()} {world_bin}",
+        "rasterize_mean": rasterize_mean_sql,
         "rasterize_polygon": rasterize_polygon_sql,
+        "rasterize_line": rasterize_line_sql,
         "chip_grid": chip_grid_sql,
         "chip_assign": chip_assign_sql,
         "rect_clip": rect_clip_sql,
@@ -1114,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "canvas": canvas_sql,
         "stack_mosaic": stack_mosaic_sql,
         "frame_sample": frame_sample_sql,
+        "image_stats": image_stats_sql,
         "batcher": batcher_sql,
         "zipper": zipper_sql,
         "near_dup_verified": near_dup_verified_sql,
@@ -1260,7 +1386,7 @@ def oracle_sql() -> dict[str, str]:
             "from orders join customer on o_custkey = c_custkey "
             "group by c_mktsegment"
         ),
-        # rows-only (non-SQL-expressible kernels): rasterize_line (Bresenham),
-        # ann_lsh (approximate by construction), image_stats (deterministic
-        # fake codec has no SQL analogue)
+        # rows-only (non-SQL-expressible kernels): ann_lsh / ann_ivf
+        # (approximate by construction; recall asserted vs brute force in
+        # pytest)
     }

@@ -84,7 +84,8 @@ def flagship_pages_pipeline(spark, n_pages: int) -> int:
     # salted PIP join (north rule: explicit skew splitting) — with only a
     # handful of polygons the refine groups are per-(geom, salt), so the
     # salt is what spreads the exact ray-cast work across all cores
-    pip = points_in_polygons(pts, E._polys_df(spark), res=4, salt_factor=CPUS)
+    pip = points_in_polygons(pts, E._polys_df(spark), res=4, salt_factor=CPUS,
+                             broadcast_polys=True)
     pip.groupBy("geom_id").count().collect()
     return n_pages
 

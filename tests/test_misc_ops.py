@@ -97,8 +97,26 @@ def test_multimodal_plumbing(spark):
     assert again == first
 
 
-def test_multimodal_decode_stub_raises(spark):
-    media = synth_media(spark, 3)
+def test_ppm_codec_roundtrip():
+    """parse_ppm must invert ppm_bytes exactly, and handle P3/comments."""
+    import numpy as np
+    from zen3geo_spark.operators.multimodal import parse_ppm, ppm_bytes
+
+    img = parse_ppm(ppm_bytes(7, 5, 3))
+    assert img.shape == (3, 5, 3)
+    idx = np.arange(5 * 3 * 3)
+    assert (img.ravel() == (7 * 7 + idx * 13) % 256).all()
+    # P3 ascii variant with a comment line
+    p3 = b"P3\n# a comment\n2 1\n255\n0 128 255  1 2 3\n"
+    assert parse_ppm(p3).ravel().tolist() == [0.0, 128.0, 255.0, 1.0, 2.0, 3.0]
+
+
+def test_multimodal_real_decode_and_bad_format(spark):
+    media = synth_media(spark, 6)
+    real = decode_image(media, out_h=2, out_w=2).collect()
+    assert len(real) == 2 and all(len(r["pixels"]) == 12 for r in real)
     import pytest
-    with pytest.raises(Exception, match="image codec not available"):
-        decode_image(media, fake=False).collect()
+    from pyspark.sql import functions as F
+    junk = media.withColumn("payload", F.lit(b"GIF89a..."))
+    with pytest.raises(Exception, match="unsupported image format"):
+        decode_image(junk).collect()

@@ -86,3 +86,21 @@ def test_knn_cells_no_cartesian(spark):
     plan = _plan(E.q_knn_cells(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batcher_zipper_no_global_window(spark):
+    """batcher/zipper must never funnel all rows through one task: no
+    Window at all (per-partition numbering + broadcast offsets) and no
+    single-partition exchange anywhere in the plan."""
+    for q in (E.q_batcher, E.q_zipper):
+        plan = _plan(q(spark, SF))
+        assert "Window" not in plan, plan
+        assert "SinglePartition" not in plan, plan
+
+
+def test_embed_neardup_no_nested_loop(spark):
+    """The exact near-dup pair query must stay block-decomposed: no
+    BroadcastNestedLoopJoin / CartesianProduct (the all-pairs baseline)."""
+    plan = _plan(E.q_embed_neardup(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -87,6 +87,48 @@ def test_pip_salted_equals_unsalted(spark):
     assert base == salted == salted_all
 
 
+def test_pip_shuffle_path_matches_broadcast(spark):
+    """A polygon side too big to broadcast must take the shuffle equi-join
+    (no nested-loop fallback) and produce identical rows."""
+    pts = _points(spark, 1000)
+    polys = _polys(spark)
+    base = sorted(
+        (r["point_id"], r["geom_id"])
+        for r in points_in_polygons(pts, polys, res=4,
+                                    broadcast_polys=True).collect()
+    )
+    shuffled_df = points_in_polygons(pts, polys, res=4, broadcast_polys=False)
+    plan = shuffled_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # note: Catalyst may still auto-broadcast whichever side its stats say
+    # is small (here the test's tiny tables) — the gate being tested is
+    # only that the FORCED polygon-side hint is gone
+    shuffled = sorted((r["point_id"], r["geom_id"]) for r in shuffled_df.collect())
+    assert base == shuffled
+
+
+def test_pip_probe_gates_on_cell_count(spark):
+    """The auto probe must decline to broadcast a huge polygon-cell side.
+    12k polygons x ~49 covering cells at res 9 ≈ 590k rows > the gate."""
+    from zen3geo_spark.operators.spatial_join import (
+        BROADCAST_CELL_ROWS, polygon_cover_cells,
+    )
+
+    many = spark.range(12000).selectExpr(
+        "id as geom_id",
+        "cast((id % 360) * 1000000 - 180000000 as long) as minx_us",
+        "cast((id % 170) * 1000000 - 85000000 as long) as miny_us",
+        "cast((id % 360) * 1000000 - 175000000 as long) as maxx_us",
+        "cast((id % 170) * 1000000 - 80000000 as long) as maxy_us",
+    )
+    n_cells = polygon_cover_cells(many, res=9).count()
+    assert n_cells > BROADCAST_CELL_ROWS  # the fixture really is too big
+    cap = BROADCAST_CELL_ROWS
+    probed = polygon_cover_cells(many, res=9).limit(cap + 1).count()
+    assert probed == cap + 1  # the probe sees "too big" without a full count
+
+
 def test_knn_cells_matches_bruteforce(spark):
     """Dense uniform targets → the 3x3 ring at a coarse res holds the true
     k nearest; cell path must equal brute force including tie-breaks."""

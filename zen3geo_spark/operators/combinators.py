@@ -17,8 +17,55 @@ name. Non-trivial semantics preserved:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def with_global_pos(df: DataFrame, order: list[str],
+                    pos_col: str = "_pos") -> DataFrame:
+    """Attach a 1-based global rank by ``order`` WITHOUT a single-task
+    global Window (the zipWithIndex pattern, scale-safe):
+
+    1. range-repartition on the order keys (equal keys co-locate, so
+       cross-partition ties are impossible) + sortWithinPartitions;
+    2. per-partition 0-based index from ``monotonically_increasing_id``'s
+       low 33 bits — pure JVM, no shuffle, no Python;
+    3. per-partition row counts (one #partitions-sized planning pass — the
+       same extra pass RDD.zipWithIndex makes; deterministic because the
+       range exchange samples with a fixed seed) → cumulative offsets
+       broadcast as a literal map.
+
+    Every task numbers its own partition in parallel; the only global
+    state is the #partitions-integer offset map.
+    """
+    cols = [F.col(c) for c in order]
+    # explicit partition count: AQE never coalesces a user-numbered
+    # repartition, so the counts job and the main job are guaranteed the
+    # same partitioning (implicit counts could coalesce differently)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(n_part, *cols).sortWithinPartitions(*cols)
+    local = part.select(
+        "*", F.spark_partition_id().alias("_pid"),
+        (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1
+         ).alias("_lrn"),
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    if not any(offsets.values()):
+        pos = F.col("_lrn")
+    else:
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv])
+        pos = F.col("_lrn") + F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    return local.withColumn(pos_col, pos.cast("long")).drop("_pid", "_lrn")
 
 
 def iterable_wrapper(spark, rows, schema) -> DataFrame:
@@ -38,12 +85,10 @@ def flat_mapper(df: DataFrame, out_name: str, arr: Column) -> DataFrame:
 
 def zipper(left: DataFrame, right: DataFrame, order_left: list[str],
            order_right: list[str], suffix: str = "_r") -> DataFrame:
-    """Zipper ≙ positional pairing via row_number over deterministic
-    orders on both sides."""
-    wl = Window.orderBy(*[F.col(c) for c in order_left])
-    wr = Window.orderBy(*[F.col(c) for c in order_right])
-    l = left.withColumn("_pos", F.row_number().over(wl))
-    r = right.withColumn("_pos", F.row_number().over(wr))
+    """Zipper ≙ positional pairing via scale-safe global ranks on both
+    sides (``with_global_pos`` — no single-task Window) + equi-join."""
+    l = with_global_pos(left, order_left)
+    r = with_global_pos(right, order_right)
     for c in set(l.columns) & set(r.columns) - {"_pos"}:
         r = r.withColumnRenamed(c, c + suffix)
     return l.join(r, "_pos").drop("_pos")
@@ -57,12 +102,13 @@ def forker(df: DataFrame, n: int = 2, cache: bool = True) -> list[DataFrame]:
 
 
 def batcher(df: DataFrame, batch_size: int, order: list[str]) -> DataFrame:
-    """Batcher ≙ deterministic row_number bucketing into batch_id."""
-    w = Window.orderBy(*[F.col(c) for c in order])
-    return df.withColumn(
+    """Batcher ≙ deterministic global-rank bucketing into batch_id
+    (scale-safe: per-partition numbering + broadcast offsets, no
+    single-task global Window)."""
+    return with_global_pos(df, order).withColumn(
         "batch_id",
-        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
-    )
+        F.floor((F.col("_pos") - 1) / batch_size).cast("long"),
+    ).drop("_pos")
 
 
 def collator(pairs: DataFrame, value_cols: dict[str, str]) -> DataFrame:

@@ -369,18 +369,47 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   shingle_n: int = 3, threshold: float = 0.8,
-                  block_col: Column | None = None) -> DataFrame:
+                  max_df_frac: float | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity over candidate pairs.
 
-    Blocked by ``block_col`` (default: shared shingle) to avoid all-pairs:
-    explode shingles → self-join on shingle → per-pair intersection count /
-    union. Returns pairs with jaccard >= threshold.
+    Blocked by shared shingle to avoid all-pairs: explode shingles →
+    self-join on shingle → per-pair intersection count / union. Returns
+    pairs with jaccard >= threshold.
+
+    ``max_df_frac`` enables the document-frequency prefilter that makes
+    the blocking survive skew: shingles present in more than that fraction
+    of documents are dropped as BLOCKING keys (the standard stop-token
+    trick — a token shared by half the corpus would generate a quadratic
+    candidate set), and candidate pairs are then verified with the exact
+    set-intersection Jaccard over their FULL shingle sets (values
+    unchanged; only discoverability requires sharing one sub-threshold-df
+    shingle). The df threshold is computed in-plan (one aggregate joined
+    against the corpus count) — no driver action.
     """
     sh = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.size(shingles(F.col(text_col), shingle_n)).alias("n_sh"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    if max_df_frac is not None:
+        total = docs.agg(F.count("*").alias("_n_docs"))
+        # shingles are distinct per doc, so count(*) IS document frequency
+        rare = (
+            sh.groupBy("sh").agg(F.count("*").alias("_df"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("_df") <= F.col("_n_docs") * F.lit(max_df_frac))
+            .select("sh")
+        )
+        blocked = sh.select("doc", "sh").join(rare, "sh")
+        cand = (
+            blocked.alias("l").join(blocked.alias("r"), "sh")
+            .filter(F.col("l.doc") < F.col("r.doc"))
+            .select(F.col("l.doc").alias("a_id"), F.col("r.doc").alias("b_id"))
+            .distinct()
+        )
+        return verify_jaccard_pairs(cand, docs, shingle_n=shingle_n,
+                                    threshold=threshold, text_col=text_col,
+                                    id_col=id_col)
     inter = (
         sh.alias("l").join(sh.alias("r"), "sh")
         .filter(F.col("l.doc") < F.col("r.doc"))

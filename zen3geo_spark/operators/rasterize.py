@@ -48,25 +48,41 @@ def validate_rasterize_inputs(canvas_df: DataFrame, geoms_df: DataFrame) -> tupl
     Returns (n_canvas, n_vector_sets, geom_kind). The reference raises these
     at stream-iteration time (datashader.py:176-226); Spark's analogue is
     plan-build time — same exception types and messages so tests transfer.
+    ONE aggregated pass per input table (counts, null-crs tallies, distinct
+    geometry kinds, vector-set count all ride one aggregate each) instead
+    of a driver action per check — at 100 TB the checks cost two small
+    jobs, and ``validate=False`` skips them entirely.
     """
-    n_canvas = canvas_df.count()
+    crow = canvas_df.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.col("crs").isNull().cast("int")), F.lit(0)).alias("nullcrs"),
+    ).collect()[0]
+    n_canvas = crow["n"]
     vset = "vset_id" if "vset_id" in geoms_df.columns else None
-    n_vec = geoms_df.select(vset).distinct().count() if vset else min(geoms_df.count(), 1)
+    aggs = [
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.col("crs").isNull().cast("int")), F.lit(0)).alias("nullcrs"),
+        F.collect_set("geom_type").alias("kinds"),
+    ]
+    if vset:
+        aggs.append(F.countDistinct(vset).alias("nv"))
+    grow = geoms_df.agg(*aggs).collect()[0]
+    n_vec = grow["nv"] if vset else min(grow["n"], 1)
     if n_vec > 1 and n_vec != n_canvas:
         raise ValueError(
             f"Unmatched lengths for the canvas datapipe ({n_canvas}) and "
             f"vector datapipe ({n_vec})"
         )
-    if canvas_df.filter(F.col("crs").isNull()).limit(1).count() > 0:
+    if crow["nullcrs"] > 0:
         raise AttributeError(
             "Missing crs information for datashader.Canvas; please set it "
             "(e.g. canvas.crs = 'OGC:CRS84')"
         )
-    if geoms_df.filter(F.col("crs").isNull()).limit(1).count() > 0:
+    if grow["nullcrs"] > 0:
         raise AttributeError(
             "Missing crs information for input geometries (geopandas.GeoSeries)"
         )
-    kinds = [r[0] for r in geoms_df.select("geom_type").distinct().collect()]
+    kinds = list(grow["kinds"])
     if any(k == "geometrycollection" for k in kinds):
         raise NotImplementedError(
             "Unsupported geometry type: GeometryCollection"
@@ -94,8 +110,16 @@ def _paired(canvas_df: DataFrame, geoms_df: DataFrame, n_vec: int) -> DataFrame:
 
 
 def rasterize(canvas_df: DataFrame, geoms_df: DataFrame, agg: str | None = None,
-              validate: bool = True) -> DataFrame:
-    """Burn geometries onto canvases → long-form raster (north-up rows)."""
+              validate: bool = True, value_col: str | None = None) -> DataFrame:
+    """Burn geometries onto canvases → long-form raster (north-up rows).
+
+    ``agg`` mirrors the reference's pluggable datashader reduction
+    (datashader.py:49-55,228-242): points support count/any/sum/mean/max/
+    min (sum/mean/max/min reduce ``value_col``, a per-geometry scalar —
+    every point of a multipoint carries its geometry's value); burned
+    lines/polygons support any (presence) and sum/count (geometries
+    covering the pixel).
+    """
     if validate:
         _, n_vec, kind = validate_rasterize_inputs(canvas_df, geoms_df)
     else:
@@ -106,7 +130,11 @@ def rasterize(canvas_df: DataFrame, geoms_df: DataFrame, agg: str | None = None,
     agg = agg or DEFAULT_AGG.get(kind, "count" if kind == "point" else "any")
     pairs = _paired(canvas_df, geoms_df, n_vec)
     if kind == "point":
-        return _rasterize_points_sql(pairs, agg)
+        return _rasterize_points_sql(pairs, agg, value_col)
+    if agg in ("mean", "max", "min"):
+        raise ValueError(
+            f"agg '{agg}' needs a per-point value column — only point "
+            "geometries carry one; lines/polygons support any/sum/count")
     kernel = _line_kernel if kind == "line" else _polygon_kernel
     burned = pairs.groupBy("canvas_id").applyInPandas(
         _make_grouped_kernel(kernel), schema=RASTER_SCHEMA
@@ -120,11 +148,33 @@ def rasterize(canvas_df: DataFrame, geoms_df: DataFrame, agg: str | None = None,
     )
 
 
-def _rasterize_points_sql(pairs: DataFrame, agg: str) -> DataFrame:
+_POINT_AGGS = {
+    "count": lambda v: F.count("*").cast("double"),
+    "any": lambda v: F.lit(1.0),
+    "sum": lambda v: F.sum(v),
+    "mean": lambda v: F.avg(v),
+    "max": lambda v: F.max(v),
+    "min": lambda v: F.min(v),
+}
+
+
+def _rasterize_points_sql(pairs: DataFrame, agg: str,
+                          value_col: str | None = None) -> DataFrame:
     """Pure-SQL point binning: explode → affine floor-bin w/ edge snap →
-    groupBy pixel. No Python in the hot path; one shuffle."""
+    groupBy pixel. No Python in the hot path; one shuffle (map-side
+    partial aggregation for every supported reduction)."""
+    if agg not in _POINT_AGGS:
+        raise ValueError(f"unsupported point agg '{agg}'")
+    if agg in ("sum", "mean", "max", "min") and value_col is None:
+        if agg == "sum":
+            value_col = None  # sum of implicit ones == count
+            agg = "count"
+        else:
+            raise ValueError(f"point agg '{agg}' requires value_col")
+    vcols = [F.col(value_col).alias("_val")] if value_col else []
     pts = pairs.select(
         "canvas_id", "width", "height", "xmin", "ymin", "xmax", "ymax",
+        *vcols,
         F.explode(F.flatten("parts")).alias("pt"),
     )
     fx = (F.col("pt.x") - F.col("xmin")) / (F.col("xmax") - F.col("xmin")) * F.col("width")
@@ -138,10 +188,8 @@ def _rasterize_points_sql(pairs: DataFrame, agg: str) -> DataFrame:
                 & (F.col("yi") >= 0) & (F.col("yi") < F.col("height")))
         .withColumn("row", F.col("height") - 1 - F.col("yi"))
     )
-    if agg == "any":
-        return binned.groupBy("canvas_id", "row", "col").agg(F.lit(1.0).alias("value"))
     return binned.groupBy("canvas_id", "row", "col").agg(
-        F.count("*").cast("double").alias("value")
+        _POINT_AGGS[agg]("_val").alias("value")
     )
 
 

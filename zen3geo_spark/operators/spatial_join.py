@@ -103,8 +103,12 @@ def pip_refine_sql(points_rel: str, edges_rel: str, engine: str = "duckdb") -> s
     """
 
 
+BROADCAST_CELL_ROWS = 500_000  # polygon-cell rows (pre-salt) safe to broadcast
+
+
 def points_in_polygons(points: DataFrame, polys: DataFrame, res: int = 7,
-                       salt_factor: int = 0, hot_cells: DataFrame | None = None) -> DataFrame:
+                       salt_factor: int = 0, hot_cells: DataFrame | None = None,
+                       broadcast_polys: bool | None = None) -> DataFrame:
     """Exact PIP join; returns (point_id, geom_id, lat_us, lon_us).
 
     points: (point_id, lat_us, lon_us); polys: (geom_id, parts,
@@ -112,12 +116,24 @@ def points_in_polygons(points: DataFrame, polys: DataFrame, res: int = 7,
     salt_factor > 0 splits hot cells F ways (hot_cells: df with `cell`;
     default = every cell, which is correct and just adds F-way fanout on
     the small side).
+
+    broadcast_polys: None (default) probes the polygon-cell side with a
+    LIMIT-bounded count and broadcasts only when it holds fewer than
+    BROADCAST_CELL_ROWS rows — millions of polygons × covering cells ×
+    salt would OOM the driver under an unconditional hint, so the big
+    case falls back to the shuffle equi-join on the same (cell[, salt])
+    key. Pass True/False to skip the probe when the size is known.
     """
     pts = tag_point_cells(points, res)
     pcs = polygon_cover_cells(
         polys.select("geom_id", "parts", "minx_us", "miny_us", "maxx_us", "maxy_us"),
         res,
     )
+    if broadcast_polys is None:
+        # LIMIT-bounded planning probe: costs at most `cap` exploded rows,
+        # never a full count of a huge polygon table
+        cap = BROADCAST_CELL_ROWS // max(salt_factor, 1)
+        broadcast_polys = pcs.limit(cap + 1).count() <= cap
     if salt_factor > 1:
         if hot_cells is not None:
             hot = F.broadcast(hot_cells.select("cell").withColumn("_hot", F.lit(True)))
@@ -146,10 +162,13 @@ def points_in_polygons(points: DataFrame, polys: DataFrame, res: int = 7,
         join_keys = ["cell", "salt"]
     else:
         join_keys = ["cell"]
-    # explicit broadcast: the polygon-cell side is known-small (cells x
-    # salt of the dimension table); without the hint AQE first materializes
-    # it through a shuffle to learn its size — two extra serial stages
-    cand = pts.join(F.broadcast(pcs), join_keys).filter(
+    # explicit broadcast when the probe says the polygon-cell side is
+    # small (without the hint AQE first materializes it through a shuffle
+    # to learn its size — two extra serial stages); big polygon tables
+    # take the shuffle equi-join on the same key instead of OOMing the
+    # driver with a forced broadcast
+    pcs_side = F.broadcast(pcs) if broadcast_polys else pcs
+    cand = pts.join(pcs_side, join_keys).filter(
         (F.col("lat_us") >= F.col("miny_us")) & (F.col("lat_us") <= F.col("maxy_us"))
         & (F.col("lon_us") >= F.col("minx_us")) & (F.col("lon_us") <= F.col("maxx_us"))
     )
