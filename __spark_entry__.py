@@ -246,6 +246,19 @@ def q_chip_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chip_grid_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-dim chipping with a BAND window (xbatcher arbitrary input_dims):
+    (4 bands, 1024, 1536) scene, windows band=2/y=512/x=512, y/x overlap
+    256 → 2·3·5 chips."""
+    from zen3geo_spark.operators.chipper import chip_grid_nd
+
+    meta = scenes_meta(spark, [(0, 4, 1024, 1536), (1, 4, 1024, 1536)])
+    g = chip_grid_nd(meta, {"band": 2, "y": 512, "x": 512},
+                     overlaps={"y": 256, "x": 256})
+    return g.select("scene_id", "chip_id", "chip_band", "band0",
+                    "chip_y", "y0", "chip_x", "x0")
+
+
 def q_chip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = scenes_meta(spark, [(0, 1, 128, 128)])
     px = spark.range(128 * 128).selectExpr(
@@ -268,6 +281,33 @@ def q_rect_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clip_vector_with_rectangle(clip_boxes(spark), chips).select(
         "chip_id", "geom_id", "clip_minx", "clip_miny", "clip_maxx", "clip_maxy"
+    )
+
+
+def q_rect_clip_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chip-CRS clip: one CRS84 chip + the same chip warped to
+    EPSG:3857 (GDAL suggested-warp-output grid); vector vertices
+    reprojected per chip, Sutherland–Hodgman clipped. Reprojected
+    coordinates rounded to 0.1 mm (numpy vs DuckDB libm ulp)."""
+    from zen3geo_spark.operators.clipper import (
+        clip_vector_with_rectangle_crs, suggested_warp_grid,
+    )
+    from zen3geo_spark.sources.fixtures import clip_boxes
+
+    g = suggested_warp_grid(-1.5, -0.5, 1.5, 1.5, 3, 2, "EPSG:3857")
+    chips = spark.createDataFrame(
+        [(0, -1.5, -0.5, 1.5, 1.5, "OGC:CRS84"),
+         (1, g[0], g[1], g[2], g[3], "EPSG:3857")],
+        "chip_id long, xmin double, ymin double, xmax double, ymax double, crs string",
+    )
+    out = clip_vector_with_rectangle_crs(clip_boxes(spark), chips)
+    # + 0.0 normalizes IEEE negative zero (round(-5e-10, 4) → -0.0)
+    return out.select(
+        "chip_id", "geom_id", "crs",
+        (F.round("clip_minx", 4) + 0.0).alias("clip_minx"),
+        (F.round("clip_miny", 4) + 0.0).alias("clip_miny"),
+        (F.round("clip_maxx", 4) + 0.0).alias("clip_maxx"),
+        (F.round("clip_maxy", 4) + 0.0).alias("clip_maxy"),
     )
 
 
@@ -434,6 +474,22 @@ def q_stack_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mosaic_first_valid(cube, order_col="time", nodata=0.0).select(
         "band", "y_idx", "x_idx", "value", "src"
     )
+
+
+def q_stack_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StackSTAC resampling kwarg: bilinear 2x upsample of a 16x16 tile
+    (res 2 → res 1) — dyadic-exact weights make the cross-engine float
+    compare safe."""
+    src = spark.range(256).selectExpr(
+        "cast(0 as int) as time", "'vv' as band",
+        "cast((id % 16) * 2.0 + 1.0 as double) as x",
+        "cast(31.0 - (id div 16) * 2.0 as double) as y",
+        "cast((id div 16) * 16 + id % 16 as double) as value",
+    )
+    cube = stack([src], res=1.0, xmin=0.0, ymax=32.0, resampling="bilinear",
+                 src_grid=(0.0, 32.0, 2.0), dst_size=(32, 32))
+    return cube.select("time", "band", "y_idx", "x_idx",
+                       F.round("value", 6).alias("value"))
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,8 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_polygon": q_rasterize_polygon,
         "rasterize_line": q_rasterize_line,
         "chip_grid": q_chip_grid,
+        "chip_grid_nd": q_chip_grid_nd,
         "chip_assign": q_chip_assign,
         "rect_clip": q_rect_clip,
+        "rect_clip_reproject": q_rect_clip_reproject,
         "mosaic": q_mosaic,
         "stac_search": q_stac_search,
         "dedup_exact": q_dedup_exact,
@@ -697,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "canvas": q_canvas,
         "stack_mosaic": q_stack_mosaic,
+        "stack_bilinear": q_stack_bilinear,
         "frame_sample": q_frame_sample,
         "image_stats": q_image_stats,
         "batcher": q_batcher,
@@ -907,6 +966,23 @@ def oracle_sql() -> dict[str, str]:
     from cells2
     """
 
+    chip_grid_nd_sql = """
+    with meta as (select * from (values (0), (1)) m(scene_id)),
+    grid as (
+      select scene_id, b.chip_band, y.chip_y, x.chip_x
+      from meta,
+           (select unnest(generate_series(0, 1)) as chip_band) b,
+           (select unnest(generate_series(0, 2)) as chip_y) y,
+           (select unnest(generate_series(0, 4)) as chip_x) x
+    )
+    select cast(scene_id as bigint) as scene_id,
+           cast((chip_band * 3 + chip_y) * 5 + chip_x as bigint) as chip_id,
+           cast(chip_band as int) as chip_band, cast(chip_band * 2 as int) as band0,
+           cast(chip_y as int) as chip_y, cast(chip_y * 256 as int) as y0,
+           cast(chip_x as int) as chip_x, cast(chip_x * 256 as int) as x0
+    from grid
+    """
+
     chip_assign_sql = """
     with px as (
       select cast(id % 128 as int) as x_idx, cast(id // 128 as int) as y_idx
@@ -940,6 +1016,40 @@ def oracle_sql() -> dict[str, str]:
            least(maxx, xmax) as clip_maxx, least(maxy, ymax) as clip_maxy
     from chips join boxes
       on minx < xmax and maxx > xmin and miny < ymax and maxy > ymin
+    """
+
+    from zen3geo_spark.operators.clipper import suggested_warp_grid
+    _g = suggested_warp_grid(-1.5, -0.5, 1.5, 1.5, 3, 2, "EPSG:3857")
+    _mx = lambda c: mercator_x_sql(c, "duckdb")  # noqa: E731
+    _my = lambda c: mercator_y_sql(c, "duckdb")  # noqa: E731
+    rect_clip_reproject_sql = f"""
+    with chips as (
+      select * from (values
+        (0, -1.5, -0.5, 1.5, 1.5, 'OGC:CRS84'),
+        (1, {_g[0]!r}, {_g[1]!r}, {_g[2]!r}, {_g[3]!r}, 'EPSG:3857')
+      ) c(chip_id, xmin, ymin, xmax, ymax, crs)
+    ),
+    boxes as (
+      select * from (values
+        (0, 0.0, 0.0, 2.0, 2.0),
+        (1, 2.0, 2.0, 4.0, 4.0)
+      ) b(geom_id, bxmin, bymin, bxmax, bymax)
+    ),
+    tb as (
+      select chip_id, geom_id, crs, xmin, ymin, xmax, ymax,
+             case when crs = 'EPSG:3857' then {_mx('bxmin')} else bxmin end as gminx,
+             case when crs = 'EPSG:3857' then {_my('bymin')} else bymin end as gminy,
+             case when crs = 'EPSG:3857' then {_mx('bxmax')} else bxmax end as gmaxx,
+             case when crs = 'EPSG:3857' then {_my('bymax')} else bymax end as gmaxy
+      from chips, boxes
+    )
+    select cast(chip_id as bigint) as chip_id, cast(geom_id as bigint) as geom_id, crs,
+           round(greatest(gminx, xmin), 4) + 0.0 as clip_minx,
+           round(greatest(gminy, ymin), 4) + 0.0 as clip_miny,
+           round(least(gmaxx, xmax), 4) + 0.0 as clip_maxx,
+           round(least(gmaxy, ymax), 4) + 0.0 as clip_maxy
+    from tb
+    where gminx < xmax and gmaxx > xmin and gminy < ymax and gmaxy > ymin
     """
 
     mosaic_sql = """
@@ -1091,6 +1201,34 @@ def oracle_sql() -> dict[str, str]:
     from vals group by media_id
     """
 
+    stack_bilinear_sql = """
+    with src as (
+      select cast(id % 16 as int) as sx, cast(id // 16 as int) as sy,
+             cast((id // 16) * 16 + id % 16 as double) as v
+      from range(256) t(id)
+    ),
+    tgt as (
+      select cast(id % 32 as int) as x_idx, cast(id // 32 as int) as y_idx,
+             (id % 32) / 2.0 - 0.25 as u, (id // 32) / 2.0 - 0.25 as vv
+      from range(1024) t(id)
+    ),
+    pos as (
+      select x_idx, y_idx, cast(floor(u) as int) as sx0, cast(floor(vv) as int) as sy0,
+             u - floor(u) as fx, vv - floor(vv) as fy
+      from tgt
+    ),
+    corners as (
+      select x_idx, y_idx, sx0 + dx as sx, sy0 + dy as sy,
+             (case when dx = 1 then fx else 1 - fx end)
+             * (case when dy = 1 then fy else 1 - fy end) as w
+      from pos, (values (0, 0), (1, 0), (0, 1), (1, 1)) c(dx, dy)
+    )
+    select cast(0 as int) as time, 'vv' as band, y_idx, x_idx,
+           round(sum(w * v) / sum(w), 6) as value
+    from corners join src using (sx, sy)
+    group by y_idx, x_idx
+    """
+
     frame_sample_sql = """
     with media as (
       select id as media_id, 1000 + id % 5000 as duration_ms
@@ -1218,8 +1356,10 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_polygon": rasterize_polygon_sql,
         "rasterize_line": rasterize_line_sql,
         "chip_grid": chip_grid_sql,
+        "chip_grid_nd": chip_grid_nd_sql,
         "chip_assign": chip_assign_sql,
         "rect_clip": rect_clip_sql,
+        "rect_clip_reproject": rect_clip_reproject_sql,
         "mosaic": mosaic_sql,
         "stac_search": stac_cte,
         "dedup_exact": (
@@ -1238,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": embed_neardup_sql,
         "canvas": canvas_sql,
         "stack_mosaic": stack_mosaic_sql,
+        "stack_bilinear": stack_bilinear_sql,
         "frame_sample": frame_sample_sql,
         "image_stats": image_stats_sql,
         "batcher": batcher_sql,

@@ -88,3 +88,44 @@ def test_slice_boundaries_exact(spark):
     )
     assert (r["chip_y"], r["chip_x"], r["chip_id"]) == (1, 0, 2)
     assert (r["in_chip_y"], r["in_chip_x"]) == (6, 5)
+
+
+def test_chip_grid_nd_matches_2d_and_band_axis(spark):
+    """N-dim chipper: y/x-only windows reproduce the 2D grid; adding a
+    band window multiplies chips along the band axis (xbatcher's
+    arbitrary input_dims, reference xbatcher.py:105-110)."""
+    from zen3geo_spark.operators.chipper import chip_grid, chip_grid_nd
+
+    meta = scenes_meta(spark, [(0, 3, 128, 128)])
+    g2 = sorted((r["chip_id"], r["chip_y"], r["chip_x"], r["y0"], r["x0"])
+                for r in chip_grid(meta, 64, 64).collect())
+    gnd = sorted((r["chip_id"], r["chip_y"], r["chip_x"], r["y0"], r["x0"])
+                 for r in chip_grid_nd(meta, {"y": 64, "x": 64}).collect())
+    assert g2 == gnd and len(gnd) == 4  # the reference's 4-chip golden
+
+    banded = chip_grid_nd(meta, {"band": 1, "y": 64, "x": 64})
+    rows = banded.collect()
+    assert len(rows) == 3 * 2 * 2
+    assert {(r["chip_band"], r["band0"]) for r in rows} == {(0, 0), (1, 1), (2, 2)}
+    # row-major chip_id over (band, y, x)
+    ids = sorted(r["chip_id"] for r in rows)
+    assert ids == list(range(12))
+
+
+def test_chip_grid_nd_overlap_and_drop(spark):
+    from zen3geo_spark.operators.chipper import chip_grid_nd
+
+    meta = scenes_meta(spark, [(0, 3, 1024, 1536)])
+    g = chip_grid_nd(meta, {"band": 2, "y": 512, "x": 512},
+                     overlaps={"y": 256, "x": 256}).collect()
+    # band: floor((3-2)/2)+1 = 1; y: floor((1024-512)/256)+1 = 3; x: 5
+    assert len(g) == 1 * 3 * 5
+
+
+def test_to_graph_returns_plan(spark):
+    from zen3geo_spark.plans.graph import to_graph, to_graph_logical
+
+    df = spark.range(10).selectExpr("id * 2 as v").filter("v > 5")
+    g = to_graph(df)
+    assert "Range" in g and "Filter" in g
+    assert "Range" in to_graph_logical(df)

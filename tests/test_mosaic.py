@@ -69,3 +69,25 @@ def test_build_overviews_pyramid(spark):
     # golden block: level-1 pixel (0,0) = avg of ids {0,1,32,33} = 16.5
     v = pyr.filter("level = 1 and y_idx = 0 and x_idx = 0").first()["value"]
     assert v == 16.5
+
+
+def test_bilinear_regrid_exact_on_linear_ramp(spark):
+    """Bilinear interpolation reproduces a linear function exactly at
+    interior target pixels (the defining property), and edge pixels
+    renormalize (clamp) instead of dropping."""
+    import numpy as np
+    from zen3geo_spark.operators.stacker import regrid_bilinear
+
+    # source: 8x8 at res 2 (centers 1,3,..,15), v = 3x + 5y + 7
+    src = spark.range(64).selectExpr(
+        "cast(0 as int) as time", "'vv' as band",
+        "cast((id % 8) * 2.0 + 1.0 as double) as x",
+        "cast(15.0 - (id div 8) * 2.0 as double) as y",
+    ).selectExpr("time", "band", "x", "y", "3.0 * x + 5.0 * y + 7.0 as value")
+    out = regrid_bilinear(src, (0.0, 16.0, 2.0), (0.0, 16.0, 1.0, 16, 16))
+    got = {(r["y_idx"], r["x_idx"]): r["value"] for r in out.collect()}
+    assert len(got) == 256
+    for (j, i), v in got.items():
+        cx, cy = i + 0.5, 16.0 - (j + 0.5)
+        if 1.0 <= cx <= 15.0 and 1.0 <= cy <= 15.0:  # interior
+            assert abs(v - (3.0 * cx + 5.0 * cy + 7.0)) < 1e-9, (j, i)

@@ -273,6 +273,107 @@ def mercator_y_sql(lat_deg: str, engine: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# ellipsoidal transverse mercator (UTM) — Karney/Krüger 6th-order series
+# (public formulas: Karney, "Transverse Mercator with an accuracy of a few
+# nanometers", J. Geodesy 2011; the same series PROJ's tmerc uses). The
+# reference reprojects chips to EPSG:32631 and asserts exact bounds
+# (/root/reference/zen3geo/tests/test_datapipes_geopandas.py:93-156).
+# ---------------------------------------------------------------------------
+
+WGS84_A = 6378137.0
+WGS84_F = 1 / 298.257223563
+_TM_N = WGS84_F / (2 - WGS84_F)
+TM_A = WGS84_A / (1 + _TM_N) * (1 + _TM_N**2 / 4 + _TM_N**4 / 64 + _TM_N**6 / 256)
+TM_E = (WGS84_F * (2 - WGS84_F)) ** 0.5
+_n = _TM_N
+TM_ALPHA = [
+    1/2*_n - 2/3*_n**2 + 5/16*_n**3 + 41/180*_n**4 - 127/288*_n**5 + 7891/37800*_n**6,
+    13/48*_n**2 - 3/5*_n**3 + 557/1440*_n**4 + 281/630*_n**5 - 1983433/1935360*_n**6,
+    61/240*_n**3 - 103/140*_n**4 + 15061/26880*_n**5 + 167603/181440*_n**6,
+    49561/161280*_n**4 - 179/168*_n**5 + 6601661/7257600*_n**6,
+    34729/80640*_n**5 - 3418889/1995840*_n**6,
+    212378941/319334400*_n**6,
+]
+UTM_K0 = 0.9996
+UTM_FE = 500000.0
+
+
+def utm_lon0(zone: int) -> float:
+    """Central meridian of a UTM zone (zone 31 → 3°E)."""
+    return zone * 6.0 - 183.0
+
+
+def tmerc_np(lat_deg, lon_deg, lon0: float):
+    """NumPy UTM/TM forward: (easting, northing) for WGS84. Vectorized;
+    used by the reprojecting clip kernel and the warp-grid planner."""
+    import numpy as np
+
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0)
+    t = np.sinh(np.arctanh(np.sin(lat)) - TM_E * np.arctanh(TM_E * np.sin(lat)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t**2 + np.cos(lam) ** 2))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, aj in enumerate(TM_ALPHA, start=1):
+        xi = xi + aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return UTM_FE + UTM_K0 * TM_A * eta, UTM_K0 * TM_A * xi
+
+
+def mercator_np(lat_deg, lon_deg):
+    """NumPy EPSG:3857 forward (spherical, same formula as the Columns)."""
+    import numpy as np
+
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    return (WEB_MERCATOR_R * np.radians(lon),
+            WEB_MERCATOR_R * np.log(np.tan(np.radians(45.0 + lat / 2))))
+
+
+def crs_forward_np(crs: str):
+    """Dispatch a CRS string to its NumPy forward transform
+    (lat, lon) → (x, y); identity for geographic CRS84/4326."""
+    c = crs.upper()
+    if c in ("OGC:CRS84", "EPSG:4326"):
+        return lambda lat, lon: (lon, lat)
+    if c == "EPSG:3857":
+        return lambda lat, lon: mercator_np(lat, lon)
+    if c.startswith("EPSG:326"):
+        zone = int(c[8:])
+        lon0 = utm_lon0(zone)
+        return lambda lat, lon: tmerc_np(lat, lon, lon0)
+    raise NotImplementedError(f"unsupported CRS {crs!r} (CRS84/4326, "
+                              "EPSG:3857, EPSG:326xx supported)")
+
+
+def tmerc_sql(lat_deg: str, lon_deg: str, lon0: float, which: str,
+              engine: str = "duckdb") -> str:
+    """Engine-SQL twin of :func:`tmerc_np` (``which`` = 'e' or 'n').
+    Hyperbolics spelled via exp/ln so Spark and DuckDB share one
+    formulation; agreement with numpy is to ~1e-9 m (libm ulp) — oracle
+    queries round reprojected coordinates to 4 decimals (0.1 mm)."""
+    lat = f"radians({lat_deg})"
+    lam = f"radians(({lon_deg}) - ({lon0!r}))"
+    s = f"sin({lat})"
+    ath = f"(0.5 * ln((1.0 + {s}) / (1.0 - {s})))"
+    athe = f"(0.5 * ln((1.0 + {TM_E!r} * {s}) / (1.0 - {TM_E!r} * {s})))"
+    u = f"({ath} - {TM_E!r} * {athe})"
+    t = f"((exp({u}) - exp(-{u})) / 2.0)"
+    xi_p = f"atan2({t}, cos({lam}))"
+    sl = f"(sin({lam}) / sqrt({t} * {t} + cos({lam}) * cos({lam})))"
+    eta_p = f"ln({sl} + sqrt({sl} * {sl} + 1.0))"
+    if which == "n":
+        terms = [xi_p] + [
+            f"{aj!r} * sin({2 * j} * {xi_p}) * ((exp({2 * j} * {eta_p}) + exp(-({2 * j} * {eta_p}))) / 2.0)"
+            for j, aj in enumerate(TM_ALPHA, start=1)]
+        return f"({UTM_K0!r} * {TM_A!r} * ({' + '.join(terms)}))"
+    terms = [eta_p] + [
+        f"{aj!r} * cos({2 * j} * {xi_p}) * ((exp({2 * j} * {eta_p}) - exp(-({2 * j} * {eta_p}))) / 2.0)"
+        for j, aj in enumerate(TM_ALPHA, start=1)]
+    return f"({UTM_FE!r} + {UTM_K0!r} * {TM_A!r} * ({' + '.join(terms)}))"
+
+
+# ---------------------------------------------------------------------------
 # distances
 # ---------------------------------------------------------------------------
 

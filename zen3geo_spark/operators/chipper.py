@@ -103,6 +103,38 @@ def assign_chips(pixels: DataFrame, scenes_meta: DataFrame, window_y: int,
     )
 
 
+def chip_grid_nd(scenes_meta: DataFrame, windows: dict[str, int],
+                 overlaps: dict[str, int] | None = None) -> DataFrame:
+    """N-dimensional chip grid — xbatcher's arbitrary ``input_dims``
+    (reference xbatcher.py:105-110: any subset of dims may be windowed;
+    unwindowed dims ride whole). ``scenes_meta`` needs one ``n_<dim>``
+    size column per windowed dim; output has per-dim ``chip_<dim>`` /
+    ``<dim>0`` columns and a row-major ``chip_id`` over the dims in
+    ``windows`` order. Pure explode(sequence(...)) — no UDF, no shuffle.
+    """
+    overlaps = overlaps or {}
+    dims = list(windows)
+    strides: dict[str, int] = {}
+    g = scenes_meta
+    for d, w in windows.items():
+        s = w - overlaps.get(d, 0)
+        if s <= 0:
+            raise ValueError("input_overlap must be smaller than input_dims")
+        strides[d] = s
+        g = g.select("*", _n_chips(F.col(f"n_{d}"), w, s).alias(f"n_chips_{d}"))
+    for d in dims:
+        g = g.select(
+            "*", F.explode(F.sequence(F.lit(0), F.col(f"n_chips_{d}") - 1)).alias(f"chip_{d}"))
+    cid = F.lit(0).cast("long")
+    for d in dims:
+        cid = cid * F.col(f"n_chips_{d}") + F.col(f"chip_{d}")
+    outs = [F.col("scene_id"), cid.cast("long").alias("chip_id")]
+    for d in dims:
+        outs.append(F.col(f"chip_{d}"))
+        outs.append((F.col(f"chip_{d}") * F.lit(strides[d])).alias(f"{d}0"))
+    return g.select(*outs, *[F.col(f"n_chips_{d}") for d in dims])
+
+
 def chip_stats(chipped: DataFrame) -> DataFrame:
     """Per-chip pixel count + value sum (the golden-check aggregation)."""
     return chipped.groupBy("scene_id", "chip_id").agg(

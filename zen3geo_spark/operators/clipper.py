@@ -76,6 +76,98 @@ def clip_vector_with_rectangle(geoms_df: DataFrame, chips_df: DataFrame,
     return pairs.groupBy("chip_id").applyInPandas(_clip_group, schema=CLIP_SCHEMA)
 
 
+def suggested_warp_grid(xmin: float, ymin: float, xmax: float, ymax: float,
+                        width: int, height: int, dst_crs: str,
+                        samples: int = 21) -> tuple:
+    """GDALSuggestedWarpOutput-compatible destination grid for
+    reprojecting a chip (the algorithm behind ``rio.reproject``'s default
+    transform — public GDAL behavior, verified against the reference's
+    EPSG:3857/32631 bounds goldens):
+
+    * extent = bbox of the forward-transformed edge samples;
+    * square pixel = (distance between the transformed corner pixels) /
+      (source diagonal in pixels);
+    * output size = extent / pixel, rounded half-up, anchored at
+      (left, top).
+
+    Driver-side planning math over chip METADATA (a handful of floats per
+    chip) — exactly like the reference's per-chip ``rio.reproject`` call.
+    Returns (xmin, ymin, xmax, ymax, pixel, out_width, out_height) in
+    ``dst_crs`` coordinates.
+    """
+    from zen3geo_spark.functions.geo import crs_forward_np
+
+    fwd = crs_forward_np(dst_crs)
+    ys = np.linspace(ymin, ymax, samples)
+    xs = np.linspace(xmin, xmax, samples)
+    exs, eys = [], []
+    for x_edge in (xmin, xmax):
+        ex, ey = fwd(ys, np.full_like(ys, x_edge))
+        exs.append(ex), eys.append(ey)
+    for y_edge in (ymin, ymax):
+        ex, ey = fwd(np.full_like(xs, y_edge), xs)
+        exs.append(ex), eys.append(ey)
+    allx, ally = np.concatenate(exs), np.concatenate(eys)
+    left, right = float(allx.min()), float(allx.max())
+    bot, top = float(ally.min()), float(ally.max())
+    e00, n00 = fwd(ymax, xmin)   # top-left corner pixel
+    e11, n11 = fwd(ymin, xmax)   # bottom-right corner pixel
+    pixel = float(np.hypot(e11 - e00, n11 - n00) / np.hypot(width, height))
+    out_w = int((right - left) / pixel + 0.5)
+    out_h = int((top - bot) / pixel + 0.5)
+    return (left, top - out_h * pixel, left + out_w * pixel, top,
+            pixel, out_w, out_h)
+
+
+CLIP_CRS_SCHEMA = CLIP_SCHEMA + ", crs string"
+
+
+def clip_vector_with_rectangle_crs(geoms_df: DataFrame, chips_df: DataFrame,
+                                   validate: bool = True) -> DataFrame:
+    """Per-chip-CRS clipper (the reference's different-CRS path,
+    geopandas.py:164-172): each chip carries its own ``crs`` and bounds in
+    that CRS; geometry VERTICES are forward-transformed to the chip's CRS
+    (exactly geopandas ``to_crs`` semantics — vertices only, straight
+    edges) and Sutherland–Hodgman-clipped against the chip rectangle.
+
+    The pairing is a broadcast of the single global vector set against the
+    chip table (the reference's own shape); the transform + clip run
+    vectorized per chip group. At scale, prune chips×geoms first with a
+    bbox overlap in a COMMON CRS (the same-CRS ``clip_vector_with_
+    rectangle`` path) before falling into the per-CRS kernel.
+    """
+    if validate:
+        validate_single_vector(geoms_df)
+    pairs = chips_df.join(
+        F.broadcast(geoms_df.drop("vset_id")
+                    .withColumnRenamed("crs", "geom_crs")))
+
+    def clip_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from zen3geo_spark.functions.geo import crs_forward_np
+
+        rows = []
+        for r in pdf.itertuples(index=False):
+            fwd = (None if r.crs == r.geom_crs else crs_forward_np(r.crs))
+            for ring in r.parts:
+                ring_np = np.array([[p["x"], p["y"]] for p in ring])
+                if fwd is not None:
+                    ex, ey = fwd(ring_np[:, 1], ring_np[:, 0])
+                    ring_np = np.stack([ex, ey], axis=1)
+                clipped = _sutherland_hodgman(
+                    ring_np, r.xmin, r.ymin, r.xmax, r.ymax)
+                if len(clipped) >= 3:
+                    rows.append((r.chip_id, r.geom_id,
+                                 float(clipped[:, 0].min()), float(clipped[:, 1].min()),
+                                 float(clipped[:, 0].max()), float(clipped[:, 1].max()),
+                                 int(len(clipped)), r.crs))
+        cols = ["chip_id", "geom_id", "clip_minx", "clip_miny",
+                "clip_maxx", "clip_maxy", "n_vertices", "crs"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return pairs.groupBy("chip_id").applyInPandas(
+        clip_group, schema=CLIP_CRS_SCHEMA)
+
+
 def _sutherland_hodgman(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
     """Clip a closed ring (N,2) against an axis-aligned rectangle."""
     def clip_edge(poly, inside, intersect):

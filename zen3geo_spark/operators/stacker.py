@@ -32,6 +32,69 @@ def snap_to_grid(tiles: DataFrame, xmin: float, ymax: float, res: float) -> Data
     )
 
 
+def regrid_bilinear(tiles: DataFrame, src_grid: tuple[float, float, float],
+                    dst_grid: tuple[float, float, float, int, int],
+                    keys: tuple[str, ...] = ("time", "band"),
+                    value_col: str = "value") -> DataFrame:
+    """Bilinear regrid of a long-form pixel table — the reference's
+    ``stackstac.stack(..., resampling=Resampling.bilinear)`` kwarg
+    (/root/reference/zen3geo/datapipes/stackstac.py:184,
+    docs/stacking.md:283-291) as pure DataFrame algebra, no UDF:
+
+    * every TARGET pixel center explodes to its 4 surrounding SOURCE
+      pixel indices with the separable weights (1−fx)(1−fy) … fx·fy;
+    * one equi-join on (keys…, sx, sy) attaches source values;
+    * sum(w·v)/sum(w) per target pixel — the weight renormalization
+      gives GDAL-style edge clamping where a corner is missing.
+
+    src_grid = (xmin, ymax, res) of the source pixel-center lattice;
+    dst_grid = (xmin, ymax, res, width, height) of the output. Work is
+    4 rows per target pixel through one shuffle keyed by source index —
+    the same join shape at any scale.
+    """
+    sxmin, symax, sres = src_grid
+    dxmin, dymax, dres, width, height = dst_grid
+    spark = tiles.sparkSession
+
+    src = tiles.select(
+        *keys,
+        F.round((F.col("x") - F.lit(sxmin)) / F.lit(sres) - 0.5).cast("int").alias("sx"),
+        F.round((F.lit(symax) - F.col("y")) / F.lit(sres) - 0.5).cast("int").alias("sy"),
+        F.col(value_col).alias("_v"),
+    )
+    key_combos = tiles.select(*keys).distinct()
+    grid = spark.range(width * height).select(
+        (F.col("id") % width).cast("int").alias("x_idx"),
+        (F.col("id") / width).cast("int").alias("y_idx"),
+    )
+    tgt = key_combos.crossJoin(F.broadcast(grid))
+    # fractional source position of the target center
+    u = (F.lit(dxmin) + (F.col("x_idx") + 0.5) * F.lit(dres) - F.lit(sxmin)) / F.lit(sres) - 0.5
+    v = (F.lit(symax) - (F.lit(dymax) - (F.col("y_idx") + 0.5) * F.lit(dres))) / F.lit(sres) - 0.5
+    tgt = tgt.withColumn("_u", u).withColumn("_v0", v).select(
+        "*",
+        F.floor("_u").cast("int").alias("_sx0"),
+        F.floor("_v0").cast("int").alias("_sy0"),
+    ).select(
+        "*",
+        (F.col("_u") - F.col("_sx0")).alias("_fx"),
+        (F.col("_v0") - F.col("_sy0")).alias("_fy"),
+    )
+    corners = F.array(*[
+        F.struct(
+            (F.col("_sx0") + dx).alias("sx"), (F.col("_sy0") + dy).alias("sy"),
+            ((F.col("_fx") if dx else 1.0 - F.col("_fx"))
+             * (F.col("_fy") if dy else 1.0 - F.col("_fy"))).alias("w"),
+        )
+        for dy in (0, 1) for dx in (0, 1)
+    ])
+    exploded = tgt.select(*keys, "x_idx", "y_idx", F.explode(corners).alias("c")) \
+        .select(*keys, "x_idx", "y_idx", "c.sx", "c.sy", "c.w")
+    joined = exploded.join(src, [*keys, "sx", "sy"])
+    return joined.groupBy(*keys, "y_idx", "x_idx").agg(
+        (F.sum(F.col("w") * F.col("_v")) / F.sum("w")).alias("value"))
+
+
 def build_overviews(tiles: DataFrame, levels: int = 2,
                     agg: str = "avg") -> DataFrame:
     """Build a multi-resolution pyramid (COG overviews / the reference's
@@ -68,9 +131,17 @@ def build_overviews(tiles: DataFrame, levels: int = 2,
 def stack(item_tiles: list[DataFrame] | DataFrame, assets: list[str] | None = None,
           bounds: tuple[float, float, float, float] | None = None,
           xmin: float | None = None, ymax: float | None = None,
-          res: float | None = None) -> DataFrame:
+          res: float | None = None, resampling: str = "nearest",
+          src_grid: tuple[float, float, float] | None = None,
+          dst_size: tuple[int, int] | None = None) -> DataFrame:
     """Union per-item tables into one cube; optional band/bounds selection
-    and grid snap. Input rows need (time, band, x, y, value)."""
+    and regrid. Input rows need (time, band, x, y, value).
+
+    ``resampling``: 'nearest' (floor snap, default) or 'bilinear'
+    (4-corner weighted resample — needs ``src_grid`` = (xmin, ymax, res)
+    of the source lattice and ``dst_size`` = (width, height)), mirroring
+    the reference's ``stackstac.stack(resolution=…, resampling=…)``.
+    """
     df = (reduce(DataFrame.unionByName, item_tiles)
           if isinstance(item_tiles, list) else item_tiles)
     if assets is not None:
@@ -82,6 +153,14 @@ def stack(item_tiles: list[DataFrame] | DataFrame, assets: list[str] | None = No
             & (F.col("y") > bymin) & (F.col("y") <= bymax)
         )
     if res is not None:
-        df = snap_to_grid(df, xmin if xmin is not None else (bounds[0] if bounds else 0.0),
-                          ymax if ymax is not None else (bounds[3] if bounds else 0.0), res)
+        gxmin = xmin if xmin is not None else (bounds[0] if bounds else 0.0)
+        gymax = ymax if ymax is not None else (bounds[3] if bounds else 0.0)
+        if resampling == "bilinear":
+            if src_grid is None or dst_size is None:
+                raise ValueError("bilinear resampling needs src_grid and dst_size")
+            return regrid_bilinear(df, src_grid,
+                                   (gxmin, gymax, res, dst_size[0], dst_size[1]))
+        if resampling != "nearest":
+            raise NotImplementedError(f"resampling {resampling!r}")
+        df = snap_to_grid(df, gxmin, gymax, res)
     return df
