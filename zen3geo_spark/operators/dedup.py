@@ -231,6 +231,63 @@ def minhash_signature_pd(num_hashes: int, shingle_n: int):
     return sig
 
 
+def minhash_table_pd(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", num_hashes: int = 16,
+                     shingle_n: int = 3) -> DataFrame:
+    """(doc, sig) signature table via ``mapInPandas`` — a plan-node
+    materialization barrier. A ``pandas_udf`` column gets inlined by
+    CollapseProject into every downstream band expression (measured 4-8
+    ArrowEvalPython nodes per LSH plan = 4-8 full kernel evaluations);
+    MapInPandas is a physical node, so the kernel runs exactly once per
+    join side. Same math as ``minhash_signature_pd``."""
+    a, b = _perm_params(num_hashes)
+    A, B = a[:, None], b[:, None]
+    P = np.uint64(MINHASH_PRIME)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uniq, idx, starts = _batch_grams(pdf[text_col], shingle_n)
+            h = _poly_hash_batch(uniq, _POWS1_NP)[idx]
+            vals = (A * h[None, :] + B) % P
+            mins = np.minimum.reduceat(vals, starts, axis=1)
+            yield pd.DataFrame({
+                "doc": pdf[id_col].to_numpy(),
+                "sig": [r.tolist() for r in mins.T.astype(np.int64)],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc long, sig array<long>")
+
+
+def simhash_table_pd(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
+    """(doc, sh) SimHash table via ``mapInPandas`` (single-evaluation
+    barrier — see ``minhash_table_pd``). Same math as ``simhash_pd``."""
+    bit_idx = np.arange(60, dtype=np.uint64)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uniq, idx, starts = _batch_grams(pdf[text_col], shingle_n)
+            h1 = _poly_hash_batch(uniq, _POWS1_NP)
+            h2 = _poly_hash_batch(uniq, _POWS2_NP)
+            h = (h1 + (h2 % np.uint64(1 << 20)) * np.uint64(1 << 40))[idx]
+            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bits, starts, axis=0)
+            n_grams = np.diff(np.append(starts, len(h)))
+            maj = (ones * 2 > n_grams[:, None]).astype(np.int64)
+            yield pd.DataFrame({
+                "doc": pdf[id_col].to_numpy(),
+                "sh": (maj << np.arange(60)).sum(axis=1),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc long, sh long")
+
+
 def simhash_pd(shingle_n: int):
     """Arrow-vectorized twin of ``simhash64``/``simhash64_agg``: 60-bit
     gram hashes (two 40-bit polynomials) + majority-bit vote, fused over
@@ -337,9 +394,9 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     shuffle keyed by bucket, never all-pairs.
     """
     rows_per_band = num_hashes // bands
-    sig_udf = minhash_signature_pd(num_hashes, shingle_n)
-    d = _ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc"), sig_udf(F.col(text_col)).alias("sig"))
+    d = minhash_table_pd(_ensure_parallelism(docs), text_col=text_col,
+                         id_col=id_col, num_hashes=num_hashes,
+                         shingle_n=shingle_n)
     banded = d.select(
         "doc",
         F.explode(
@@ -481,26 +538,42 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     The relational alternative (explode shingles, equi-join on shingle,
     group per pair) multiplies every candidate pair by its shingle count
     before aggregating; for verification the pair list is already small,
-    so one broadcast-join of the texts plus a per-pair set intersection in
-    pandas is orders of magnitude cheaper. Values are identical (exact
-    integer set math feeding the same ratio).
+    so one broadcast-join of per-doc shingle ARRAYS (computed once per doc
+    by the JVM ``shingles`` Column, not re-split per pair) plus a per-pair
+    set intersection in pandas is orders of magnitude cheaper. A doc
+    typically appears in many candidate pairs, so the kernel memoizes the
+    Python set per doc id within each Arrow batch. Values are identical
+    (exact integer set math feeding the same ratio).
     """
-    d = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtext"))
+    d = docs.select(F.col(id_col).alias("_vid"),
+                    shingles(F.col(text_col), shingle_n).alias("_vsh"))
     joined = (
         cand.join(F.broadcast(d).withColumnRenamed("_vid", "a_id")
-                  .withColumnRenamed("_vtext", "_ta"), "a_id")
+                  .withColumnRenamed("_vsh", "_sa"), "a_id")
         .join(F.broadcast(d).withColumnRenamed("_vid", "b_id")
-              .withColumnRenamed("_vtext", "_tb"), "b_id")
+              .withColumnRenamed("_vsh", "_sb"), "b_id")
     )
 
     def run(batches):
+        cache: dict[int, frozenset] = {}
+
+        def to_set(doc_id, arr):
+            s = cache.get(doc_id)
+            if s is None:
+                s = frozenset(arr)
+                if len(cache) > 1_000_000:
+                    cache.clear()
+                cache[doc_id] = s
+            return s
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             jac = []
-            for ta, tb in zip(pdf["_ta"], pdf["_tb"]):
-                sa = set(_shingle_list(ta, shingle_n))
-                sb = set(_shingle_list(tb, shingle_n))
+            for aid, bid, sa_arr, sb_arr in zip(pdf["a_id"], pdf["b_id"],
+                                                pdf["_sa"], pdf["_sb"]):
+                sa = to_set(aid, sa_arr)
+                sb = to_set(bid, sb_arr)
                 inter = len(sa & sb)
                 jac.append(inter / (len(sa) + len(sb) - inter))
             out = pdf[["a_id", "b_id"]].copy()
@@ -569,9 +642,8 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
     """Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
     hamming distance 3 shares at least one of 4 chunks — pigeonhole), then
     verify exact hamming distance. Equi-join on chunk, never all-pairs."""
-    sh_udf = simhash_pd(shingle_n)
-    d = _ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc"), sh_udf(F.col(text_col)).alias("sh"))
+    d = simhash_table_pd(_ensure_parallelism(docs), text_col=text_col,
+                         id_col=id_col, shingle_n=shingle_n)
     chunks = d.select(
         "doc", "sh",
         F.explode(F.array(*[
