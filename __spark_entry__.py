@@ -636,6 +636,20 @@ def q_raster_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: simhash pairs → connected components →
+    (doc, component) with component = min doc id in the group (the keep
+    list for group-level dedup). Iterative min-label propagation with
+    pointer jumping; oracle is the recursive-CTE reachability closure."""
+    from zen3geo_spark.operators.dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_near_dups(docs, max_hamming=8, shingle_n=2).select("a_id", "b_id")
+    comp = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node")))
+    return comp.select("node", "component")
+
+
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate pairs → exact
     n-gram Jaccard verification (candidates only, never all-pairs)."""
@@ -768,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": q_cell_rollup,
         "extract_all_tags": q_extract_all_tags,
         "near_dup_verified": q_near_dup_verified,
+        "dedup_clusters": q_dedup_clusters,
         "month_split": q_month_split,
         "raster_math": q_raster_math,
         "ann_ivf": q_ann_ivf,
@@ -1312,7 +1327,7 @@ def oracle_sql() -> dict[str, str]:
 
     # simhash near-dups (2-gram shingles, hamming <= 8) — bit math mirrored
     sim_expr = simhash64_sql_duckdb("hs", "n")
-    simhash_sql = f"""
+    simhash_ctes = f"""
     with sh as (select doc_id, {mh_grams} as grams from documents),
     h as (
       select doc_id,
@@ -1329,10 +1344,25 @@ def oracle_sql() -> dict[str, str]:
       select distinct l.doc_id as a_id, r.doc_id as b_id, l.sh64 as sa, r.sh64 as sb
       from chunks l join chunks r
         on l.chunk = r.chunk and l.key = r.key and l.doc_id < r.doc_id
-    )
+    )"""
+    simhash_sql = f"""
+    {simhash_ctes}
     select a_id, b_id, cast(bit_count(xor(sa, sb)) as int) as hamming
     from cand where bit_count(xor(sa, sb)) <= 8
     """
+
+    from zen3geo_spark.operators.dedup import components_sql_duckdb
+    # simhash_ctes without the leading "with" keyword, injected flat into
+    # the recursive WITH list
+    simhash_ctes_flat = simhash_ctes.strip()
+    assert simhash_ctes_flat.startswith("with ")
+    simhash_ctes_flat = simhash_ctes_flat[5:] + \
+        ", prs as (select a_id, b_id from cand where bit_count(xor(sa, sb)) <= 8)"
+    dedup_clusters_sql = components_sql_duckdb(
+        "select a_id as u, b_id as v from prs "
+        "union all select b_id as u, a_id as v from prs",
+        "select doc_id as node from documents",
+        prelude_ctes=simhash_ctes_flat)
 
     return {
         "pages_extract": (
@@ -1384,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "batcher": batcher_sql,
         "zipper": zipper_sql,
         "near_dup_verified": near_dup_verified_sql,
+        "dedup_clusters": dedup_clusters_sql,
         "winnow": winnow_fingerprints_sql_duckdb("documents", "doc_id", "text", 8, 4),
         "overviews": """
             with base as (

@@ -204,3 +204,21 @@ def test_winnowing_shared_substring_guarantee(spark):
     fps2 = {r["doc_id"]: set(r["fp"]) for r in
             df.select("doc_id", fp_udf(F.col("text")).alias("fp")).collect()}
     assert fps == fps2
+
+
+def test_connected_components_known_graph(spark):
+    """Chains, a cycle, and singletons resolve to min-id components; the
+    pointer-jumping path converges a long chain quickly."""
+    from zen3geo_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5-6-7-8, cycle 10-11-12-10, isolated 20; plus nodes df
+    edges = [(i, i + 1) for i in range(1, 8)] + [(10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(edges, "a_id long, b_id long")
+    n = spark.createDataFrame([(i,) for i in [20, 1, 10]], "node long")
+    out = {r["node"]: r["component"]
+           for r in connected_components(e, nodes=n).collect()}
+    for v in range(1, 9):
+        assert out[v] == 1
+    for v in (10, 11, 12):
+        assert out[v] == 10
+    assert out[20] == 20

@@ -583,6 +583,97 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     return joined.mapInPandas(run, schema="a_id long, b_id long, jaccard double")
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         a_col: str = "a_id", b_col: str = "b_id",
+                         node_col: str = "node", max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list — the clustering
+    step that turns near-dup PAIRS into dedup GROUPS (keep min-id per
+    component, drop the rest). Iterative min-label propagation with
+    pointer jumping:
+
+    * each round, label(v) ← min(label(v), min of neighbors' labels) —
+      one equi-join + hash aggregate (a single shuffle keyed by node);
+    * then label(v) ← label(label(v)) (path halving), which collapses
+      chains so convergence is O(log diameter) rounds, not O(diameter);
+    * a driver-side changed-count per round stops at the fixpoint — the
+      loop length depends on cluster shape, never on table size.
+
+    ``nodes`` (optional, one ``node_col`` column) adds isolated vertices
+    as their own singleton components. Returns (node, component) with
+    component = min node id reachable — deterministic, so oracle-checkable
+    against a recursive-CTE reachability query.
+    """
+    # persist the symmetric edge list: every round joins it, and without
+    # the persist each of the O(log diameter) rounds would recompute the
+    # whole upstream candidate pipeline (signature UDFs included)
+    sym = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).union(
+        edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))).persist()
+    # iterate ONLY over edge-touching nodes; isolated nodes are singleton
+    # components by definition and join back after the loop (at corpus
+    # scale singletons dominate — keeping them out of the iterated frame
+    # shrinks every round's join by orders of magnitude)
+    verts = sym.select(F.col("u").alias("node")).distinct()
+    singletons = None
+    if nodes is not None:
+        singletons = (nodes.select(F.col(node_col).alias("node")).distinct()
+                      .join(verts, "node", "left_anti")
+                      .select("node", F.col("node").alias("component")))
+    labels = verts.withColumn("label", F.col("node")).persist()
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+                   .groupBy("u").agg(F.min("label").alias("nbr_min")))
+            stepped = (labels.join(nbr.withColumnRenamed("u", "node"), "node", "left")
+                       .select("node", F.col("label").alias("_old"),
+                               F.least(F.col("label"),
+                                       F.coalesce("nbr_min", "label")).alias("label")))
+            # pointer jumping: label <- label(label)
+            lj = labels.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+            jumped = (stepped.join(lj, stepped["label"] == lj["_ln"], "left")
+                      .select("node", "_old",
+                              F.least("label", F.coalesce("_ll", "label")).alias("label"))
+                      ).persist()
+            changed = jumped.filter(F.col("label") < F.col("_old")).count()
+            new_labels = jumped.select("node", "label").persist()
+            new_labels.count()  # materialize before the parents unpersist
+            jumped.unpersist()
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        out = labels.select("node", F.col("label").alias("component"))
+        if singletons is not None:
+            out = out.unionByName(singletons)
+        return out
+    finally:
+        sym.unpersist()
+
+
+def components_sql_duckdb(edges_sql: str, nodes_sql: str,
+                          prelude_ctes: str = "") -> str:
+    """DuckDB recursive-CTE oracle for :func:`connected_components`:
+    component = min reachable node (full reachability closure — fine at
+    oracle scale where clusters are small). ``edges_sql`` must yield
+    (u, v) SYMMETRIC pairs, ``nodes_sql`` (node). ``prelude_ctes`` are
+    extra CTE definitions ("name as (...), ...") injected FLAT into the
+    recursive WITH list — DuckDB does not resolve nested-WITH names from
+    a compound select inside WITH RECURSIVE."""
+    pre = f"{prelude_ctes}," if prelude_ctes.strip() else ""
+    return f"""
+    with recursive
+    {pre}
+    _e as ({edges_sql}),
+    _n as ({nodes_sql}),
+    reach(a, b) as (
+      select node, node from _n
+      union
+      select r.a, e.v from reach r join _e e on e.u = r.b
+    )
+    select a as node, min(b) as component from reach group by a
+    """
+
+
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
     """60-bit SimHash: bit b of the result is 1 when the majority of
     shingles have bit b set in their 60-bit polynomial gram hash.
