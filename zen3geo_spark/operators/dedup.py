@@ -619,7 +619,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                       .join(verts, "node", "left_anti")
                       .select("node", F.col("node").alias("component")))
     labels = verts.withColumn("label", F.col("node")).persist()
-    labels.count()
+    prev_cache = labels
     try:
         for _ in range(max_iters):
             nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
@@ -634,12 +634,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                       .select("node", "_old",
                               F.least("label", F.coalesce("_ll", "label")).alias("label"))
                       ).persist()
+            # ONE job per round: the changed-count materializes the cache
             changed = jumped.filter(F.col("label") < F.col("_old")).count()
-            new_labels = jumped.select("node", "label").persist()
-            new_labels.count()  # materialize before the parents unpersist
-            jumped.unpersist()
-            labels.unpersist()
-            labels = new_labels
+            if prev_cache is not None and prev_cache is not jumped:
+                prev_cache.unpersist()   # safe: jumped's blocks are cached
+            prev_cache = jumped
+            labels = jumped.select("node", "label")
             if changed == 0:
                 break
         out = labels.select("node", F.col("label").alias("component"))
