@@ -41,3 +41,29 @@ def test_stateful_running_totals_across_runs(spark, tmp_path):
     for u in exp2:
         assert got2[u][0] == exp2[u][0]
         assert got2[u][1] == pytest.approx(exp2[u][1], rel=1e-9)
+
+
+def test_streaming_dedup_keep_first_across_runs(spark, tmp_path):
+    """Streaming exact dedup: only the first doc per fingerprint is
+    admitted, within a run AND across a later incremental run."""
+    from zen3geo_spark.streaming.stateful import run_streaming_dedup
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "dedup_out")
+    ck = str(tmp_path / "dedup_ck")
+
+    rows1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta ")]
+    rows2 = [(4, "alpha beta"), (5, "epsilon zeta"), (6, "gamma delta")]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(docs_dir)
+    run_streaming_dedup(spark, docs_dir, out_dir, ck)
+    got1 = {r["fp"]: r["keep_id"] for r in spark.read.parquet(out_dir).collect()}
+    # doc 3 normalizes to doc 1's content (whitespace collapse) -> 2 fps
+    assert sorted(got1.values()) == [1, 2]
+
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .write.mode("append").parquet(docs_dir)
+    run_streaming_dedup(spark, docs_dir, out_dir, ck)
+    got2 = {r["fp"]: r["keep_id"] for r in spark.read.parquet(out_dir).collect()}
+    # only the genuinely new content (doc 5) was admitted in run 2
+    assert sorted(got2.values()) == [1, 2, 5]

@@ -222,3 +222,27 @@ def test_connected_components_known_graph(spark):
     for v in (10, 11, 12):
         assert out[v] == 10
     assert out[20] == 20
+
+
+def test_poly_hash_parity_property():
+    """Property: the NumPy polynomial hash equals the DuckDB ord/substr
+    SQL for arbitrary unicode strings (incl. >GRAM_CAP lengths, empties,
+    multibyte code points)."""
+    import duckdb as _dd
+    from hypothesis import given, settings, strategies as st
+    from zen3geo_spark.operators.dedup import (
+        _poly_hash_batch, _POWS1_NP, _POWS2_NP, hash40_sql_duckdb,
+    )
+
+    con = _dd.connect()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(max_size=100))
+    def check(s):
+        h1 = int(_poly_hash_batch([s], _POWS1_NP)[0])
+        h2 = int(_poly_hash_batch([s], _POWS2_NP)[0])
+        q = f"select {hash40_sql_duckdb('?', 1)}, {hash40_sql_duckdb('?', 2)}"
+        got = con.execute(q, [s] * q.count("?")).fetchone()
+        assert (got[0], got[1]) == (h1, h2), repr(s)
+
+    check()

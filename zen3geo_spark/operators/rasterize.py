@@ -136,7 +136,11 @@ def rasterize(canvas_df: DataFrame, geoms_df: DataFrame, agg: str | None = None,
             f"agg '{agg}' needs a per-point value column — only point "
             "geometries carry one; lines/polygons support any/sum/count")
     kernel = _line_kernel if kind == "line" else _polygon_kernel
-    burned = pairs.groupBy("canvas_id").applyInPandas(
+    # group per (canvas, geometry): a canvas with many geometries burns in
+    # parallel tasks and the pixel-level aggregate below merges them —
+    # identical output to a per-canvas group, one less skew shape (a
+    # single giant geometry would still need a row-block sub-key)
+    burned = pairs.groupBy("canvas_id", "geom_id").applyInPandas(
         _make_grouped_kernel(kernel), schema=RASTER_SCHEMA
     )
     if agg == "any":

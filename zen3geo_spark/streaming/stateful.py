@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType,
 )
 
 EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
@@ -86,3 +86,64 @@ def latest_totals(spark: SparkSession, out_dir: str) -> DataFrame:
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("user_id", "n_events", "total_value"))
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup: keep the FIRST document per content fingerprint,
+# across micro-batches AND across separate availableNow runs (the crawl-feed
+# dedup shape: state = fingerprints already admitted)
+# ---------------------------------------------------------------------------
+
+DOCS_STREAM_SCHEMA = "doc_id long, text string"
+
+_DEDUP_OUT = StructType([
+    StructField("fp", StringType()),
+    StructField("keep_id", LongType()),
+])
+_DEDUP_STATE = StructType([StructField("seen", LongType())])
+
+
+def _dedup_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    if state.exists:
+        for _ in pdfs:  # drain: fingerprint already admitted earlier
+            pass
+        return
+    keep = None
+    for pdf in pdfs:
+        m = int(pdf["doc_id"].min())
+        keep = m if keep is None else min(keep, m)
+    state.update((1,))
+    yield pd.DataFrame({"fp": [key[0]], "keep_id": [keep]})
+
+
+def streaming_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Per-fingerprint first-seen filter: emits (fp, keep_id) exactly once
+    per distinct normalized content — the streaming twin of
+    ``operators.dedup.dedup_exact`` (same fingerprint function). State is
+    one row per fingerprint in the checkpoint state store, so later runs
+    admit only genuinely new content."""
+    from zen3geo_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    d = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return d.groupBy("fp").applyInPandasWithState(
+        _dedup_update, outputStructType=_DEDUP_OUT, stateStructType=_DEDUP_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
+                        checkpoint_dir: str) -> None:
+    """availableNow incremental dedup: each run appends the NEWLY admitted
+    (fp, keep_id) rows to ``out_dir``; previously seen fingerprints emit
+    nothing."""
+    stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(docs_dir)
+    admitted = streaming_dedup_keep_first(stream)
+    q = (admitted.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
