@@ -262,7 +262,9 @@ def q_chip_grid_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = scenes_meta(spark, [(0, 1, 128, 128)])
     px = spark.range(128 * 128).selectExpr(
-        "cast(0 as long) as scene_id",
+        # id % 1 == 0 but is not a foldable literal: a literal scene_id
+        # would constant-propagate into the meta join and cross-join it
+        "cast(id % 1 as long) as scene_id",
         "cast(id % 128 as int) as x_idx",
         "cast(id div 128 as int) as y_idx",
         "1.0 as value",
@@ -730,9 +732,11 @@ def entry(spark: SparkSession) -> DataFrame:
         cells.groupBy("cell").agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("cell").asc()).limit(10)
     )
-    return per_geom.crossJoin(
+    from zen3geo_spark.operators._util import pair_all
+    return pair_all(
+        per_geom,
         top_cells.agg(F.count("*").alias("n_top_cells"),
-                      F.sum("n").alias("pages_in_top_cells"))
+                      F.sum("n").alias("pages_in_top_cells")),
     )
 
 

@@ -104,3 +104,18 @@ def test_embed_neardup_no_nested_loop(spark):
     plan = _plan(E.q_embed_neardup(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_nested_loop_or_cartesian_in_any_query(spark):
+    """GLOBAL invariant: every driver-contract query plans without a
+    BroadcastNestedLoopJoin or CartesianProduct. Intentional pair-with-all
+    shapes go through the constant-key equi-join (`_util.pair_all`), which
+    plans as a BroadcastHashJoin with identical semantics."""
+    bad = {}
+    for name, fn in E.queries().items():
+        plan = _plan(fn(spark, SF))
+        hits = [n for n in ("BroadcastNestedLoopJoin", "CartesianProduct")
+                if n in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad

@@ -66,12 +66,14 @@ def clip_vector_with_rectangle(geoms_df: DataFrame, chips_df: DataFrame,
     clipped-polygon bounds and vertex count."""
     if validate:
         validate_single_vector(geoms_df)
-    pairs = chips_df.join(
-        F.broadcast(geoms_df.drop("crs", "vset_id")),
-        on=(
-            (F.col("minx") < F.col("xmax")) & (F.col("maxx") > F.col("xmin"))
-            & (F.col("miny") < F.col("ymax")) & (F.col("maxy") > F.col("ymin"))
-        ),
+    from zen3geo_spark.operators._util import pair_all
+    # broadcast pairing + bbox-overlap filter: for a broadcast small side
+    # this is work-equivalent to a nested-loop range join, but plans as a
+    # BroadcastHashJoin + Filter (the bbox still prunes before any
+    # geometry math reaches the pandas kernel)
+    pairs = pair_all(chips_df, geoms_df.drop("crs", "vset_id")).filter(
+        (F.col("minx") < F.col("xmax")) & (F.col("maxx") > F.col("xmin"))
+        & (F.col("miny") < F.col("ymax")) & (F.col("maxy") > F.col("ymin"))
     )
     return pairs.groupBy("chip_id").applyInPandas(_clip_group, schema=CLIP_SCHEMA)
 
@@ -138,9 +140,9 @@ def clip_vector_with_rectangle_crs(geoms_df: DataFrame, chips_df: DataFrame,
     """
     if validate:
         validate_single_vector(geoms_df)
-    pairs = chips_df.join(
-        F.broadcast(geoms_df.drop("vset_id")
-                    .withColumnRenamed("crs", "geom_crs")))
+    from zen3geo_spark.operators._util import pair_all
+    pairs = pair_all(chips_df, geoms_df.drop("vset_id")
+                     .withColumnRenamed("crs", "geom_crs"))
 
     def clip_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from zen3geo_spark.functions.geo import crs_forward_np

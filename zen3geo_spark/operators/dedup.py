@@ -451,9 +451,9 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     if max_df_frac is not None:
         total = docs.agg(F.count("*").alias("_n_docs"))
         # shingles are distinct per doc, so count(*) IS document frequency
+        from zen3geo_spark.operators._util import pair_all
         rare = (
-            sh.groupBy("sh").agg(F.count("*").alias("_df"))
-            .crossJoin(F.broadcast(total))
+            pair_all(sh.groupBy("sh").agg(F.count("*").alias("_df")), total)
             .filter(F.col("_df") <= F.col("_n_docs") * F.lit(max_df_frac))
             .select("sh")
         )

@@ -102,7 +102,8 @@ def _paired(canvas_df: DataFrame, geoms_df: DataFrame, n_vec: int) -> DataFrame:
     """Broadcast-1 (zip_longest fill, datashader.py:188-191) or N:N pairing
     on vset_id == canvas_id."""
     if n_vec <= 1:
-        return canvas_df.join(F.broadcast(geoms_df.drop("vset_id", "crs")))
+        from zen3geo_spark.operators._util import pair_all
+        return pair_all(canvas_df, geoms_df.drop("vset_id", "crs"))
     return canvas_df.join(
         F.broadcast(geoms_df.drop("crs")),
         on=canvas_df["canvas_id"] == geoms_df["vset_id"],

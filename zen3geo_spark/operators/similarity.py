@@ -42,11 +42,15 @@ def cosine_topk_bruteforce(queries: DataFrame, targets: DataFrame, k: int,
     side (queries are few; targets are the 100 TB side)."""
     from zen3geo_spark.operators._util import ensure_parallelism
 
-    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
-                                   _as_double(F.col(q_vec)).alias("qv")))
+    from zen3geo_spark.operators._util import pair_all
+
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       _as_double(F.col(q_vec)).alias("qv"))
     t = ensure_parallelism(targets.select(F.col(t_id).alias("target_id"),
                                           _as_double(F.col(t_vec)).alias("tv")))
-    pairs = t.join(q).select(
+    # all-pairs via constant-key equi-join (BroadcastHashJoin on the tiny
+    # query side) — the exact baseline without a nested-loop plan node
+    pairs = pair_all(t, q).select(
         "query_id", "target_id", cosine(F.col("qv"), F.col("tv")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("target_id").asc())

@@ -206,7 +206,10 @@ def knn_join_bruteforce(queries: DataFrame, targets: DataFrame, k: int) -> DataF
     t = targets.select(
         F.col("target_id"), F.col("lat_us").alias("t_lat"), F.col("lon_us").alias("t_lon")
     )
-    pairs = q.crossJoin(t).withColumn(
+    from zen3geo_spark.operators._util import pair_all
+    # pair-all via constant-key equi-join (BroadcastHashJoin on the small
+    # query side — not a nested-loop plan); exact-baseline semantics
+    pairs = pair_all(t, q).withColumn(
         "dist2",
         (F.col("q_lat") - F.col("t_lat")) * (F.col("q_lat") - F.col("t_lat"))
         + (F.col("q_lon") - F.col("t_lon")) * (F.col("q_lon") - F.col("t_lon")),

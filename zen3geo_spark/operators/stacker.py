@@ -63,11 +63,13 @@ def regrid_bilinear(tiles: DataFrame, src_grid: tuple[float, float, float],
         F.col(value_col).alias("_v"),
     )
     key_combos = tiles.select(*keys).distinct()
-    grid = spark.range(width * height).select(
-        (F.col("id") % width).cast("int").alias("x_idx"),
-        (F.col("id") / width).cast("int").alias("y_idx"),
-    )
-    tgt = key_combos.crossJoin(F.broadcast(grid))
+    # target grid generated per key combo by nested explodes — no join
+    # (and no cross product) between the key table and the grid
+    tgt = (key_combos
+           .select("*", F.explode(F.sequence(F.lit(0), F.lit(height - 1)))
+                   .alias("y_idx"))
+           .select("*", F.explode(F.sequence(F.lit(0), F.lit(width - 1)))
+                   .alias("x_idx")))
     # fractional source position of the target center
     u = (F.lit(dxmin) + (F.col("x_idx") + 0.5) * F.lit(dres) - F.lit(sxmin)) / F.lit(sres) - 0.5
     v = (F.lit(symax) - (F.lit(dymax) - (F.col("y_idx") + 0.5) * F.lit(dres))) / F.lit(sres) - 0.5
