@@ -110,3 +110,29 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.8
     plan = cosine_topk_ivf(q, emb, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_trained_centroids_recall_not_worse(spark):
+    """Spherical-kmeans-trained centroids keep high recall at a modest
+    n_probe and the training is deterministic (fixed seeds, fixed
+    iteration count → identical codebook and results)."""
+    from pyspark.sql import functions as F
+    from zen3geo_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["target_id"])
+             for r in cosine_topk_bruteforce(q, emb, k=3).collect()}
+
+    def run(train_iters):
+        return {(r["query_id"], r["target_id"])
+                for r in cosine_topk_ivf(q, emb, k=3, n_lists=16, n_probe=4,
+                                         train_iters=train_iters).collect()}
+
+    trained = run(2)
+    recall = len(exact & trained) / len(exact)
+    assert recall >= 0.8
+    assert run(2) == trained  # deterministic training

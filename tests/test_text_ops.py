@@ -246,3 +246,21 @@ def test_poly_hash_parity_property():
         assert (got[0], got[1]) == (h1, h2), repr(s)
 
     check()
+
+
+def test_minhash_bucket_cap_bounds_pathological_skew(spark):
+    """One bucket of identical boilerplate docs would otherwise produce
+    B² candidate rows; the max_bucket guard drops it while genuine
+    near-dup pairs in small buckets survive."""
+    boiler = [(i, "same boilerplate page content here") for i in range(200)]
+    real = [(1000, "unique interesting article text one"),
+            (1001, "unique interesting article text one more")]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    uncapped = minhash_lsh_candidates(df, num_hashes=8, bands=4, shingle_n=2)
+    capped = minhash_lsh_candidates(df, num_hashes=8, bands=4, shingle_n=2,
+                                    max_bucket=50)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 200 * 199 / 2        # the boilerplate clique is quadratic
+    assert n_cap < 200                  # guard removed the pathological bucket
+    got = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert (1000, 1001) in got          # real near-dups still found

@@ -386,12 +386,22 @@ def winnow_fingerprints_sql_duckdb(rel: str, id_col: str, col: str,
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 4, shingle_n: int = 3,
+                           max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the minhash signature.
 
     rows_per_band = num_hashes / bands. Output: (a_id, b_id) with a < b,
     distinct. The band bucket join is an equi-join on the band hash —
     shuffle keyed by bucket, never all-pairs.
+
+    ``max_bucket`` is the explicit skew guard for the self-join: a bucket
+    with B members produces B² pre-distinct pair rows, so one
+    pathological bucket (boilerplate pages, empty docs) can dominate the
+    whole job. Buckets larger than ``max_bucket`` are DROPPED before the
+    join (one extra aggregate on the banded table) — a band shared by
+    that many documents is non-discriminative, and true near-dups in it
+    still surface through their other bands or the verify stage. Default
+    None keeps exact all-bucket semantics (the oracle's).
     """
     rows_per_band = num_hashes // bands
     d = minhash_table_pd(_ensure_parallelism(docs), text_col=text_col,
@@ -414,6 +424,12 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
             ])
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        ok = (banded.groupBy("band", "bucket")
+              .agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_bucket)
+              .select("band", "bucket"))
+        banded = banded.join(ok, ["band", "bucket"])
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])

@@ -93,7 +93,8 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float,
 
 def cosine_near_dup_pairs_blocked(emb: DataFrame, threshold: float,
                                   id_col: str = "vec_id", vec_col: str = "embedding",
-                                  n_blocks: int = 8) -> DataFrame:
+                                  n_blocks: int | None = 8,
+                                  target_block_rows: int = 4096) -> DataFrame:
     """Exact embedding-cosine near-dup pairs via block-matrix
     decomposition — the distributed replacement for the all-pairs
     nested-loop baseline (identical output, no join in the plan).
@@ -109,8 +110,19 @@ def cosine_near_dup_pairs_blocked(emb: DataFrame, threshold: float,
     (``cosine_topk_lsh`` bucketing / IVF lists) replace it, but when the
     contract IS "every pair above t", this shape is the one that scales:
     sized tasks, vectorized scoring, no broadcast of the full table.
+
+    ``n_blocks=None`` auto-sizes from a count (parquet-statistics fast)
+    so each block holds ~``target_block_rows`` vectors — the matmul per
+    task is then (target² · dim) FLOPs with bounded memory regardless of
+    table size.
     """
+    import math
+
     from zen3geo_spark.operators._util import ensure_parallelism
+
+    if n_blocks is None:
+        n_rows = emb.count()  # planning pass; parquet count is metadata-fast
+        n_blocks = max(1, math.ceil(n_rows / target_block_rows))
 
     d = ensure_parallelism(emb.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"),
@@ -206,20 +218,27 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+
+
 def cosine_topk_ivf(queries: DataFrame, targets: DataFrame, k: int,
                     n_lists: int = 16, n_probe: int = 4,
+                    train_iters: int = 0,
                     q_id: str = "query_id", t_id: str = "vec_id",
                     q_vec: str = "embedding", t_vec: str = "embedding") -> DataFrame:
     """IVF-style ANN: partition targets into ``n_lists`` inverted lists by
     nearest centroid, probe the ``n_probe`` nearest lists per query, exact
     cosine + top-k window over the probed candidates.
 
-    Centroids are deterministic: the first ``n_lists`` target vectors (by
-    id) — at 100 TB you'd plug a trained codebook in; the *plan* (assign →
-    equi-join on list id → rerank) is identical, which is what matters for
-    the engine. Assignment and probe-selection reuse the same Arrow matmul
-    kernel as the LSH bucketing. Recall grows with n_probe; candidates
-    stay equi-join-shaped (never all-pairs).
+    Centroids start as the first ``n_lists`` target vectors (by id,
+    deterministic); ``train_iters`` Lloyd rounds of spherical k-means
+    refine them — each round is ONE distributed pass (assign UDF →
+    per-list per-dimension avg aggregate) plus an n_lists×dim collect, the
+    legitimate codebook-training planning pattern at any scale.
+    Assignment and probe-selection reuse the same Arrow matmul kernel as
+    the LSH bucketing. Recall grows with n_probe and train_iters;
+    candidates stay equi-join-shaped (never all-pairs).
     """
     from zen3geo_spark.operators._util import ensure_parallelism
 
@@ -229,26 +248,38 @@ def cosine_topk_ivf(queries: DataFrame, targets: DataFrame, k: int,
 
     cents = [r["tv"] for r in
              t.orderBy("target_id").limit(n_lists).collect()]
-    C = np.asarray(cents, dtype=np.float64)
-    C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+    C_unit = _unit_rows(np.asarray(cents, dtype=np.float64))
+    dim = C_unit.shape[1]
 
-    @F.pandas_udf("long")
-    def nearest_list(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
-        M = np.array(vecs.tolist(), dtype=np.float64)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        return pd.Series((M @ C_unit.T).argmax(axis=1).astype("int64"))
+    def make_assign(cu: np.ndarray):
+        @F.pandas_udf("long")
+        def nearest_list(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int64")
+            M = _unit_rows(np.array(vecs.tolist(), dtype=np.float64))
+            return pd.Series((M @ cu.T).argmax(axis=1).astype("int64"))
+        return nearest_list
 
-    probe_schema = f"array<long>"
+    for _ in range(train_iters):
+        au = make_assign(C_unit)
+        means = (t.select(au(F.col("tv")).alias("list_id"), "tv")
+                 .groupBy("list_id")
+                 .agg(*[F.avg(F.col("tv")[i]).alias(f"c{i}") for i in range(dim)]))
+        got = {r["list_id"]: [r[f"c{i}"] for i in range(dim)]
+               for r in means.collect()}
+        C_unit = _unit_rows(np.asarray(
+            [got.get(i, C_unit[i].tolist()) for i in range(n_lists)],
+            dtype=np.float64))
 
-    @F.pandas_udf(probe_schema)
+    nearest_list = make_assign(C_unit)
+    cu_final = C_unit
+
+    @F.pandas_udf("array<long>")
     def probe_lists(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
-        M = np.array(vecs.tolist(), dtype=np.float64)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        sims = M @ C_unit.T
+        M = _unit_rows(np.array(vecs.tolist(), dtype=np.float64))
+        sims = M @ cu_final.T
         order = np.argsort(-sims, axis=1)[:, :n_probe].astype("int64")
         return pd.Series(list(order))
 
