@@ -42,7 +42,10 @@ def with_global_pos(df: DataFrame, order: list[str],
     # explicit partition count: AQE never coalesces a user-numbered
     # repartition, so the counts job and the main job are guaranteed the
     # same partitioning (implicit counts could coalesce differently)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        n_part = df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_part, *cols).sortWithinPartitions(*cols)
     local = part.select(
         "*", F.spark_partition_id().alias("_pid"),
