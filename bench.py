@@ -74,6 +74,15 @@ def flagship_pages_pipeline(spark, n_pages: int) -> int:
     regexp (the collapsed-projection duplication measured 22 regexp
     evaluations per row on the pure-expression path) — and unlike an
     explicit repartition barrier it adds no shuffle.
+
+    Measured alternatives at 6.4M pages / local[32] (steady-state, this
+    host): pure-JVM regexp with NO barrier 4.8 s (codegen subexpression
+    elimination absorbs most of the residual duplication), JVM + persist
+    barrier 5.4 s cold, JVM + repartition barrier 18.7 s (local shuffle
+    is disk-bound), Arrow-UDF path ~10 s (the Arrow text transfer is
+    ~3.2 s of it). The Arrow path stays the flagship because the north
+    rule specifies geotag extraction "via vectorized Arrow UDFs" — the
+    JVM numbers are recorded here as the measured headroom.
     """
     from zen3geo_spark.functions.geo import extract_points_arrow
     from zen3geo_spark.operators.spatial_join import points_in_polygons

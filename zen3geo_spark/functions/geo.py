@@ -199,9 +199,11 @@ def extract_points_arrow(pages, url_id_pattern: str = r"/page/(\d+)"):
             ids = ids.astype("int64")
 
             def micro(series: pd.Series) -> np.ndarray:
-                m = series.str.extract(r"(-?)(\d+)\.(\d{6})", expand=True)
-                sign = np.where(m[0] == "-", -1, 1)
-                return sign * (m[1].astype("int64") * 1000000 + m[2].astype("int64"))
+                # exact for the grammar's -?\d+\.\d{6} strings in ±180:
+                # double parse error ≤ ulp(180) ≈ 3e-14, ×1e6 → ≤ 3e-8,
+                # far below the 0.5 rounding margin (and ~2x faster than
+                # a second regex pass over the batch)
+                return (pd.to_numeric(series) * 1e6).round().astype("int64")
 
             yield pd.DataFrame({
                 "point_id": ids.to_numpy(),
