@@ -24,6 +24,7 @@ from zen3geo_spark.functions.geo import (
 from zen3geo_spark.functions.text import (
     fingerprint, fingerprint_sql, lang_id, lang_id_sql, quality_score,
     quality_score_sql, token_count, token_count_sql,
+    unigram_logppl_sql_duckdb,
 )
 from zen3geo_spark.operators.canvas import canvas_from_grid
 from zen3geo_spark.operators.chipper import chip_grid, assign_chips, chip_stats
@@ -421,6 +422,27 @@ def q_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM perplexity quality score per document
+    (the CCNet-style perplexity-filter shape)."""
+    from zen3geo_spark.functions.text import unigram_logppl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unigram_logppl(docs)
+    return out.select("doc", F.round("logppl", 6).alias("logppl"))
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a spherical-kmeans-trained codebook (2 Lloyd rounds)
+    — rows-only (approximate by construction; recall pytest-asserted)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_ivf(q, emb, k=3, n_lists=16, n_probe=6,
+                           train_iters=2).select(
+        "query_id", "target_id", "rk")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
@@ -770,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "segment_orders": q_segment_orders,
         "lang_id": q_lang_id,
+        "unigram_logppl": q_unigram_logppl,
         "embed_neardup": q_embed_neardup,
         "canvas": q_canvas,
         "stack_mosaic": q_stack_mosaic,
@@ -790,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_split": q_month_split,
         "raster_math": q_raster_math,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "corpus_clean": q_corpus_clean,
         "overviews": q_overviews,
         "winnow": q_winnow,
@@ -1408,6 +1432,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": (
             f"select doc_id, {lang_id_sql('text', 'duckdb')} as lang_pred "
             "from documents"
+        ),
+        "unigram_logppl": (
+            "select doc, round(logppl, 6) as logppl from ("
+            + unigram_logppl_sql_duckdb("documents") + ") t"
         ),
         "embed_neardup": embed_neardup_sql,
         "canvas": canvas_sql,

@@ -124,3 +124,47 @@ def fingerprint_sql(col: str, engine: str) -> str:
     if engine == "spark":
         return f"md5(lower(regexp_replace(trim({col}), '\\\\s+', ' ')))"
     return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
+
+
+def unigram_logppl(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Unigram-LM log-perplexity quality score (the CCNet-style
+    perplexity filter shape, self-trained): token probabilities come from
+    the corpus itself (count / total tokens, whitespace tokens WITH
+    repeats), per-doc score = mean −ln p(token) over the doc's tokens.
+    High score = improbable token mix (gibberish / boilerplate outliers).
+
+    Plan: one explode + token-frequency aggregate, the scalar total
+    attached by constant-key broadcast, one equi-join back on token
+    (broadcast when the vocabulary is small; shuffle equi-join otherwise
+    — Catalyst decides from stats), one per-doc aggregate. Everything
+    JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.operators._util import pair_all
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    tfp = pair_all(tf, total)
+    scored = toks.join(tfp, "tok")
+    return scored.groupBy("doc").agg(
+        F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("logppl"))
+
+
+def unigram_logppl_sql_duckdb(rel: str, id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of :func:`unigram_logppl`."""
+    toks = (f"select {id_col} as doc, unnest(regexp_split_to_array("
+            f"lower(trim({text_col})), '\\s+')) as tok from {rel}")
+    return f"""
+    with toks as ({toks}),
+    tf as (select tok, count(*) as cnt from toks group by tok),
+    total as (select count(*) as total from toks)
+    select doc, avg(-ln(cast(cnt as double) / total)) as logppl
+    from toks join tf using (tok), total
+    group by doc
+    """
