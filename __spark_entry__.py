@@ -4,9 +4,10 @@ Each ``queries()`` entry runs a real engine operator (zen3geo_spark.*) and
 has a DuckDB ``oracle_sql()`` twin sharing the exact same arithmetic via
 the engine-parameterized SQL templates in zen3geo_spark.functions /
 sources.pages. Column names and dtypes are aligned on both sides; float
-aggregates are rounded identically. Queries marked rows-only (no oracle
-entry) are the genuinely non-SQL-expressible kernels (the
-approximate-by-construction LSH/IVF ANN variants).
+aggregates are rounded identically. The single rows-only query (no
+oracle entry) is ann_ivf_trained — its spherical-kmeans codebook comes
+from an iterative driver loop with no closed SQL form; its recall is
+pytest-asserted instead.
 """
 
 from __future__ import annotations
@@ -622,9 +623,9 @@ def q_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (inverted lists by nearest centroid, n_probe probes)
-    — rows-only check (approximate by construction; recall asserted vs
-    brute force in tests)."""
+    """IVF-style ANN (inverted lists by nearest centroid, n_probe
+    probes); hash-checked against a full SQL twin (deterministic seed
+    centroids + cosine-argmax assignment + probe ranking)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -1140,6 +1141,83 @@ def oracle_sql() -> dict[str, str]:
     where cast(n_inter as double) / (n_a + n_b - n_inter) >= 0.5
     """
 
+    # ann_lsh oracle: the full hyperplane-bucket pipeline with the SAME
+    # deterministic plane literals as cosine_topk_lsh (seed 42+tbl) —
+    # bucket = sign-bit signature, candidates = (tbl, bucket) equi-join,
+    # exact cosine rerank. Sign decisions agree across engines except for
+    # |dot| at float-noise scale, which this fixture's data never hits.
+    from zen3geo_spark.operators.similarity import _hyperplanes
+
+    def _bucket_expr(planes, v):
+        terms = []
+        for p, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            dot = (f"list_sum(list_transform(generate_series(1, 64), "
+                   f"i -> ({lit})[i] * {v}[i]))")
+            terms.append(f"(case when ({dot}) >= 0 then {1 << p} else 0 end)")
+        return "(" + " + ".join(terms) + ")"
+
+    _tables = [_hyperplanes(64, 8, seed=42 + t) for t in range(6)]
+    _qb = " union all ".join(
+        f"select query_id, qv, {t} as tbl, {_bucket_expr(pl, 'qv')} as bucket from q"
+        for t, pl in enumerate(_tables))
+    _tb = " union all ".join(
+        f"select target_id, tv, {t} as tbl, {_bucket_expr(pl, 'tv')} as bucket from t"
+        for t, pl in enumerate(_tables))
+    ann_lsh_sql = f"""
+    with q as (select vec_id as query_id, embedding::DOUBLE[] as qv from embeddings where vec_id < 5),
+    t as (select vec_id as target_id, embedding::DOUBLE[] as tv from embeddings),
+    qb as ({_qb}),
+    tb as ({_tb}),
+    cand as (select distinct query_id, target_id from qb join tb using (tbl, bucket)),
+    pairs as (
+      select c.query_id, c.target_id, list_cosine_similarity(q.qv, t.tv) as cos
+      from cand c join q using (query_id) join t using (target_id)
+    ),
+    ranked as (
+      select query_id, target_id,
+             row_number() over (partition by query_id order by cos desc, target_id asc) as rk
+      from pairs
+    )
+    select query_id, target_id, rk from ranked where rk <= 3
+    """
+
+    # ann_ivf oracle: untrained centroids are deterministic (first 16
+    # target vectors); assignment = cosine-argmax over centroids, probes =
+    # top-6 lists, exact cosine rerank — all expressible in SQL
+    ann_ivf_sql = """
+    with cents as (select vec_id as cid, embedding::DOUBLE[] as cv
+                   from embeddings where vec_id < 16),
+    t as (select vec_id as target_id, embedding::DOUBLE[] as tv from embeddings),
+    q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+          from embeddings where vec_id < 5),
+    tassign as (
+      select target_id, tv, cid,
+             row_number() over (partition by target_id
+                                order by list_cosine_similarity(tv, cv) desc, cid asc) as rk
+      from t, cents
+    ),
+    tl as (select target_id, tv, cid as list_id from tassign where rk = 1),
+    qprobe as (
+      select query_id, qv, cid as list_id from (
+        select query_id, qv, cid,
+               row_number() over (partition by query_id
+                                  order by list_cosine_similarity(qv, cv) desc, cid asc) as rk
+        from q, cents
+      ) where rk <= 6
+    ),
+    pairs as (
+      select p.query_id, l.target_id, list_cosine_similarity(p.qv, l.tv) as cos
+      from qprobe p join tl l using (list_id)
+    ),
+    ranked as (
+      select query_id, target_id,
+             row_number() over (partition by query_id order by cos desc, target_id asc) as rk
+      from pairs
+    )
+    select query_id, target_id, rk from ranked where rk <= 3
+    """
+
     ann_cosine_sql = """
     with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
     pairs as (
@@ -1429,6 +1507,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": minhash_sql,
         "simhash": simhash_sql,
         "ann_cosine": ann_cosine_sql,
+        "ann_lsh": ann_lsh_sql,
+        "ann_ivf": ann_ivf_sql,
         "lang_id": (
             f"select doc_id, {lang_id_sql('text', 'duckdb')} as lang_pred "
             "from documents"
@@ -1590,7 +1670,6 @@ def oracle_sql() -> dict[str, str]:
             "from orders join customer on o_custkey = c_custkey "
             "group by c_mktsegment"
         ),
-        # rows-only (non-SQL-expressible kernels): ann_lsh / ann_ivf
-        # (approximate by construction; recall asserted vs brute force in
-        # pytest)
+        # rows-only: ann_ivf_trained (iterative kmeans codebook — no
+        # closed SQL form; recall asserted vs brute force in pytest)
     }
