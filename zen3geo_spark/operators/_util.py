@@ -15,7 +15,8 @@ def pair_all(left: DataFrame, right: DataFrame,
     anywhere" a global plan invariant the gates can assert, and the probe
     is a hash-bucket scan instead of the BNLJ inner loop. Use ONLY when
     one side is genuinely small (an aggregate scalar, a dimension table,
-    a target-grid frame)."""
+    a target-grid frame). The key derives from each side's FIRST column,
+    which must be a hashable type (not a map)."""
     def key(df: DataFrame):
         # a LITERAL key would be folded back into a cross join by
         # FoldablePropagation; pmod(xxhash64(col), 1) is always 0 but not
