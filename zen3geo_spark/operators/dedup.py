@@ -97,6 +97,8 @@ def _batch_grams(texts, shingle_n: int):
     offsets: list[int] = [0]
     uniq: dict[str, int] = {}
     for t in texts:
+        if not isinstance(t, str):  # null text rides as None/NaN in Arrow
+            t = ""
         for g in _shingle_list(t, shingle_n):
             j = uniq.get(g)
             if j is None:
@@ -329,6 +331,8 @@ def winnow_fingerprints_pd(k: int = 8, w: int = 4):
     def fp(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if not isinstance(t, str):
+                t = ""
             norm = _WS.sub(" ", t.strip()).lower()
             codes = np.frombuffer(
                 norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
