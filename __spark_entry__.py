@@ -330,6 +330,48 @@ def q_stac_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("collection").agg(F.count("*").alias("n_items"))
 
 
+def q_stac_item_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PySTACItemReader surface: item metadata scan + field projection
+    incl. map-typed properties/assets access."""
+    from zen3geo_spark.operators.stac import list_items
+
+    items = list_items(stac_items(spark, 50))
+    return items.select(
+        "item_id", "collection", "dt", "minx", "miny", "maxx", "maxy",
+        F.col("properties")["platform"].alias("platform"),
+        F.size("assets").alias("n_assets"),
+    )
+
+
+def q_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collator: positional zip of docs+embeddings collated into a wide
+    training record with renamed value columns."""
+    from zen3geo_spark.operators.combinators import collator
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 100).select("doc_id", "n_chars"))
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 100).select("vec_id", "label"))
+    z = zipper(docs, emb, ["doc_id"], ["vec_id"])
+    return collator(z, {"sample_id": "doc_id", "target": "label",
+                        "feature_len": "n_chars"}).select(
+        "sample_id", "vec_id", "target", "feature_len")
+
+
+def q_forked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forker: one cached source feeding two branch aggregations, joined
+    back (the reference's fork-consume-twice pipelines)."""
+    from zen3geo_spark.operators.combinators import forker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a, b = forker(docs, 2)
+    counts = a.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sizes = b.groupBy("source").agg(
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+    return counts.join(sizes, "source").select(
+        "source", "n_docs", "avg_chars")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup_exact(docs).select("fp", "keep_id", "n_dups")
@@ -782,6 +824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_clip_reproject": q_rect_clip_reproject,
         "mosaic": q_mosaic,
         "stac_search": q_stac_search,
+        "stac_item_read": q_stac_item_read,
+        "collate": q_collate,
+        "forked_stats": q_forked_stats,
         "dedup_exact": q_dedup_exact,
         "token_quality": q_token_quality,
         "word_jaccard": q_word_jaccard,
@@ -1498,6 +1543,37 @@ def oracle_sql() -> dict[str, str]:
         "rect_clip_reproject": rect_clip_reproject_sql,
         "mosaic": mosaic_sql,
         "stac_search": stac_cte,
+        "stac_item_read": """
+            select concat('item-', cast(id as varchar)) as item_id,
+                   case cast(id % 3 as int) when 0 then 'sentinel-2-l2a'
+                        when 1 then 'sentinel-1-grd' else 'landsat-c2-l2' end as collection,
+                   TIMESTAMP '2022-01-01 00:00:00' + to_days(cast(id as int)) as dt,
+                   cast(-180 + (id * 37 % 340) as double) as minx,
+                   cast(-85 + (id * 53 % 160) as double) as miny,
+                   cast(-180 + (id * 37 % 340) + 10 as double) as maxx,
+                   cast(-85 + (id * 53 % 160) + 8 as double) as maxy,
+                   concat('sat-', cast(id % 2 as varchar)) as platform,
+                   cast(2 as int) as n_assets
+            from range(50) t(id)
+        """,
+        "collate": """
+            with a as (
+              select doc_id, n_chars, row_number() over (order by doc_id) as rn
+              from documents where doc_id < 100
+            ),
+            b as (
+              select vec_id, label, row_number() over (order by vec_id) as rn
+              from embeddings where vec_id < 100
+            )
+            select a.doc_id as sample_id, b.vec_id, b.label as target,
+                   a.n_chars as feature_len
+            from a join b using (rn)
+        """,
+        "forked_stats": (
+            "select source, count(*) as n_docs, "
+            "round(avg(n_chars), 6) as avg_chars "
+            "from documents group by source"
+        ),
         "dedup_exact": (
             "select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp, "
             "min(doc_id) as keep_id, count(*) as n_dups from documents group by 1"
