@@ -163,6 +163,24 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("point_id", "geom_id")
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates over a deterministic
+    micro-degree pixel grid (raster×vector reduction composed from the
+    cell-keyed PIP join)."""
+    from zen3geo_spark.operators.spatial_join import zonal_stats
+
+    px = spark.range(36 * 61).selectExpr(
+        "id as pixel_id",
+        "cast(-15000000 + (id div 61) * 1000000 as long) as lat_us",
+        "cast(-35000000 + (id % 61) * 1000000 as long) as lon_us",
+        "cast((id * 7) % 97 as double) as value",
+    )
+    out = zonal_stats(px, _polys_df(spark), res=4, broadcast_polys=True)
+    return out.select("geom_id", "n_px", "sum_val",
+                      F.round("mean_val", 6).alias("mean_val"),
+                      "min_val", "max_val")
+
+
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_df(spark)
     queries = pts.filter(F.col("point_id") < 30).select(
@@ -811,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_cell_counts": q_pages_cell_counts,
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
+        "zonal_stats": q_zonal_stats,
         "knn_brute": q_knn_brute,
         "knn_cells": q_knn_cells,
         "rasterize_world_points": q_rasterize_world_points,
@@ -884,6 +903,30 @@ def oracle_sql() -> dict[str, str]:
     having sum(case when p.lon_us < cast(e.x2 - e.x1 as double) * cast(p.lat_us - e.y1 as double)
                                      / cast(e.y2 - e.y1 as double) + e.x1
                     then 1 else 0 end) % 2 = 1
+    """
+
+    zonal_stats_sql = f"""
+    with px as (
+      select id as pixel_id,
+             cast(-15000000 + (id // 61) * 1000000 as bigint) as lat_us,
+             cast(-35000000 + (id % 61) * 1000000 as bigint) as lon_us,
+             cast((id * 7) % 97 as double) as value
+      from range({36 * 61}) t(id)
+    ),
+    inside as (
+      select p.pixel_id, e.geom_id
+      from px p join {edges}
+        on ((e.y1 > p.lat_us) != (e.y2 > p.lat_us))
+      group by p.pixel_id, e.geom_id, p.lat_us, p.lon_us
+      having sum(case when p.lon_us < cast(e.x2 - e.x1 as double) * cast(p.lat_us - e.y1 as double)
+                                       / cast(e.y2 - e.y1 as double) + e.x1
+                      then 1 else 0 end) % 2 = 1
+    )
+    select geom_id, count(*) as n_px, sum(value) as sum_val,
+           round(avg(value), 6) as mean_val,
+           min(value) as min_val, max(value) as max_val
+    from inside join px using (pixel_id)
+    group by geom_id
     """
 
     knn_core = f"""
@@ -1530,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pip_join": pip_core,
         "pip_join_salted": pip_core,
+        "zonal_stats": zonal_stats_sql,
         "knn_brute": knn_core,
         "knn_cells": knn_core,
         "rasterize_world_points": f"{_points_cte()} {world_bin}",

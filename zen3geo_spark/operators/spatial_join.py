@@ -249,3 +249,29 @@ def knn_join_cells(queries: DataFrame, targets: DataFrame, k: int, res: int) -> 
         .filter(F.col("rk") <= k)
         .select("query_id", "target_id", "dist2", "rk")
     )
+
+
+def zonal_stats(pixels: DataFrame, polys: DataFrame, res: int = 7,
+                value_col: str = "value", salt_factor: int = 0,
+                broadcast_polys: bool | None = None) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates of the raster pixels whose
+    CENTERS fall inside the polygon — the classic raster×vector reduction,
+    composed from the cell-keyed PIP join (same equi-join + ray-cast
+    refine plan, so it scales exactly like ``points_in_polygons``).
+
+    pixels: (pixel_id, lat_us, lon_us, value); polys: the PIP polygon
+    shape. Returns (geom_id, n_px, sum_val, mean_val, min_val, max_val).
+    """
+    pts = pixels.select(F.col("pixel_id").alias("point_id"),
+                        "lat_us", "lon_us", F.col(value_col).alias("_zv"))
+    inside = points_in_polygons(
+        pts.select("point_id", "lat_us", "lon_us"), polys, res=res,
+        salt_factor=salt_factor, broadcast_polys=broadcast_polys)
+    joined = inside.join(pts.select("point_id", "_zv"), "point_id")
+    return joined.groupBy("geom_id").agg(
+        F.count("*").alias("n_px"),
+        F.sum("_zv").alias("sum_val"),
+        F.avg("_zv").alias("mean_val"),
+        F.min("_zv").alias("min_val"),
+        F.max("_zv").alias("max_val"),
+    )
