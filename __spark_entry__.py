@@ -390,6 +390,20 @@ def q_forked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "avg_chars")
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-count sketch (K-minimum-values over the
+    shared polynomial hash): estimated distinct 2-gram shingles per
+    source — unlike HLL, the sketch itself hash-matches across engines."""
+    from zen3geo_spark.operators.dedup import kmv_distinct, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        "source", F.explode(shingles(F.col("text"), 2)).alias("sh"))
+    out = kmv_distinct(pairs, "source", "sh", k=64)
+    return out.select(F.col("key").alias("source"), "n_kept",
+                      F.round("est_distinct", 6).alias("est_distinct"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup_exact(docs).select("fp", "keep_id", "n_dups")
@@ -847,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collate": q_collate,
         "forked_stats": q_forked_stats,
         "dedup_exact": q_dedup_exact,
+        "kmv_distinct": q_kmv_distinct,
         "token_quality": q_token_quality,
         "word_jaccard": q_word_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1195,6 +1210,18 @@ def oracle_sql() -> dict[str, str]:
            arg_min(value, tile) as value, min(tile) as src
     from cube where value <> 0.0
     group by band, y_idx, x_idx
+    """
+
+    # deterministic KMV distinct sketch: per-source 2-gram shingle
+    # estimate — the shingle explode feeds the shared estimator template
+    from zen3geo_spark.operators.dedup import kmv_distinct_sql_duckdb
+    kmv_sql = f"""
+    with _pairs as (
+      select source, unnest({shingles_sql_duckdb("text", 2)}) as sh from documents
+    ),
+    _est as ({kmv_distinct_sql_duckdb('_pairs', 'source', 'sh', 64)})
+    select key as source, n_kept, round(est_distinct, 6) as est_distinct
+    from _est
     """
 
     # word-level jaccard over ALL documents: sub-6%-df blocking tokens →
@@ -1623,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) as keep_id, count(*) as n_dups from documents group by 1"
         ),
         "token_quality": tq,
+        "kmv_distinct": kmv_sql,
         "word_jaccard": word_jaccard_sql,
         "minhash_lsh": minhash_sql,
         "simhash": simhash_sql,

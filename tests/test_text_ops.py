@@ -264,3 +264,17 @@ def test_minhash_bucket_cap_bounds_pathological_skew(spark):
     assert n_cap < 200                  # guard removed the pathological bucket
     got = {(r["a_id"], r["b_id"]) for r in capped.collect()}
     assert (1000, 1001) in got          # real near-dups still found
+
+
+def test_kmv_sketch_accuracy_and_exact_smallkeys(spark):
+    """KMV estimator: exact below k, within ~3/sqrt(k) relative error
+    above k (k=64 → ~37% bound; typical much tighter)."""
+    from zen3geo_spark.operators.dedup import kmv_distinct
+
+    rows = ([("small", f"v{i}") for i in range(30)]
+            + [("big", f"value-{i * 7919}") for i in range(3000)])
+    df = spark.createDataFrame(rows, "key string, val string")
+    got = {r["key"]: r for r in kmv_distinct(df, "key", "val", k=64).collect()}
+    assert got["small"]["est_distinct"] == 30.0  # < k → exact
+    est = got["big"]["est_distinct"]
+    assert abs(est - 3000) / 3000 < 3 / (64 ** 0.5), est

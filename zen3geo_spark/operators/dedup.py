@@ -774,3 +774,55 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
         "a_id", "b_id",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
+                 k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count sketch per key (Bar-Yossef et al.
+    — public construction): hash each distinct value with the shared
+    40-bit polynomial hash, keep the k smallest hashes per key, estimate
+    |distinct| ≈ (k−1) / (max_kept / HASH_M) when ≥ k values exist (else
+    the exact count). DETERMINISTIC — unlike HLL sketches, the same data
+    yields the same estimate on every engine, so the sketch itself is
+    oracle-checkable bit-for-bit (``kmv_distinct_sql_duckdb``).
+
+    Scale shape: distinct → hash → per-key rank window (top-k, k small)
+    → one aggregate. No collect_list of unbounded groups.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(F.col(key_col).alias("key"),
+                  F.col(value_col).alias("val")).distinct()
+    h = d.select("key", gram_hash40(F.col("val")).alias("h")).distinct()
+    w = Window.partitionBy("key").orderBy(F.col("h").asc())
+    topk = h.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    return topk.groupBy("key").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "key", "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1)) /
+                    (F.col("kth_min").cast("double") / F.lit(float(HASH_M)))))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql_duckdb(rel: str, key_col: str, value_col: str,
+                            k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (same hash, same estimator)."""
+    return f"""
+    with _d as (select distinct {key_col} as key, {value_col} as val from {rel}),
+    _h as (select distinct key, {hash40_sql_duckdb('val', 1)} as h from _d),
+    _r as (
+      select key, h, row_number() over (partition by key order by h asc) as rk
+      from _h
+    ),
+    _t as (select key, count(*) as n_kept, max(h) as kth_min
+           from _r where rk <= {k} group by key)
+    select key, n_kept,
+           case when n_kept < {k} then cast(n_kept as double)
+                else {float(k - 1)!r} / (cast(kth_min as double) / {float((1 << 40) - 87)!r})
+           end as est_distinct
+    from _t
+    """
