@@ -129,3 +129,36 @@ def test_to_graph_returns_plan(spark):
     g = to_graph(df)
     assert "Range" in g and "Filter" in g
     assert "Range" in to_graph_logical(df)
+
+
+def test_assign_chips_nd_matches_2d_and_band_window(spark):
+    """N-dim assignment equals the 2D path for y/x windows and slices a
+    band axis correctly (each pixel of band b lands in band-chip b//w)."""
+    from zen3geo_spark.operators.chipper import assign_chips, assign_chips_nd
+
+    meta = scenes_meta(spark, [(0, 4, 64, 64)])
+    px = spark.range(4 * 64 * 64).selectExpr(
+        "cast(id % 1 as long) as scene_id",
+        "cast(id div 4096 as int) as band_idx",
+        "cast((id div 64) % 64 as int) as y_idx",
+        "cast(id % 64 as int) as x_idx",
+        "1.0 as value",
+    )
+    flat2d = sorted(
+        (r["y_idx"], r["x_idx"], r["chip_id"])
+        for r in assign_chips(px.filter("band_idx = 0"), meta, 32, 32).collect())
+    flatnd = sorted(
+        (r["y_idx"], r["x_idx"], r["chip_id"])
+        for r in assign_chips_nd(px.filter("band_idx = 0"), meta,
+                                 {"y": 32, "x": 32}).collect())
+    assert flat2d == flatnd
+
+    banded = assign_chips_nd(px, meta, {"band": 2, "y": 32, "x": 32})
+    rows = banded.collect()
+    assert len(rows) == 4 * 64 * 64  # every pixel assigned exactly once
+    for r in rows[:50]:
+        assert r["chip_band"] == r["band_idx"] // 2
+        assert r["in_chip_band"] == r["band_idx"] % 2
+    # chip population: 2*2*2 = 8 chips x 2*32*32 px
+    sizes = {r["chip_id"]: r["count"] for r in banded.groupBy("chip_id").count().collect()}
+    assert len(sizes) == 8 and all(v == 2 * 32 * 32 for v in sizes.values())

@@ -105,3 +105,18 @@ def test_mercator_np_matches_columns(spark):
         x, y = mercator_np(lat, lon)
         assert r["x"] == pytest.approx(float(x), abs=1e-6)
         assert r["y"] == pytest.approx(float(y), abs=1e-6)
+
+
+def test_tmerc_inverse_roundtrip_property():
+    """Inverse TM (β series + Newton conformal-latitude inversion)
+    round-trips the forward to < 1e-9 degrees across the zone."""
+    import numpy as np
+    from zen3geo_spark.functions.geo import tmerc_inv_np, tmerc_np
+
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-80.0, 80.0, 500)
+    lon = rng.uniform(-1.0, 7.0, 500)
+    e, n = tmerc_np(lat, lon, lon0=3.0)
+    lat2, lon2 = tmerc_inv_np(e, n, lon0=3.0)
+    assert np.abs(lat2 - lat).max() < 1e-9
+    assert np.abs(lon2 - lon).max() < 1e-9

@@ -322,6 +322,45 @@ def tmerc_np(lat_deg, lon_deg, lon0: float):
     return UTM_FE + UTM_K0 * TM_A * eta, UTM_K0 * TM_A * xi
 
 
+TM_BETA = [
+    1/2*_n - 2/3*_n**2 + 37/96*_n**3 - 1/360*_n**4 - 81/512*_n**5 + 96199/604800*_n**6,
+    1/48*_n**2 + 1/15*_n**3 - 437/1440*_n**4 + 46/105*_n**5 - 1118711/3870720*_n**6,
+    17/480*_n**3 - 37/840*_n**4 - 209/4480*_n**5 + 5569/90720*_n**6,
+    4397/161280*_n**4 - 11/504*_n**5 - 830251/7257600*_n**6,
+    4583/161280*_n**5 - 108847/3991680*_n**6,
+    20648693/638668800*_n**6,
+]
+
+
+def tmerc_inv_np(easting, northing, lon0: float):
+    """NumPy UTM/TM inverse (Karney β series + Newton refinement of the
+    conformal latitude): (easting, northing) → (lat_deg, lon_deg).
+    Round-trips the forward to ~1e-9 degrees (property-tested)."""
+    import numpy as np
+
+    xi = np.asarray(northing, dtype=np.float64) / (UTM_K0 * TM_A)
+    eta = (np.asarray(easting, dtype=np.float64) - UTM_FE) / (UTM_K0 * TM_A)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, bj in enumerate(TM_BETA, start=1):
+        xi_p = xi_p - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    # conformal latitude chi = atan(sin(xi')/sqrt(sinh(eta')^2+cos(xi')^2))
+    chi = np.arctan2(np.sin(xi_p),
+                     np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # invert the conformal latitude: chi = f(phi); Newton on
+    # t(phi) = sinh(atanh(sin phi) - e atanh(e sin phi))
+    phi = chi.copy()
+    tchi = np.tan(chi)
+    for _ in range(6):
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - TM_E * np.arctanh(TM_E * s))
+        dt = (np.sqrt(1 + t**2) * (1 - TM_E**2) /
+              ((1 - (TM_E * s) ** 2) * np.cos(phi)))
+        phi = phi - (t - tchi) / dt
+    return np.degrees(phi), lon0 + np.degrees(lam)
+
+
 def mercator_np(lat_deg, lon_deg):
     """NumPy EPSG:3857 forward (spherical, same formula as the Columns)."""
     import numpy as np

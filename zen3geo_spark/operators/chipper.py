@@ -135,6 +135,49 @@ def chip_grid_nd(scenes_meta: DataFrame, windows: dict[str, int],
     return g.select(*outs, *[F.col(f"n_chips_{d}") for d in dims])
 
 
+def assign_chips_nd(pixels: DataFrame, scenes_meta: DataFrame,
+                    windows: dict[str, int],
+                    overlaps: dict[str, int] | None = None) -> DataFrame:
+    """N-dim chip assignment: tag each long-form pixel row (one
+    ``<dim>_idx`` column per windowed dim) with its containing chip(s),
+    mirroring :func:`chip_grid_nd`'s row-major chip_id. Non-overlapping
+    dims are pure floor division (no join fan-out beyond the broadcast
+    meta); overlapping dims explode into their bounded candidate ranges.
+    Pixels in dropped trailing partial windows get no chip.
+    """
+    overlaps = overlaps or {}
+    dims = list(windows)
+    strides = {d: windows[d] - overlaps.get(d, 0) for d in dims}
+    if any(s <= 0 for s in strides.values()):
+        raise ValueError("input_overlap must be smaller than input_dims")
+    meta = scenes_meta.select(
+        "scene_id",
+        *[_n_chips(F.col(f"n_{d}"), windows[d], strides[d]).alias(f"n_chips_{d}")
+          for d in dims],
+    )
+    px = pixels.join(F.broadcast(meta), "scene_id")
+    for d in dims:
+        w, s = windows[d], strides[d]
+        lo = F.greatest(F.ceil((F.col(f"{d}_idx") - F.lit(w) + 1) / F.lit(s)).cast("int"),
+                        F.lit(0))
+        hi = F.least(F.floor(F.col(f"{d}_idx") / F.lit(s)).cast("int"),
+                     F.col(f"n_chips_{d}") - 1)
+        px = px.select(
+            "*",
+            F.explode(F.when(lo <= hi, F.sequence(lo, hi))).alias(f"chip_{d}"),
+        )
+    cid = F.lit(0).cast("long")
+    for d in dims:
+        cid = cid * F.col(f"n_chips_{d}") + F.col(f"chip_{d}")
+    return px.select(
+        pixels["*"],
+        *[F.col(f"chip_{d}") for d in dims],
+        cid.cast("long").alias("chip_id"),
+        *[(F.col(f"{d}_idx") - F.col(f"chip_{d}") * F.lit(strides[d])).alias(f"in_chip_{d}")
+          for d in dims],
+    )
+
+
 def chip_stats(chipped: DataFrame) -> DataFrame:
     """Per-chip pixel count + value sum (the golden-check aggregation)."""
     return chipped.groupBy("scene_id", "chip_id").agg(
