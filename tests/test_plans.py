@@ -119,3 +119,45 @@ def test_no_nested_loop_or_cartesian_in_any_query(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_near_dup_verified_semi_joins_candidates_no_corpus_broadcast(spark):
+    """The verify stage must shrink the shingle-array table to candidate
+    ids with a LEFT-SEMI join before the wide join — never broadcast a
+    frame derived from the full corpus (driver OOM at scale)."""
+    plan = _plan(E.q_near_dup_verified(spark, SF))
+    assert "LeftSemi" in plan, plan
+
+
+def test_lsh_signature_tables_cached_once(spark):
+    """minhash/simhash band tables are persisted: both self-join sides
+    must read the cache (InMemoryTableScan), so the signature kernel
+    evaluates once per query."""
+    for q in (E.q_minhash_lsh, E.q_simhash):
+        plan = _plan(q(spark, SF))
+        assert plan.count("InMemoryTableScan") >= 2, q
+
+
+def test_batcher_numbering_partitioning_is_pinned(spark):
+    """with_global_pos persists the repartitioned frame so the counts job
+    and the numbering job see ONE physical partitioning (RangePartitioner
+    samples with a per-execution seed otherwise)."""
+    plan = _plan(E.q_batcher(spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_connected_components_lineage_truncated(spark):
+    """Per-round localCheckpoint keeps the FINAL plan O(1) — without it
+    the plan compounds to thousands of shuffle/Python nodes by
+    convergence (round-2 verdict measured 6,922 exchanges)."""
+    from zen3geo_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100 + i, 100 + i + 1) for i in range(5)],
+        "a_id long, b_id long")
+    comp = connected_components(edges)
+    plan = _plan(comp)
+    assert plan.count("Exchange") <= 10, plan.count("Exchange")
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert all(got[100 + i] == 100 for i in range(6))

@@ -278,3 +278,63 @@ def test_kmv_sketch_accuracy_and_exact_smallkeys(spark):
     assert got["small"]["est_distinct"] == 30.0  # < k → exact
     est = got["big"]["est_distinct"]
     assert abs(est - 3000) / 3000 < 3 / (64 ** 0.5), est
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """Exiting the loop with changed > 0 must warn loudly — the labels
+    would otherwise be silently non-minimal (ADVICE round 2)."""
+    import warnings
+
+    from zen3geo_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a_id long, b_id long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iters=1)
+        assert any("converge" in str(x.message) for x in w)
+    # and the converged run does NOT warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain)
+        assert not any("converge" in str(x.message) for x in w)
+    assert out.filter(F.col("component") != 0).count() == 0
+
+
+def test_word_jaccard_df_blocking_recall_bound(spark):
+    """The max_df_frac blocking DROPS true pairs whose shared tokens are
+    all above the df cutoff (boilerplate-only near-dups) — the documented
+    recall bound of the blocked path; the exact path finds them."""
+    rows = ([(i, "common boilerplate words here") for i in range(8)]
+            + [(100, "unique alpha beta gamma delta")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = ngram_jaccard(docs, shingle_n=1, threshold=0.9)
+    # every one of the 8 identical docs pairs with jaccard 1.0
+    assert exact.count() == 8 * 7 // 2
+    blocked = ngram_jaccard(docs, shingle_n=1, threshold=0.9,
+                            max_df_frac=0.5)
+    # all shared tokens sit in 8/9 > 50% of docs → zero blocking keys
+    assert blocked.count() == 0
+
+
+def test_hash_parity_non_bmp_all_three_paths(spark):
+    """Non-BMP (emoji/astral) hash parity: the NumPy kernel (which
+    kmv_distinct and the LSH signatures route through), DuckDB's
+    ord()-based SQL, AND the Spark Column path must all agree — Spark 4's
+    split('')/ascii operate on Unicode code points, not UTF-16 units, so
+    the surrogate-pair divergence flagged in review does not occur."""
+    import duckdb as _dk
+
+    from zen3geo_spark.operators.dedup import (
+        _POWS1_NP, _poly_hash_batch, gram_hash40, hash40_sql_duckdb,
+    )
+
+    s = "a\U0001F600b\U00020000"  # astral chars — surrogate pairs in UTF-16
+    kernel = int(_poly_hash_batch([s], _POWS1_NP)[0])
+    duck = _dk.sql(
+        f"select {hash40_sql_duckdb('v', 1)} from (select '{s}' as v)"
+    ).fetchone()[0]
+    assert kernel == duck
+    column = spark.range(1).select(
+        gram_hash40(F.lit(s)).alias("h")).collect()[0]["h"]
+    assert column == kernel

@@ -374,14 +374,19 @@ def mercator_np(lat_deg, lon_deg):
 def crs_forward_np(crs: str):
     """Dispatch a CRS string to its NumPy forward transform
     (lat, lon) → (x, y); identity for geographic CRS84/4326."""
+    import re
+
     c = crs.upper()
     if c in ("OGC:CRS84", "EPSG:4326"):
         return lambda lat, lon: (lon, lat)
     if c == "EPSG:3857":
         return lambda lat, lon: mercator_np(lat, lon)
-    if c.startswith("EPSG:326"):
-        zone = int(c[8:])
-        lon0 = utm_lon0(zone)
+    m = re.fullmatch(r"EPSG:326(\d\d)", c)
+    if m and 1 <= int(m.group(1)) <= 60:
+        # 5-digit UTM-north codes only: a bare prefix test would misparse
+        # 4-digit codes like EPSG:3266 as "zone 6" and silently reproject
+        # with the wrong transform
+        lon0 = utm_lon0(int(m.group(1)))
         return lambda lat, lon: tmerc_np(lat, lon, lon0)
     raise NotImplementedError(f"unsupported CRS {crs!r} (CRS84/4326, "
                               "EPSG:3857, EPSG:326xx supported)")
@@ -433,3 +438,32 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     dl = F.radians(lon2 - lon1)
     a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
     return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# object-detection box helpers
+# ---------------------------------------------------------------------------
+
+def polygon_bounds(parts: Column) -> Column:
+    """Named geometry→bbox helper: struct(minx, miny, maxx, maxy) over all
+    vertices of every ring/part — the ``gdf.geometry.bounds`` step of the
+    reference's object-detection-boxes pipeline
+    (/root/reference/docs/object-detection-boxes.md:319). Pure JVM array
+    aggregates over the typed coordinate arrays; no Python."""
+    flat = F.flatten(parts)
+    return F.struct(
+        F.array_min(F.transform(flat, lambda p: p["x"])).alias("minx"),
+        F.array_min(F.transform(flat, lambda p: p["y"])).alias("miny"),
+        F.array_max(F.transform(flat, lambda p: p["x"])).alias("maxx"),
+        F.array_max(F.transform(flat, lambda p: p["y"])).alias("maxy"),
+    )
+
+
+def geo_to_image_coords(x: Column, y: Column, xmin: Column, ymax: Column,
+                        resx: Column, resy: Column) -> tuple[Column, Column]:
+    """Geo→image-pixel coordinates under a north-up affine (e<0): the
+    ``~chip.rio.transform() * (x, y)`` step of the reference's
+    object-detection-boxes pipeline
+    (/root/reference/docs/object-detection-boxes.md:364). Returns
+    fractional (col, row) — row grows southward from ``ymax``."""
+    return (x - xmin) / resx, (ymax - y) / resy

@@ -31,22 +31,34 @@ def with_global_pos(df: DataFrame, order: list[str],
     2. per-partition 0-based index from ``monotonically_increasing_id``'s
        low 33 bits — pure JVM, no shuffle, no Python;
     3. per-partition row counts (one #partitions-sized planning pass — the
-       same extra pass RDD.zipWithIndex makes; deterministic because the
-       range exchange samples with a fixed seed) → cumulative offsets
+       same extra pass RDD.zipWithIndex makes) → cumulative offsets
        broadcast as a literal map.
 
     Every task numbers its own partition in parallel; the only global
     state is the #partitions-integer offset map.
+
+    The repartitioned frame is PERSISTED and materialized by the counts
+    job before the numbering job reads it. This pins ONE physical
+    partitioning: Spark's RangePartitioner seeds its reservoir sample
+    with the per-execution RDD id, so two executions of the same
+    repartitionByRange lineage can draw different range boundaries once
+    partitions exceed the sample size — offsets computed from execution A
+    against rows numbered in execution B would silently duplicate/skip
+    global ranks at exactly the scale this function exists for. With the
+    cached blocks (MEMORY_AND_DISK — eviction spills, it does not
+    recompute) both jobs see identical partitions.
     """
     cols = [F.col(c) for c in order]
     # explicit partition count: AQE never coalesces a user-numbered
     # repartition, so the counts job and the main job are guaranteed the
-    # same partitioning (implicit counts could coalesce differently)
+    # same partition COUNT (the persist below guarantees the same
+    # partition BOUNDARIES)
     try:
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
         n_part = df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n_part, *cols).sortWithinPartitions(*cols)
+    part = (df.repartitionByRange(n_part, *cols)
+            .sortWithinPartitions(*cols).persist())
     local = part.select(
         "*", F.spark_partition_id().alias("_pid"),
         (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1

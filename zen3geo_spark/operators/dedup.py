@@ -172,7 +172,13 @@ def gram_hash40(s: Column, which: int = 1) -> Column:
     """Spark Column twin of ``_poly_hash_batch`` for one string expression:
     Σ ascii(char_i)·P^(i-1) mod M over the first GRAM_CAP chars. HOF
     lambdas run interpreted — this is the parity/documentation path; hot
-    paths use the vectorized pandas kernels (value-identical, pytest)."""
+    paths use the vectorized pandas kernels (value-identical, pytest).
+
+    Unicode contract: Spark 4's ``split('')``/``ascii`` operate on code
+    POINTS (not UTF-16 units), so this path agrees with the NumPy kernel
+    and DuckDB ``ord`` even for non-BMP characters —
+    tests/test_text_ops.py::test_hash_parity_non_bmp_all_three_paths
+    asserts the three-way parity on astral-plane input."""
     pows = POWS1 if which == 1 else POWS2
     capped = F.substring(s, 1, GRAM_CAP)
     chars = F.split(capped, "")
@@ -427,7 +433,11 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket").persist()
+    # ^ persist: the self-join below references the banded table on BOTH
+    # sides (plus the skew-guard aggregate) — without it the plan carries
+    # one signature-kernel MapInPandas node per reference and the dominant
+    # CPU cost of the pipeline (the minhash pass) runs 2-3x
     if max_bucket is not None:
         ok = (banded.groupBy("band", "bucket")
               .agg(F.count("*").alias("_n"))
@@ -558,19 +568,33 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     The relational alternative (explode shingles, equi-join on shingle,
     group per pair) multiplies every candidate pair by its shingle count
     before aggregating; for verification the pair list is already small,
-    so one broadcast-join of per-doc shingle ARRAYS (computed once per doc
-    by the JVM ``shingles`` Column, not re-split per pair) plus a per-pair
-    set intersection in pandas is orders of magnitude cheaper. A doc
-    typically appears in many candidate pairs, so the kernel memoizes the
-    Python set per doc id within each Arrow batch. Values are identical
-    (exact integer set math feeding the same ratio).
+    so join per-doc shingle ARRAYS (computed once per doc by the JVM
+    ``shingles`` Column, not re-split per pair) and run a per-pair set
+    intersection in pandas. The shingle-array table is first SEMI-JOINED
+    against the candidate ids — the candidate set is already small
+    post-LSH, so the array table shrinks from corpus-sized to
+    candidate-sized before any wide join; Catalyst/AQE then picks
+    broadcast from stats when it fits (no explicit hint — a corpus-wide
+    ``F.broadcast`` here would be a driver OOM by construction at scale).
+    A doc typically appears in many candidate pairs, so the kernel
+    memoizes the Python set per doc id within each Arrow batch. Values
+    are identical (exact integer set math feeding the same ratio).
     """
-    d = docs.select(F.col(id_col).alias("_vid"),
-                    shingles(F.col(text_col), shingle_n).alias("_vsh"))
+    # the candidate plan is referenced three times below (both sides of
+    # the id union + the verify join) — persist so the upstream candidate
+    # pipeline (LSH signatures included) evaluates once; candidates are
+    # two longs per row, post-LSH small by construction
+    cand = cand.persist()
+    ids = (cand.select(F.col("a_id").alias("_vid"))
+           .unionByName(cand.select(F.col("b_id").alias("_vid")))
+           .distinct())
+    d = (docs.select(F.col(id_col).alias("_vid"),
+                     shingles(F.col(text_col), shingle_n).alias("_vsh"))
+         .join(ids, "_vid", "left_semi"))
     joined = (
-        cand.join(F.broadcast(d).withColumnRenamed("_vid", "a_id")
+        cand.join(d.withColumnRenamed("_vid", "a_id")
                   .withColumnRenamed("_vsh", "_sa"), "a_id")
-        .join(F.broadcast(d).withColumnRenamed("_vid", "b_id")
+        .join(d.withColumnRenamed("_vid", "b_id")
               .withColumnRenamed("_vsh", "_sb"), "b_id")
     )
 
@@ -616,13 +640,22 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     * then label(v) ← label(label(v)) (path halving), which collapses
       chains so convergence is O(log diameter) rounds, not O(diameter);
     * a driver-side changed-count per round stops at the fixpoint — the
-      loop length depends on cluster shape, never on table size.
+      loop length depends on cluster shape, never on table size;
+    * each round's labels are ``localCheckpoint``-ed, which both caches
+      the blocks AND TRUNCATES THE LOGICAL PLAN — without truncation the
+      plan tree compounds across rounds (measured ~6,900 shuffle nodes
+      after convergence at sf0.1), blowing up Catalyst planning time and
+      task-binary size at scale even though the data itself was cached.
 
     ``nodes`` (optional, one ``node_col`` column) adds isolated vertices
     as their own singleton components. Returns (node, component) with
     component = min node id reachable — deterministic, so oracle-checkable
-    against a recursive-CTE reachability query.
+    against a recursive-CTE reachability query. Warns (loudly) if the
+    fixpoint is not reached within ``max_iters`` — the result would be
+    silently wrong otherwise.
     """
+    import warnings
+
     # persist the symmetric edge list: every round joins it, and without
     # the persist each of the O(log diameter) rounds would recompute the
     # whole upstream candidate pipeline (signature UDFs included)
@@ -638,8 +671,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         singletons = (nodes.select(F.col(node_col).alias("node")).distinct()
                       .join(verts, "node", "left_anti")
                       .select("node", F.col("node").alias("component")))
-    labels = verts.withColumn("label", F.col("node")).persist()
-    prev_cache = labels
+    labels = verts.withColumn("label", F.col("node"))
+    converged = False
     try:
         for _ in range(max_iters):
             nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
@@ -653,15 +686,20 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             jumped = (stepped.join(lj, stepped["label"] == lj["_ln"], "left")
                       .select("node", "_old",
                               F.least("label", F.coalesce("_ll", "label")).alias("label"))
-                      ).persist()
-            # ONE job per round: the changed-count materializes the cache
+                      # lazy localCheckpoint: the changed-count below is the
+                      # round's single job — it computes, caches, AND cuts
+                      # lineage, so round N+1's plan starts from a leaf
+                      ).localCheckpoint(eager=False)
             changed = jumped.filter(F.col("label") < F.col("_old")).count()
-            if prev_cache is not None and prev_cache is not jumped:
-                prev_cache.unpersist()   # safe: jumped's blocks are cached
-            prev_cache = jumped
             labels = jumped.select("node", "label")
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            warnings.warn(
+                f"connected_components did not converge within {max_iters} "
+                "iterations — labels may be non-minimal; raise max_iters",
+                RuntimeWarning, stacklevel=2)
         out = labels.select("node", F.col("label").alias("component"))
         if singletons is not None:
             out = out.unionByName(singletons)
@@ -762,7 +800,9 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
                      F.shiftright("sh", c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"))
             for c in range(4)
         ])).alias("ck"),
-    ).select("doc", "sh", "ck.chunk", "ck.key")
+    ).select("doc", "sh", "ck.chunk", "ck.key").persist()
+    # ^ persist: both self-join sides read the cached chunk table, so the
+    # simhash signature kernel runs once per query instead of twice
     cand = (
         chunks.alias("l").join(chunks.alias("r"), ["chunk", "key"])
         .filter(F.col("l.doc") < F.col("r.doc"))
@@ -787,13 +827,31 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
     oracle-checkable bit-for-bit (``kmv_distinct_sql_duckdb``).
 
     Scale shape: distinct → hash → per-key rank window (top-k, k small)
-    → one aggregate. No collect_list of unbounded groups.
+    → one aggregate. No collect_list of unbounded groups. The hash runs
+    through the vectorized NumPy kernel (``_poly_hash_batch`` via
+    mapInPandas), not the interpreted HOF Column path — the 64-element
+    zip_with/aggregate lambda chain runs in the expression interpreter
+    per row and was this query's dominant cost (~5x slower than the
+    Arrow-batched kernel). Values are identical (three-way non-BMP
+    parity pytest-asserted).
     """
     from pyspark.sql import Window
 
     d = df.select(F.col(key_col).alias("key"),
                   F.col(value_col).alias("val")).distinct()
-    h = d.select("key", gram_hash40(F.col("val")).alias("h")).distinct()
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [v if isinstance(v, str) else "" for v in pdf["val"]]
+            yield pd.DataFrame({
+                "key": pdf["key"],
+                "h": _poly_hash_batch(vals, _POWS1_NP).astype(np.int64),
+            })
+
+    ktype = dict(d.dtypes)["key"]
+    h = d.mapInPandas(run, schema=f"key {ktype}, h long").distinct()
     w = Window.partitionBy("key").orderBy(F.col("h").asc())
     topk = h.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
     return topk.groupBy("key").agg(

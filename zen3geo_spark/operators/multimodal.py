@@ -2,11 +2,14 @@
 
 Media ride as opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over ``mapInPandas``. The image decode is a REAL codec for the netpbm PPM
-format (P6 binary / P3 ascii — public spec, parsed with NumPy alone since
-no image libraries ship in this container); other formats raise
-ValueError at decode time. ``fake=True`` keeps the deterministic
-stand-in decoder for plumbing tests that don't care about bytes.
+over ``mapInPandas``. The image decode is a REAL codec for the netpbm
+family (PPM P6/P3 color, PGM P5/P2 grayscale — public specs, parsed with
+NumPy alone since no image libraries ship in this container); other
+formats raise ValueError at decode time. ``fake=True`` keeps the
+deterministic stand-in decoder for plumbing tests that don't care about
+bytes. ``write_pgm_assets``/``scan_pgm_assets`` exercise the binaryFile
+ingestion path end-to-end: real files on disk → binary rows → decode →
+per-file stats (only scalars cross the Arrow boundary back).
 """
 
 from __future__ import annotations
@@ -36,16 +39,17 @@ def ppm_bytes(media_id: int, w: int, h: int) -> bytes:
     return header + ((media_id * 7 + idx * 13) % 256).astype(np.uint8).tobytes()
 
 
-def parse_ppm(buf: bytes) -> np.ndarray:
-    """Minimal netpbm PPM parser (P6 raw / P3 ascii, maxval <= 255) →
-    (h, w, 3) float64 array. Public format; NumPy-only."""
+def _parse_netpbm(buf: bytes, magics: tuple[bytes, ...]) -> np.ndarray:
+    """Shared netpbm header+raster parser (public format; NumPy-only).
+    Returns (h, w) for graymap magics or (h, w, 3) for pixmap magics,
+    float64, maxval <= 255."""
     toks: list[bytes] = []
     pos = 0
     while len(toks) < 4:
         while pos < len(buf) and buf[pos:pos + 1].isspace():
             pos += 1
         if pos >= len(buf):
-            raise ValueError("truncated PPM header")
+            raise ValueError("truncated netpbm header")
         if buf[pos:pos + 1] == b"#":
             while pos < len(buf) and buf[pos:pos + 1] != b"\n":
                 pos += 1
@@ -54,22 +58,88 @@ def parse_ppm(buf: bytes) -> np.ndarray:
         while pos < len(buf) and not buf[pos:pos + 1].isspace():
             pos += 1
         toks.append(buf[start:pos])
-        if len(toks) == 1 and toks[0] not in (b"P6", b"P3"):
+        if len(toks) == 1 and toks[0] not in magics:
             raise ValueError(
                 f"unsupported image format (magic {toks[0][:8]!r}); "
-                "this engine decodes netpbm PPM (P6/P3)")
+                f"this engine decodes netpbm {'/'.join(m.decode() for m in magics)}")
     magic, w, h, maxv = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
     if maxv > 255:
-        raise ValueError("PPM maxval > 255 unsupported")
-    if magic == b"P6":
+        raise ValueError("netpbm maxval > 255 unsupported")
+    nch = 3 if magic in (b"P6", b"P3") else 1
+    n_vals = w * h * nch
+    if magic in (b"P6", b"P5"):
         pos += 1  # exactly one whitespace byte after maxval (spec)
-        arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
-    elif magic == b"P3":
-        arr = np.array(buf[pos:].split()[: w * h * 3], dtype=np.int64)
-    else:
-        raise ValueError(f"unsupported image format (magic {magic!r}); "
-                         "this engine decodes netpbm PPM (P6/P3)")
-    return arr.reshape(h, w, 3).astype(np.float64)
+        arr = np.frombuffer(buf, dtype=np.uint8, count=n_vals, offset=pos)
+    else:  # P3 / P2 ascii
+        arr = np.array(buf[pos:].split()[:n_vals], dtype=np.int64)
+    shape = (h, w, 3) if nch == 3 else (h, w)
+    return arr.reshape(shape).astype(np.float64)
+
+
+def parse_ppm(buf: bytes) -> np.ndarray:
+    """Netpbm PPM parser (P6 raw / P3 ascii) → (h, w, 3) float64."""
+    return _parse_netpbm(buf, (b"P6", b"P3"))
+
+
+def parse_pgm(buf: bytes) -> np.ndarray:
+    """Netpbm PGM graymap parser (P5 raw / P2 ascii) → (h, w) float64."""
+    return _parse_netpbm(buf, (b"P5", b"P2"))
+
+
+def pgm_bytes(asset_id: int, w: int, h: int) -> bytes:
+    """Deterministic P5 PGM: pixel byte i = (asset_id·11 + i·17) mod 256
+    (the formula the binary_assets DuckDB oracle recomputes)."""
+    header = f"P5\n{w} {h}\n255\n".encode()
+    idx = np.arange(w * h, dtype=np.int64)
+    return header + ((asset_id * 11 + idx * 17) % 256).astype(np.uint8).tobytes()
+
+
+def write_pgm_assets(asset_dir, n: int) -> None:
+    """Materialize ``n`` deterministic PGM files ``asset_####.pgm`` under
+    ``asset_dir`` (idempotent — skipped when already present), sized
+    w = 20 + id%8, h = 12 + id%4. These back the binaryFile ingestion
+    path: real files on disk → ``spark.read.format('binaryFile')`` →
+    Arrow-batched decode."""
+    import os
+
+    os.makedirs(asset_dir, exist_ok=True)
+    for i in range(n):
+        p = os.path.join(asset_dir, f"asset_{i:04d}.pgm")
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(pgm_bytes(i, 20 + i % 8, 12 + i % 4))
+
+
+def scan_pgm_assets(spark, asset_dir) -> DataFrame:
+    """binaryFile scan → per-file grayscale stats: the end-to-end media
+    ingestion shape (files on disk → binary rows → vectorized decode →
+    JVM aggregate). The asset id is parsed from the file path; the decode
+    runs once per file inside mapInPandas and emits ONLY the scalar stats
+    (never the pixel matrix), so the shuffled bytes per 100-MB image are
+    three doubles."""
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.pgm").load(str(asset_dir))
+           .select(F.regexp_extract(F.col("path"), r"asset_(\d+)\.pgm", 1)
+                   .cast("long").alias("asset_id"),
+                   "content"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for aid, buf in zip(pdf["asset_id"], pdf["content"]):
+                img = parse_pgm(bytes(buf))
+                recs.append((int(aid), img.shape[0], img.shape[1],
+                             float(img.mean()), float(img.min()),
+                             float(img.max())))
+            yield pd.DataFrame(recs, columns=[
+                "asset_id", "height", "width", "mean_px", "min_px", "max_px"])
+
+    return raw.mapInPandas(
+        run, schema=("asset_id long, height int, width int, "
+                     "mean_px double, min_px double, max_px double"))
 
 
 def _fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:
@@ -115,20 +185,34 @@ def decode_image(media: DataFrame, fake: bool = False,
     real path parses netpbm PPM; non-PPM payloads raise ValueError.
     ``fake=True`` uses the deterministic stand-in decoder instead."""
 
+    oy = np.arange(out_h)
+    ox = np.arange(out_w)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
+            n = len(pdf)
+            if n == 0:
+                continue
+            # batched output: one preallocated (n, out_h*out_w*3) pixel
+            # matrix per Arrow batch — the per-row Python is only the
+            # header parse; resize gathers and the DataFrame build are
+            # single vectorized ops over the whole batch
+            px = np.empty((n, out_h * out_w * 3), dtype=np.float64)
+            for i, (payload, h, w) in enumerate(zip(pdf["payload"],
+                                                    pdf["height"],
+                                                    pdf["width"])):
                 if fake:
-                    img = _fake_decode(bytes(r.payload), int(r.height), int(r.width))
+                    img = _fake_decode(bytes(payload), int(h), int(w))
                 else:
-                    img = parse_ppm(bytes(r.payload))
-                yi = (np.arange(out_h) * img.shape[0] // out_h)
-                xi = (np.arange(out_w) * img.shape[1] // out_w)
-                small = img[yi][:, xi]
-                out.append((r.media_id, out_h, out_w, 3, small.ravel().tolist()))
-            yield pd.DataFrame(out, columns=["media_id", "height", "width",
-                                             "channels", "pixels"])
+                    img = parse_ppm(bytes(payload))
+                px[i] = img[oy * img.shape[0] // out_h][:, ox * img.shape[1] // out_w].ravel()
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "height": np.full(n, out_h, dtype=np.int32),
+                "width": np.full(n, out_w, dtype=np.int32),
+                "channels": np.full(n, 3, dtype=np.int32),
+                "pixels": list(px),
+            })
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=DECODED_SCHEMA)
 
@@ -149,11 +233,12 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def image_stats(decoded: DataFrame) -> DataFrame:
     """Feature extraction: per-image mean/min/max over the pixel array —
-    JVM array aggregates, no Python."""
-    px = F.col("pixels")
-    return decoded.select(
-        "media_id",
-        (F.aggregate(px, F.lit(0.0), lambda a, v: a + v) / F.size(px)).alias("mean_px"),
-        F.array_min(px).alias("min_px"),
-        F.array_max(px).alias("max_px"),
+    explode + whole-stage-codegen hash aggregate (map-side partial
+    combine), replacing the interpreted ``F.aggregate`` HOF reduce which
+    walked the array per row in the expression interpreter."""
+    ex = decoded.select("media_id", F.explode("pixels").alias("_v"))
+    return ex.groupBy("media_id").agg(
+        F.avg("_v").alias("mean_px"),
+        F.min("_v").alias("min_px"),
+        F.max("_v").alias("max_px"),
     )

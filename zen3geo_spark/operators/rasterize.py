@@ -115,11 +115,12 @@ def rasterize(canvas_df: DataFrame, geoms_df: DataFrame, agg: str | None = None,
     """Burn geometries onto canvases → long-form raster (north-up rows).
 
     ``agg`` mirrors the reference's pluggable datashader reduction
-    (datashader.py:49-55,228-242): points support count/any/sum/mean/max/
-    min (sum/mean/max/min reduce ``value_col``, a per-geometry scalar —
-    every point of a multipoint carries its geometry's value); burned
-    lines/polygons support any (presence) and sum/count (geometries
-    covering the pixel).
+    (datashader.py:49-55,228-242) for EVERY geometry kind: points support
+    count/any/sum/mean/max/min; lines/polygons support any (presence),
+    count (geometries covering the pixel), and sum/mean/max/min of
+    ``value_col`` — a per-geometry scalar (road speed, polygon attribute)
+    reduced over the geometries whose burn covers each pixel, matching
+    datashader's value-carrying reductions.
     """
     if validate:
         _, n_vec, kind = validate_rasterize_inputs(canvas_df, geoms_df)
@@ -132,24 +133,32 @@ def rasterize(canvas_df: DataFrame, geoms_df: DataFrame, agg: str | None = None,
     pairs = _paired(canvas_df, geoms_df, n_vec)
     if kind == "point":
         return _rasterize_points_sql(pairs, agg, value_col)
-    if agg in ("mean", "max", "min"):
-        raise ValueError(
-            f"agg '{agg}' needs a per-point value column — only point "
-            "geometries carry one; lines/polygons support any/sum/count")
+    if agg in ("mean", "max", "min") and value_col is None:
+        raise ValueError(f"line/polygon agg '{agg}' requires value_col "
+                         "(a per-geometry scalar)")
     kernel = _line_kernel if kind == "line" else _polygon_kernel
     # group per (canvas, geometry): a canvas with many geometries burns in
     # parallel tasks and the pixel-level aggregate below merges them —
     # identical output to a per-canvas group, one less skew shape (a
     # single giant geometry would still need a row-block sub-key)
+    vcol = value_col if agg in ("sum", "mean", "max", "min") else None
     burned = pairs.groupBy("canvas_id", "geom_id").applyInPandas(
-        _make_grouped_kernel(kernel), schema=RASTER_SCHEMA
+        _make_grouped_kernel(kernel, vcol), schema=RASTER_SCHEMA
     )
-    if agg == "any":
-        return burned.groupBy("canvas_id", "row", "col").agg(
-            F.lit(1.0).alias("value")
-        )
+    finals = {
+        "any": F.lit(1.0),
+        "count": F.count("*").cast("double"),
+        "sum": F.sum("value"),
+        "mean": F.avg("value"),
+        "max": F.max("value"),
+        "min": F.min("value"),
+    }
+    if agg not in finals:
+        raise ValueError(f"unsupported line/polygon agg '{agg}'")
+    # sum without value_col keeps the legacy coverage-count semantics
+    # (each burned pixel row carries value 1.0)
     return burned.groupBy("canvas_id", "row", "col").agg(
-        F.sum("value").alias("value")
+        finals[agg].alias("value")
     )
 
 
@@ -305,19 +314,23 @@ def _polygon_kernel(width, height, xmin, ymin, xmax, ymax, parts) -> np.ndarray:
     return np.stack([XI[ys_in, xs_in], YI[ys_in, xs_in]], axis=1)
 
 
-def _make_grouped_kernel(kernel):
+def _make_grouped_kernel(kernel, value_col: str | None = None):
+    """Grouped burn kernel; with ``value_col`` each burned pixel row
+    carries its geometry's scalar value (for sum/mean/max/min pixel
+    reductions), else 1.0 (presence/count)."""
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in pdf.itertuples(index=False):
             pix = kernel(int(r.width), int(r.height), float(r.xmin), float(r.ymin),
                          float(r.xmax), float(r.ymax), r.parts)
             if len(pix):
+                val = float(getattr(r, value_col)) if value_col else 1.0
                 rows.append(
                     pd.DataFrame({
                         "canvas_id": np.full(len(pix), r.canvas_id, dtype=np.int64),
                         "row": (int(r.height) - 1 - pix[:, 1]).astype(np.int32),
                         "col": pix[:, 0].astype(np.int32),
-                        "value": np.ones(len(pix)),
+                        "value": np.full(len(pix), val),
                     })
                 )
         if not rows:

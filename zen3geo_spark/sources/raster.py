@@ -56,16 +56,61 @@ def scan_binary_assets(spark: SparkSession, path_glob: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path_glob)
 
 
-ENGINES = {"parquet", "json", "csv", "binaryFile"}
+ENGINES = {"parquet", "json", "csv", "binaryFile", "netpbm"}
 
 
 def open_asset(spark: SparkSession, path: str, engine: str = "parquet",
                **options) -> DataFrame:
     """XpySTACAssetReader's engine dispatch (xpystac.py:41-46): the
-    ``engine`` kwarg ≙ Spark's format(...) choice."""
+    ``engine`` kwarg ≙ Spark's format(...) choice. ``engine='netpbm'``
+    is the real-decode path: binaryFile scan → NumPy PGM/PPM codec →
+    long-form pixel rows (the shape ``scan_tiles`` consumes) — the
+    container has no GDAL, so netpbm stands in for the reference's
+    rasterio/zarr engines with a genuinely decoded format."""
     if engine not in ENGINES:
         raise ValueError(f"unsupported engine {engine!r}; one of {sorted(ENGINES)}")
+    if engine == "netpbm":
+        return _read_netpbm_pixels(spark, path)
     reader = spark.read.format(engine)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def _read_netpbm_pixels(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile → decode every PGM (band 0) / PPM (bands 0-2) asset to
+    long-form pixels (asset_id, band, y_idx, x_idx, value). The decode is
+    Arrow-batched; each file expands to h·w·bands rows inside its own
+    task, so a directory of assets parallelizes per file."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.p[gp]m").load(str(path))
+           .select("path", "content"))
+
+    def run(batches):
+        from zen3geo_spark.operators.multimodal import _parse_netpbm
+
+        for pdf in batches:
+            for p, buf in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"(\d+)\.\w+$", p)
+                aid = int(m.group(1)) if m else -1
+                img = _parse_netpbm(bytes(buf), (b"P5", b"P2", b"P6", b"P3"))
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                h, w, nb = img.shape
+                yy, xx, bb = np.meshgrid(np.arange(h), np.arange(w),
+                                         np.arange(nb), indexing="ij")
+                yield pd.DataFrame({
+                    "asset_id": np.full(h * w * nb, aid, dtype=np.int64),
+                    "band": bb.ravel().astype(np.int32),
+                    "y_idx": yy.ravel().astype(np.int32),
+                    "x_idx": xx.ravel().astype(np.int32),
+                    "value": img.ravel(),
+                })
+
+    return raw.mapInPandas(
+        run, schema="asset_id long, band int, y_idx int, x_idx int, value double")
