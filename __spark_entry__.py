@@ -893,6 +893,19 @@ def q_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min_px", "max_px")
 
 
+def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERING end-to-end: exact block-matmul
+    cosine pairs (>= 0.4) → connected components → (vec, component) keep
+    groups — the semantic-dedup shape (cluster, keep min id per group)."""
+    from zen3geo_spark.operators.dedup import connected_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_near_dup_pairs_blocked(emb, threshold=0.4).select("a_id", "b_id")
+    comp = connected_components(
+        pairs, nodes=emb.select(F.col("vec_id").alias("node")))
+    return comp.select("node", "component")
+
+
 def q_word_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-Jaccard baseline on a bounded slice (doc_id < 200), no
     document-frequency blocking — the recall yardstick for word_jaccard's
@@ -935,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_poly_max": q_rasterize_poly_max,
         "bbox_image_coords": q_bbox_image_coords,
         "binary_assets": q_binary_assets,
+        "embed_dedup_clusters": q_embed_dedup_clusters,
         "word_jaccard_exact": q_word_jaccard_exact,
         # --- changed this round (scale fixes touching these plans) ---
         "kmv_distinct": q_kmv_distinct,
@@ -1827,6 +1841,19 @@ def oracle_sql() -> dict[str, str]:
         "select doc_id as node from documents",
         prelude_ctes=simhash_ctes_flat)
 
+    embed_clusters_prelude = """
+    _d as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    _eprs as (
+      select a.vec_id as a_id, b.vec_id as b_id
+      from _d a join _d b on a.vec_id < b.vec_id
+      where list_cosine_similarity(a.v, b.v) >= 0.4
+    )"""
+    embed_dedup_clusters_sql = components_sql_duckdb(
+        "select a_id as u, b_id as v from _eprs "
+        "union all select b_id as u, a_id as v from _eprs",
+        "select vec_id as node from embeddings",
+        prelude_ctes=embed_clusters_prelude)
+
     return {
         "pages_extract": (
             f"with pages as ({pages_cte_sql(N_PAGES)}) "
@@ -1853,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_poly_max": rasterize_poly_max_sql,
         "bbox_image_coords": bbox_image_coords_sql,
         "binary_assets": binary_assets_sql,
+        "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,
         "chip_grid_nd": chip_grid_nd_sql,

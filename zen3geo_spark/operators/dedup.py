@@ -817,7 +817,7 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
-                 k: int = 64) -> DataFrame:
+                 k: int = 64, salt_parts: int = 32) -> DataFrame:
     """K-minimum-values distinct-count sketch per key (Bar-Yossef et al.
     — public construction): hash each distinct value with the shared
     40-bit polynomial hash, keep the k smallest hashes per key, estimate
@@ -852,8 +852,20 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
 
     ktype = dict(d.dtypes)["key"]
     h = d.mapInPandas(run, schema=f"key {ktype}, h long").distinct()
-    w = Window.partitionBy("key").orderBy(F.col("h").asc())
-    topk = h.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    # two-phase salted top-k: a sketch has FEW keys by construction (it
+    # summarizes per key), so a straight per-key window would funnel each
+    # key's whole distinct-hash set through one task at corpus scale.
+    # Phase 1 ranks within (key, hash mod salt_parts) — salt_parts-way
+    # parallel, each partition keeps <= k; phase 2 ranks the surviving
+    # <= salt_parts·k rows per key (bounded, trivially one task). The
+    # global k smallest are a subset of the per-salt k smallest, so the
+    # result is value-identical to the unsalted window (and the oracle).
+    w1 = Window.partitionBy("key", "_salt").orderBy(F.col("h").asc())
+    cand = (h.withColumn("_salt", F.pmod(F.col("h"), F.lit(salt_parts)))
+            .withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= k).drop("_salt", "_rk"))
+    w2 = Window.partitionBy("key").orderBy(F.col("h").asc())
+    topk = cand.withColumn("_rk", F.row_number().over(w2)).filter(F.col("_rk") <= k)
     return topk.groupBy("key").agg(
         F.count("*").alias("n_kept"),
         F.max("h").alias("kth_min"),
