@@ -393,13 +393,13 @@ def q_forked_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distinct-count sketch (K-minimum-values over the
     shared polynomial hash): estimated distinct 2-gram shingles per
-    source — unlike HLL, the sketch itself hash-matches across engines."""
-    from zen3geo_spark.operators.dedup import kmv_distinct, shingles
+    source — unlike HLL, the sketch itself hash-matches across engines.
+    Runs the fused kernel (shingle+hash+batch-dedup in one Arrow pass;
+    no string ever shuffles)."""
+    from zen3geo_spark.operators.dedup import kmv_distinct_shingles
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = docs.select(
-        "source", F.explode(shingles(F.col("text"), 2)).alias("sh"))
-    out = kmv_distinct(pairs, "source", "sh", k=64)
+    out = kmv_distinct_shingles(docs, "source", "text", shingle_n=2, k=64)
     return out.select(F.col("key").alias("source"), "n_kept",
                       F.round("est_distinct", 6).alias("est_distinct"))
 

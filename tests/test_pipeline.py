@@ -91,3 +91,14 @@ def test_spark_submit_py_files(tmp_path):
     assert res["extracted"] > 3000
     assert res["rollup_cells"] > 0
     assert os.path.exists(os.path.join(out_dir, "pip", "_MANIFEST.json"))
+
+
+def test_driver_contract_key_alignment():
+    """Every oracle_sql() key must have a queries() entry; the only
+    queries() entries without an oracle are the declared rows-only set."""
+    import __spark_entry__ as E
+
+    q = set(E.queries())
+    o = set(E.oracle_sql())
+    assert o <= q, o - q
+    assert q - o == {"ann_ivf_trained"}, q - o

@@ -588,9 +588,18 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     ids = (cand.select(F.col("a_id").alias("_vid"))
            .unionByName(cand.select(F.col("b_id").alias("_vid")))
            .distinct())
+    # broadcast the ID LIST (two longs per candidate — small by the LSH
+    # invariant; nothing corpus-sized): the semi-join then prunes the
+    # wide shingle-array table in place with zero shuffle of the arrays.
+    # An un-broadcast semi would sort-merge, i.e. shuffle-sort the whole
+    # corpus's shingle arrays — measured 10x slower at sf0.1. The
+    # filtered table is candidate-sized, so it's persisted (it feeds both
+    # the a-side and b-side joins) and left to AQE's stats for the join
+    # strategy — no hint on anything derived from the full docs table.
     d = (docs.select(F.col(id_col).alias("_vid"),
                      shingles(F.col(text_col), shingle_n).alias("_vsh"))
-         .join(ids, "_vid", "left_semi"))
+         .join(F.broadcast(ids), "_vid", "left_semi")
+         .persist())
     joined = (
         cand.join(d.withColumnRenamed("_vid", "a_id")
                   .withColumnRenamed("_vsh", "_sa"), "a_id")
@@ -646,6 +655,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
       plan tree compounds across rounds (measured ~6,900 shuffle nodes
       after convergence at sf0.1), blowing up Catalyst planning time and
       task-binary size at scale even though the data itself was cached.
+      Each round's blocks are O(|edge-touching nodes|) (node, label)
+      pairs; superseded rounds are freed by Spark's ContextCleaner once
+      their DataFrames are dereferenced (checkpointed RDDs have no
+      explicit unpersist), so peak storage is a few rounds of label
+      tables, not the edge list.
 
     ``nodes`` (optional, one ``node_col`` column) adds isolated vertices
     as their own singleton components. Returns (node, component) with
@@ -826,8 +840,9 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
     yields the same estimate on every engine, so the sketch itself is
     oracle-checkable bit-for-bit (``kmv_distinct_sql_duckdb``).
 
-    Scale shape: distinct → hash → per-key rank window (top-k, k small)
-    → one aggregate. No collect_list of unbounded groups. The hash runs
+    Scale shape: hash → one distinct (of 8-byte hashes, not strings) →
+    salted two-phase top-k → one aggregate. No collect_list of unbounded
+    groups. The hash runs
     through the vectorized NumPy kernel (``_poly_hash_batch`` via
     mapInPandas), not the interpreted HOF Column path — the 64-element
     zip_with/aggregate lambda chain runs in the expression interpreter
@@ -837,29 +852,41 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
     """
     from pyspark.sql import Window
 
-    d = df.select(F.col(key_col).alias("key"),
-                  F.col(value_col).alias("val")).distinct()
+    d = df.select(F.col(key_col).alias("key"), F.col(value_col).alias("val"))
 
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vals = [v if isinstance(v, str) else "" for v in pdf["val"]]
-            yield pd.DataFrame({
-                "key": pdf["key"],
-                "h": _poly_hash_batch(vals, _POWS1_NP).astype(np.int64),
-            })
+            # factorize: value vocabularies repeat heavily, hash each
+            # distinct value once per Arrow batch
+            codes, uniq = pd.factorize(pdf["val"], use_na_sentinel=False)
+            vals = [v if isinstance(v, str) else "" for v in uniq]
+            hu = _poly_hash_batch(vals, _POWS1_NP).astype(np.int64)
+            yield pd.DataFrame({"key": pdf["key"], "h": hu[codes]})
 
+    # hash BEFORE deduplicating: the single distinct then shuffles (key,
+    # 8-byte hash) rows instead of (key, string) — a distinct-by-value
+    # pass first would add a full shuffle of the raw strings for an
+    # identical result (equal values hash equal, so the distinct hash
+    # SET is the same either way; that set is what the estimator reads)
     ktype = dict(d.dtypes)["key"]
     h = d.mapInPandas(run, schema=f"key {ktype}, h long").distinct()
-    # two-phase salted top-k: a sketch has FEW keys by construction (it
-    # summarizes per key), so a straight per-key window would funnel each
-    # key's whole distinct-hash set through one task at corpus scale.
-    # Phase 1 ranks within (key, hash mod salt_parts) — salt_parts-way
-    # parallel, each partition keeps <= k; phase 2 ranks the surviving
-    # <= salt_parts·k rows per key (bounded, trivially one task). The
-    # global k smallest are a subset of the per-salt k smallest, so the
-    # result is value-identical to the unsalted window (and the oracle).
+    return _kmv_estimate(h, k, salt_parts)
+
+
+def _kmv_estimate(h: DataFrame, k: int, salt_parts: int) -> DataFrame:
+    """Shared KMV tail over a (key, h) table: salted two-phase top-k →
+    estimator. A sketch has FEW keys by construction (it summarizes per
+    key), so a straight per-key window would funnel each key's whole
+    distinct-hash set through one task at corpus scale. Phase 1 ranks
+    within (key, hash mod salt_parts) — salt_parts-way parallel, each
+    partition keeps <= k; phase 2 ranks the surviving <= salt_parts·k
+    rows per key (bounded, trivially one task). The global k smallest
+    are a subset of the per-salt k smallest, so the result is
+    value-identical to the unsalted window (and the oracle)."""
+    from pyspark.sql import Window
+
     w1 = Window.partitionBy("key", "_salt").orderBy(F.col("h").asc())
     cand = (h.withColumn("_salt", F.pmod(F.col("h"), F.lit(salt_parts)))
             .withColumn("_rk", F.row_number().over(w1))
@@ -876,6 +903,38 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
                     (F.col("kth_min").cast("double") / F.lit(float(HASH_M)))))
         .alias("est_distinct"),
     )
+
+
+def kmv_distinct_shingles(docs: DataFrame, key_col: str, text_col: str,
+                          shingle_n: int, k: int = 64,
+                          salt_parts: int = 32) -> DataFrame:
+    """Fused KMV over word-shingle vocabularies: shingling, hashing AND
+    per-batch (key, hash) dedup all happen inside one Arrow kernel, so
+    neither the shingle strings nor their per-document repetition ever
+    hit a shuffle — the single distinct downstream sees only the
+    already-deduplicated (key, 8-byte hash) pairs of each batch.
+    Value-identical to ``kmv_distinct`` over exploded ``shingles()``
+    (same ``_shingle_list``/``_poly_hash_batch`` kernels as the minhash
+    signatures; parity pytest-covered) and to the DuckDB oracle."""
+
+    d = docs.select(F.col(key_col).alias("key"), F.col(text_col).alias("val"))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uniq, idx, starts = _batch_grams(pdf["val"], shingle_n)
+            hu = _poly_hash_batch(uniq, _POWS1_NP).astype(np.int64)
+            n_per_doc = np.diff(np.append(starts, len(idx)))
+            out = pd.DataFrame({
+                "key": np.repeat(pdf["key"].to_numpy(), n_per_doc),
+                "h": hu[idx],
+            }).drop_duplicates()
+            yield out
+
+    ktype = dict(d.dtypes)["key"]
+    h = d.mapInPandas(run, schema=f"key {ktype}, h long").distinct()
+    return _kmv_estimate(h, k, salt_parts)
 
 
 def kmv_distinct_sql_duckdb(rel: str, key_col: str, value_col: str,
