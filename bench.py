@@ -99,11 +99,31 @@ def flagship_pages_pipeline(spark, n_pages: int) -> int:
     return n_pages
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, warm: bool | None = None) -> dict[str, float]:
+    """Per-query wall times, measured STEADY-STATE: one untimed warm pass
+    over the whole suite first (JVM JIT + whole-stage-codegen compile +
+    Python worker spawn + first-touch page faults — this sandbox's guest
+    memory faults at ~100 µs/page cold, so a cold first run measures the
+    hypervisor, not the plan; a long-lived cluster job pays these once per
+    executor lifetime), then a timed pass with the cache CLEARED before
+    every query so each timed number recomputes its full plan and no
+    query rides a twin sub-plan persisted by an earlier one.
+    SPARK_GRAFT_BENCH_WARM=0 restores single-cold-pass timing."""
     import __spark_entry__ as E
 
+    if warm is None:
+        warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    qs = E.queries()
+    if warm:
+        for name, fn in qs.items():
+            try:
+                fn(spark, sf_dir).count()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+
     times: dict[str, float] = {}
-    for name, fn in E.queries().items():
+    for name, fn in qs.items():
         t0 = time.time()
         try:
             fn(spark, sf_dir).count()
@@ -114,6 +134,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             print(f"[bench] query {name} FAILED:", file=sys.stderr)
             traceback.print_exc()
             times[name] = -1.0
+        spark.catalog.clearCache()
     return times
 
 

@@ -53,17 +53,21 @@ MINHASH_PRIME = HASH_M
 
 POWS1 = [pow(HASH_P1, i, HASH_M) for i in range(GRAM_CAP)]
 POWS2 = [pow(HASH_P2, i, HASH_M) for i in range(GRAM_CAP)]
-_POWS1_NP = np.array(POWS1, dtype=np.uint64)
-_POWS2_NP = np.array(POWS2, dtype=np.uint64)
+# int64 throughout the NumPy kernels, NOT uint64: every intermediate is
+# < 2^61 by construction (code·P^i < 2^21·2^40, a_j·h < 2^20·2^40), and
+# this host's numpy routes uint64 multiply/add through a ~200x-slower
+# non-SIMD loop (measured: 2M-element uint64 mul 4.4 s vs int64 0.02 s)
+_POWS1_NP = np.array(POWS1, dtype=np.int64)
+_POWS2_NP = np.array(POWS2, dtype=np.int64)
 
 
 def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic affine-permutation params a_j (odd, < 2^20 so that
     a·h < 2^60 stays in int64 on every engine) and b_j (< 2^20)."""
     a = np.array([((2 * j + 1) * 2654435761) % (1 << 20) | 1
-                  for j in range(num_hashes)], dtype=np.uint64)
+                  for j in range(num_hashes)], dtype=np.int64)
     b = np.array([(j * 40503 + 12345) % (1 << 20)
-                  for j in range(num_hashes)], dtype=np.uint64)
+                  for j in range(num_hashes)], dtype=np.int64)
     return a, b
 
 
@@ -73,19 +77,24 @@ def _poly_hash_batch(grams: list[str], pows: np.ndarray) -> np.ndarray:
     The only Python-level loop is the per-string utf-32 encode."""
     n = len(grams)
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64)
     enc = [g[:GRAM_CAP].encode("utf-32-le") for g in grams]
     lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64, count=n)
     width = int(lens.max()) if n else 0
     if width == 0:
-        return np.zeros(n, dtype=np.uint64)
-    M = np.zeros((n, width), dtype=np.uint64)
+        return np.zeros(n, dtype=np.int64)
+    M = np.zeros((n, width), dtype=np.int64)
     for i, e in enumerate(enc):
         if e:
             M[i, : lens[i]] = np.frombuffer(e, dtype=np.uint32)
-    acc = np.zeros(n, dtype=np.uint64)
+    # transpose-copy so each accumulation step is scalar × CONTIGUOUS row:
+    # this host's numpy runs strided/broadcast int64 loops ~200x slower
+    # than contiguous scalar ops (no SIMD dispatch on 0-/column-strides)
+    MT = np.ascontiguousarray(M.T)
+    acc = np.zeros(n, dtype=np.int64)
     for i in range(width):
-        acc = (acc + M[:, i] * pows[i]) % HASH_M
+        acc += MT[i] * int(pows[i])
+        acc %= HASH_M
     return acc
 
 
@@ -107,6 +116,53 @@ def _batch_grams(texts, shingle_n: int):
             all_idx.append(j)
         offsets.append(len(all_idx))
     return list(uniq), np.asarray(all_idx, dtype=np.int64), np.asarray(offsets[:-1], dtype=np.int64)
+
+
+def shingle_table_pd(docs: DataFrame, text_col: str, id_col: str,
+                     shingle_n: int, out_id: str = "_vid",
+                     out_sh: str = "_vsh") -> DataFrame:
+    """(id, shingle-array) table via the Arrow kernel. Twin of the JVM
+    ``shingles`` Column (``_shingle_list`` is the pytest-asserted parity
+    twin) — used on hot paths because the Column version's HOF lambda
+    chain (transform/slice/array_join/array_distinct) runs in the
+    expression interpreter at ~30 µs per gram (measured 8.3 s warm for a
+    5 k-doc / 256 k-gram corpus vs 0.3 s here)."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                out_id: pdf[id_col].to_numpy(),
+                out_sh: [_shingle_list(t if isinstance(t, str) else "", shingle_n)
+                         for t in pdf[text_col]],
+            })
+
+    return _ensure_parallelism(docs).select(id_col, text_col).mapInPandas(
+        run, schema=f"{out_id} long, {out_sh} array<string>")
+
+
+def exploded_shingles_pd(docs: DataFrame, text_col: str, id_col: str,
+                         shingle_n: int) -> DataFrame:
+    """(doc, n_sh, sh) one-row-per-distinct-gram table via the Arrow
+    kernel — the exploded twin of ``shingle_table_pd`` for blocking
+    joins; n_sh is the doc's distinct-gram count."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uniq, idx, starts = _batch_grams(pdf[text_col], shingle_n)
+            n_per = np.diff(np.append(starts, len(idx)))
+            un = np.asarray(uniq, dtype=object)
+            yield pd.DataFrame({
+                "doc": np.repeat(pdf[id_col].to_numpy(), n_per),
+                "n_sh": np.repeat(n_per, n_per),
+                "sh": un[idx] if len(idx) else np.asarray([], dtype=object),
+            })
+
+    return _ensure_parallelism(docs).select(id_col, text_col).mapInPandas(
+        run, schema="doc long, n_sh int, sh string")
 
 
 def hash40_sql_duckdb(g: str, which: int = 1) -> str:
@@ -223,8 +279,6 @@ def minhash_signature_pd(num_hashes: int, shingle_n: int):
     ``minimum.reduceat``. No per-shingle Python loop. Value-identical to
     the ``minhash_signature`` Column twin and the DuckDB oracle."""
     a, b = _perm_params(num_hashes)
-    A, B = a[:, None], b[:, None]
-    P = np.uint64(MINHASH_PRIME)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
@@ -232,11 +286,24 @@ def minhash_signature_pd(num_hashes: int, shingle_n: int):
             return pd.Series([], dtype="object")
         uniq, idx, starts = _batch_grams(texts, shingle_n)
         h = _poly_hash_batch(uniq, _POWS1_NP)[idx]          # (n_all,)
-        vals = (A * h[None, :] + B) % P                      # (k, n_all)
-        mins = np.minimum.reduceat(vals, starts, axis=1)     # (k, n_docs)
-        return pd.Series([r.tolist() for r in mins.T.astype(np.int64)])
+        mins = _permute_min(h, starts, a, b)                 # (k, n_docs)
+        return pd.Series([r.tolist() for r in mins.T])
 
     return sig
+
+
+def _permute_min(h: np.ndarray, starts: np.ndarray,
+                 a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(k, n_docs) per-doc minima of the affine permutations of ``h`` —
+    one scalar-×-contiguous pass per permutation (broadcast int64 loops
+    are the slow path on this host, see the int64 note above)."""
+    k = len(a)
+    vals = np.empty((k, len(h)), dtype=np.int64)
+    for j in range(k):
+        np.multiply(h, int(a[j]), out=vals[j])
+        vals[j] += int(b[j])
+        vals[j] %= MINHASH_PRIME
+    return np.minimum.reduceat(vals, starts, axis=1)
 
 
 def minhash_table_pd(docs: DataFrame, text_col: str = "text",
@@ -249,8 +316,6 @@ def minhash_table_pd(docs: DataFrame, text_col: str = "text",
     MapInPandas is a physical node, so the kernel runs exactly once per
     join side. Same math as ``minhash_signature_pd``."""
     a, b = _perm_params(num_hashes)
-    A, B = a[:, None], b[:, None]
-    P = np.uint64(MINHASH_PRIME)
 
     def run(batches):
         for pdf in batches:
@@ -258,11 +323,10 @@ def minhash_table_pd(docs: DataFrame, text_col: str = "text",
                 continue
             uniq, idx, starts = _batch_grams(pdf[text_col], shingle_n)
             h = _poly_hash_batch(uniq, _POWS1_NP)[idx]
-            vals = (A * h[None, :] + B) % P
-            mins = np.minimum.reduceat(vals, starts, axis=1)
+            mins = _permute_min(h, starts, a, b)
             yield pd.DataFrame({
                 "doc": pdf[id_col].to_numpy(),
-                "sig": [r.tolist() for r in mins.T.astype(np.int64)],
+                "sig": [r.tolist() for r in mins.T],
             })
 
     return docs.select(id_col, text_col).mapInPandas(
@@ -273,8 +337,6 @@ def simhash_table_pd(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
     """(doc, sh) SimHash table via ``mapInPandas`` (single-evaluation
     barrier — see ``minhash_table_pd``). Same math as ``simhash_pd``."""
-    bit_idx = np.arange(60, dtype=np.uint64)
-
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -282,14 +344,10 @@ def simhash_table_pd(docs: DataFrame, text_col: str = "text",
             uniq, idx, starts = _batch_grams(pdf[text_col], shingle_n)
             h1 = _poly_hash_batch(uniq, _POWS1_NP)
             h2 = _poly_hash_batch(uniq, _POWS2_NP)
-            h = (h1 + (h2 % np.uint64(1 << 20)) * np.uint64(1 << 40))[idx]
-            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            ones = np.add.reduceat(bits, starts, axis=0)
-            n_grams = np.diff(np.append(starts, len(h)))
-            maj = (ones * 2 > n_grams[:, None]).astype(np.int64)
+            h = (h1 + (h2 % (1 << 20)) * (1 << 40))[idx]
             yield pd.DataFrame({
                 "doc": pdf[id_col].to_numpy(),
-                "sh": (maj << np.arange(60)).sum(axis=1),
+                "sh": _simhash_majority(h, starts),
             })
 
     return docs.select(id_col, text_col).mapInPandas(
@@ -301,8 +359,6 @@ def simhash_pd(shingle_n: int):
     gram hashes (two 40-bit polynomials) + majority-bit vote, fused over
     the whole Arrow batch with ``add.reduceat``. Value-identical to the
     Column paths and the DuckDB oracle."""
-    bit_idx = np.arange(60, dtype=np.uint64)
-
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:
@@ -310,14 +366,25 @@ def simhash_pd(shingle_n: int):
         uniq, idx, starts = _batch_grams(texts, shingle_n)
         h1 = _poly_hash_batch(uniq, _POWS1_NP)
         h2 = _poly_hash_batch(uniq, _POWS2_NP)
-        h = (h1 + (h2 % np.uint64(1 << 20)) * np.uint64(1 << 40))[idx]
-        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        ones = np.add.reduceat(bits, starts, axis=0)         # (n_docs, 60)
-        n_grams = np.diff(np.append(starts, len(h)))
-        maj = (ones * 2 > n_grams[:, None]).astype(np.int64)
-        return pd.Series((maj << np.arange(60)).sum(axis=1))
+        h = (h1 + (h2 % (1 << 20)) * (1 << 40))[idx]
+        return pd.Series(_simhash_majority(h, starts))
 
     return sh
+
+
+def _simhash_majority(h: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-doc 60-bit majority vote over gram hashes ``h`` segmented by
+    ``starts`` — one scalar-shift contiguous pass per bit (broadcast
+    int64 loops are the slow path on this host; see the int64 note)."""
+    n_grams = np.diff(np.append(starts, len(h)))
+    out = np.zeros(len(starts), dtype=np.int64)
+    scratch = np.empty(len(h), dtype=np.int64)
+    for b in range(60):
+        np.right_shift(h, b, out=scratch)
+        scratch &= 1
+        ones = np.add.reduceat(scratch, starts) if len(h) else scratch[:0]
+        out |= (ones * 2 > n_grams).astype(np.int64) << b
+    return out
 
 
 def winnow_fingerprints_pd(k: int = 8, w: int = 4):
@@ -331,7 +398,7 @@ def winnow_fingerprints_pd(k: int = 8, w: int = 4):
     code-point array × the power table — zero per-gram Python.
     Value-identical to ``winnow_fingerprints_sql_duckdb``."""
     pk = _POWS1_NP[:k]
-    M = np.uint64(HASH_M)
+    M = np.int64(HASH_M)
 
     @F.pandas_udf(ArrayType(LongType()))
     def fp(texts: pd.Series) -> pd.Series:
@@ -341,15 +408,15 @@ def winnow_fingerprints_pd(k: int = 8, w: int = 4):
                 t = ""
             norm = _WS.sub(" ", t.strip()).lower()
             codes = np.frombuffer(
-                norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+                norm.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             if len(codes) <= k:
-                acc = np.uint64(0)
+                acc = np.int64(0)
                 for j in range(len(codes)):
                     acc = (acc + codes[j] * pk[j]) % M
-                hs = np.array([acc], dtype=np.uint64)
+                hs = np.array([acc], dtype=np.int64)
             else:
                 W = np.lib.stride_tricks.sliding_window_view(codes, k)
-                acc = np.zeros(len(W), dtype=np.uint64)
+                acc = np.zeros(len(W), dtype=np.int64)
                 for j in range(k):
                     acc = (acc + W[:, j] * pk[j]) % M
                 hs = acc
@@ -473,11 +540,7 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     shingle). The df threshold is computed in-plan (one aggregate joined
     against the corpus count) — no driver action.
     """
-    sh = _ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc"),
-        F.size(shingles(F.col(text_col), shingle_n)).alias("n_sh"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    sh = exploded_shingles_pd(docs, text_col, id_col, shingle_n)
     if max_df_frac is not None:
         total = docs.agg(F.count("*").alias("_n_docs"))
         # shingles are distinct per doc, so count(*) IS document frequency
@@ -568,13 +631,13 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     The relational alternative (explode shingles, equi-join on shingle,
     group per pair) multiplies every candidate pair by its shingle count
     before aggregating; for verification the pair list is already small,
-    so join per-doc shingle ARRAYS (computed once per doc by the JVM
-    ``shingles`` Column, not re-split per pair) and run a per-pair set
-    intersection in pandas. The shingle-array table is first SEMI-JOINED
-    against the candidate ids — the candidate set is already small
-    post-LSH, so the array table shrinks from corpus-sized to
-    candidate-sized before any wide join; Catalyst/AQE then picks
-    broadcast from stats when it fits (no explicit hint — a corpus-wide
+    so join per-doc shingle ARRAYS (computed once per doc by the Arrow
+    kernel, not re-split per pair) and run a per-pair set intersection in
+    pandas. The RAW docs table is first SEMI-JOINED against the candidate
+    ids — the candidate set is already small post-LSH, so only
+    candidate docs are ever shingled (the kernel's work scales with the
+    candidate set, not the corpus); Catalyst/AQE then picks broadcast
+    from stats when it fits (no explicit hint — a corpus-wide
     ``F.broadcast`` here would be a driver OOM by construction at scale).
     A doc typically appears in many candidate pairs, so the kernel
     memoizes the Python set per doc id within each Arrow batch. Values
@@ -589,17 +652,17 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
            .unionByName(cand.select(F.col("b_id").alias("_vid")))
            .distinct())
     # broadcast the ID LIST (two longs per candidate — small by the LSH
-    # invariant; nothing corpus-sized): the semi-join then prunes the
-    # wide shingle-array table in place with zero shuffle of the arrays.
-    # An un-broadcast semi would sort-merge, i.e. shuffle-sort the whole
-    # corpus's shingle arrays — measured 10x slower at sf0.1. The
-    # filtered table is candidate-sized, so it's persisted (it feeds both
-    # the a-side and b-side joins) and left to AQE's stats for the join
-    # strategy — no hint on anything derived from the full docs table.
-    d = (docs.select(F.col(id_col).alias("_vid"),
-                     shingles(F.col(text_col), shingle_n).alias("_vsh"))
-         .join(F.broadcast(ids), "_vid", "left_semi")
-         .persist())
+    # invariant; nothing corpus-sized): the semi-join prunes the RAW docs
+    # scan in place with zero shuffle, BEFORE the shingle kernel runs, so
+    # shingling cost scales with |candidates| not |corpus|. An
+    # un-broadcast semi would sort-merge-shuffle the whole corpus's text.
+    # The filtered table is candidate-sized, so it's persisted (it feeds
+    # both the a-side and b-side joins) and left to AQE's stats for the
+    # join strategy — no hint on anything derived from the full docs
+    # table.
+    cand_docs = docs.join(
+        F.broadcast(ids.withColumnRenamed("_vid", id_col)), id_col, "left_semi")
+    d = shingle_table_pd(cand_docs, text_col, id_col, shingle_n).persist()
     joined = (
         cand.join(d.withColumnRenamed("_vid", "a_id")
                   .withColumnRenamed("_vsh", "_sa"), "a_id")

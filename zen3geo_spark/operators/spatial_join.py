@@ -77,12 +77,17 @@ def _pip_refine_group(pdf: pd.DataFrame) -> pd.DataFrame:
     y2 = np.concatenate([e[3] for e in edges])
     px = pdf["lon_us"].to_numpy(dtype=np.float64)
     py = pdf["lat_us"].to_numpy(dtype=np.float64)
-    # (N,E) crossing test — formula mirrored in pip_refine_sql()
-    straddles = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    # crossing test, one scalar-edge × contiguous-points pass per edge —
+    # formula mirrored in pip_refine_sql(), element-for-element identical
+    # to the (N,E) broadcast form but avoiding 0-stride operands, which
+    # this host's numpy runs ~200x slower than contiguous loops
+    crossings = np.zeros(len(px), dtype=np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
-    crosses = straddles & (px[:, None] < xint)
-    inside = (crosses.sum(axis=1) % 2) == 1
+        for j in range(len(x1)):
+            straddle = (y1[j] > py) != (y2[j] > py)
+            xint = (x2[j] - x1[j]) * (py - y1[j]) / (y2[j] - y1[j]) + x1[j]
+            crossings += straddle & (px < xint)
+    inside = (crossings % 2) == 1
     out = pdf.loc[inside, ["point_id", "geom_id", "lat_us", "lon_us"]]
     return out
 
