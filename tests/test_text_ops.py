@@ -291,7 +291,11 @@ def test_connected_components_warns_when_unconverged(spark):
         [(i, i + 1) for i in range(40)], "a_id long, b_id long")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = connected_components(chain, max_iters=1)
+        # local_contraction=False: at test scale AQE coalesces the edge
+        # list to one partition, so the union-find pass alone would solve
+        # the chain and the loop would (correctly) not warn
+        out = connected_components(chain, max_iters=1,
+                                   local_contraction=False)
         assert any("converge" in str(x.message) for x in w)
     # and the converged run does NOT warn
     with warnings.catch_warnings(record=True) as w:

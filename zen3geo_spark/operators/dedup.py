@@ -699,30 +699,79 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     return joined.mapInPandas(run, schema="a_id long, b_id long, jaccard double")
 
 
+def _local_cc_labels(sym: DataFrame) -> DataFrame:
+    """Partition-local union-find over the edge list: each task runs
+    path-compressed union-find on ITS partition's edges alone and emits
+    (node, label) with label = min node id of the node's local component.
+    Correct for any edge partitioning (the global iteration afterwards
+    merges across partitions); partitioning by ``u`` co-locates each
+    node's edge star so most structure collapses in this single pass."""
+
+    def run(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min id keeps labels = min of component
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        if parent:
+            nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+            labels = np.fromiter((find(n) for n in parent), dtype=np.int64,
+                                 count=len(parent))
+            yield pd.DataFrame({"node": nodes, "label": labels})
+
+    return sym.mapInPandas(run, schema="node long, label long")
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                          a_col: str = "a_id", b_col: str = "b_id",
-                         node_col: str = "node", max_iters: int = 25) -> DataFrame:
+                         node_col: str = "node", max_iters: int = 25,
+                         local_contraction: bool = True) -> DataFrame:
     """Connected components over an undirected edge list — the clustering
     step that turns near-dup PAIRS into dedup GROUPS (keep min-id per
-    component, drop the rest). Iterative min-label propagation with
-    pointer jumping:
+    component, drop the rest). Two-level scheme (the MapReduce-CC
+    contraction idea of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public algorithm):
 
-    * each round, label(v) ← min(label(v), min of neighbors' labels) —
-      one equi-join + hash aggregate (a single shuffle keyed by node);
-    * then label(v) ← label(label(v)) (path halving), which collapses
-      chains so convergence is O(log diameter) rounds, not O(diameter);
+    * **local contraction first**: one partition-local union-find pass
+      (``_local_cc_labels``) labels every node with the min id of its
+      LOCAL component; original edges then contract to
+      (label(u), label(v)) ≠ self-loops, distinct. One shuffle total,
+      and the iterated graph shrinks from |nodes| to |cross-partition
+      components| — on near-dup graphs (dense clusters, few bridges)
+      that is orders of magnitude. Correctness does not depend on the
+      partitioning: any original path maps to a contracted path.
+    * **then iterative min-label propagation with pointer jumping** on
+      the contracted graph: label(v) ← min over neighbors, then
+      label(v) ← label(label(v)) (path halving) — O(log diameter)
+      rounds of one equi-join + hash aggregate each, where every round
+      now shuffles the contracted table, not the full node set;
     * a driver-side changed-count per round stops at the fixpoint — the
       loop length depends on cluster shape, never on table size;
     * each round's labels are ``localCheckpoint``-ed, which both caches
       the blocks AND TRUNCATES THE LOGICAL PLAN — without truncation the
       plan tree compounds across rounds (measured ~6,900 shuffle nodes
       after convergence at sf0.1), blowing up Catalyst planning time and
-      task-binary size at scale even though the data itself was cached.
-      Each round's blocks are O(|edge-touching nodes|) (node, label)
-      pairs; superseded rounds are freed by Spark's ContextCleaner once
-      their DataFrames are dereferenced (checkpointed RDDs have no
-      explicit unpersist), so peak storage is a few rounds of label
-      tables, not the edge list.
+      task-binary size at scale even though the data itself was cached;
+    * final labels compose: component(node) = comp(local_label(node)).
 
     ``nodes`` (optional, one ``node_col`` column) adds isolated vertices
     as their own singleton components. Returns (node, component) with
@@ -733,56 +782,82 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     """
     import warnings
 
-    # persist the symmetric edge list: every round joins it, and without
-    # the persist each of the O(log diameter) rounds would recompute the
-    # whole upstream candidate pipeline (signature UDFs included)
+    # checkpoint the symmetric edge list: the local pass, the contraction
+    # AND the final composition all read it (or tables derived from it) —
+    # localCheckpoint both caches and cuts lineage, so none of those
+    # consumers can recompute the whole upstream candidate pipeline
+    # (signature UDFs included), even after this function returns
     sym = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).union(
-        edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))).persist()
-    # iterate ONLY over edge-touching nodes; isolated nodes are singleton
-    # components by definition and join back after the loop (at corpus
-    # scale singletons dominate — keeping them out of the iterated frame
-    # shrinks every round's join by orders of magnitude)
+        edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    ).localCheckpoint(eager=False)
     verts = sym.select(F.col("u").alias("node")).distinct()
+    if local_contraction:
+        # local union-find labels (one label per (partition, node) —
+        # groupBy min canonicalizes nodes straddling partitions;
+        # connectivity between a node's several local labels is preserved
+        # because every original edge contracts through the canonical
+        # labels below)
+        base = (_local_cc_labels(sym.repartition(F.col("u")))
+                .groupBy("node").agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False))
+        # contracted edge list
+        lu = base.withColumnRenamed("node", "u").withColumnRenamed("label", "_lu")
+        lv = base.withColumnRenamed("node", "v").withColumnRenamed("label", "_lv")
+        csym = (sym.join(lu, "u").join(lv, "v")
+                .filter(F.col("_lu") != F.col("_lv"))
+                .select(F.col("_lu").alias("u"), F.col("_lv").alias("v"))
+                .distinct().persist())
+    else:
+        # pure-iterative path (testing/ablation): identity local labels,
+        # iterate on the raw symmetric edge list
+        base = verts.withColumn("label", F.col("node"))
+        csym = sym.persist()
     singletons = None
     if nodes is not None:
         singletons = (nodes.select(F.col(node_col).alias("node")).distinct()
                       .join(verts, "node", "left_anti")
                       .select("node", F.col("node").alias("component")))
-    labels = verts.withColumn("label", F.col("node"))
+    labels = (csym.select("u").union(csym.select("v"))
+              .select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
     converged = False
-    try:
-        for _ in range(max_iters):
-            nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
-                   .groupBy("u").agg(F.min("label").alias("nbr_min")))
-            stepped = (labels.join(nbr.withColumnRenamed("u", "node"), "node", "left")
-                       .select("node", F.col("label").alias("_old"),
-                               F.least(F.col("label"),
-                                       F.coalesce("nbr_min", "label")).alias("label")))
-            # pointer jumping: label <- label(label)
-            lj = labels.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
-            jumped = (stepped.join(lj, stepped["label"] == lj["_ln"], "left")
-                      .select("node", "_old",
-                              F.least("label", F.coalesce("_ll", "label")).alias("label"))
-                      # lazy localCheckpoint: the changed-count below is the
-                      # round's single job — it computes, caches, AND cuts
-                      # lineage, so round N+1's plan starts from a leaf
-                      ).localCheckpoint(eager=False)
-            changed = jumped.filter(F.col("label") < F.col("_old")).count()
-            labels = jumped.select("node", "label")
-            if changed == 0:
-                converged = True
-                break
-        if not converged:
-            warnings.warn(
-                f"connected_components did not converge within {max_iters} "
-                "iterations — labels may be non-minimal; raise max_iters",
-                RuntimeWarning, stacklevel=2)
-        out = labels.select("node", F.col("label").alias("component"))
-        if singletons is not None:
-            out = out.unionByName(singletons)
-        return out
-    finally:
-        sym.unpersist()
+    for _ in range(max_iters):
+        nbr = (csym.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy("u").agg(F.min("label").alias("nbr_min")))
+        stepped = (labels.join(nbr.withColumnRenamed("u", "node"), "node", "left")
+                   .select("node", F.col("label").alias("_old"),
+                           F.least(F.col("label"),
+                                   F.coalesce("nbr_min", "label")).alias("label")))
+        # pointer jumping: label <- label(label)
+        lj = labels.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        jumped = (stepped.join(lj, stepped["label"] == lj["_ln"], "left")
+                  .select("node", "_old",
+                          F.least("label", F.coalesce("_ll", "label")).alias("label"))
+                  # lazy localCheckpoint: the changed-count below is the
+                  # round's single job — it computes, caches, AND cuts
+                  # lineage, so round N+1's plan starts from a leaf
+                  ).localCheckpoint(eager=False)
+        changed = jumped.filter(F.col("label") < F.col("_old")).count()
+        labels = jumped.select("node", "label")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge within {max_iters} "
+            "iterations — labels may be non-minimal; raise max_iters",
+            RuntimeWarning, stacklevel=2)
+    csym.unpersist()
+    # compose: component(node) = comp(local_label(node)); nodes whose
+    # local component never straddled partitions keep their local label
+    comp = labels.select(F.col("node").alias("_cn"),
+                         F.col("label").alias("_comp"))
+    out = (base.join(comp, base["label"] == comp["_cn"], "left")
+           .select("node",
+                   F.coalesce("_comp", "label").alias("component")))
+    if singletons is not None:
+        out = out.unionByName(singletons)
+    return out
 
 
 def components_sql_duckdb(edges_sql: str, nodes_sql: str,
