@@ -540,7 +540,10 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     shingle). The df threshold is computed in-plan (one aggregate joined
     against the corpus count) — no driver action.
     """
-    sh = exploded_shingles_pd(docs, text_col, id_col, shingle_n)
+    # persist: the exploded-shingle table feeds both sides of a self-join
+    # (and on the df-filtered path also the df aggregate) — without the
+    # persist the shingle kernel would re-run once per plan reference
+    sh = exploded_shingles_pd(docs, text_col, id_col, shingle_n).persist()
     if max_df_frac is not None:
         total = docs.agg(F.count("*").alias("_n_docs"))
         # shingles are distinct per doc, so count(*) IS document frequency
@@ -550,7 +553,7 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             .filter(F.col("_df") <= F.col("_n_docs") * F.lit(max_df_frac))
             .select("sh")
         )
-        blocked = sh.select("doc", "sh").join(rare, "sh")
+        blocked = sh.select("doc", "sh").join(rare, "sh").persist()
         cand = (
             blocked.alias("l").join(blocked.alias("r"), "sh")
             .filter(F.col("l.doc") < F.col("r.doc"))

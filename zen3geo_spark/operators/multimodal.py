@@ -152,7 +152,10 @@ def _fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:
 def synth_media(spark, n: int) -> DataFrame:
     """Deterministic media table: image payloads are REAL binary P6 PPMs
     (``ppm_bytes``); audio/video payloads are opaque seeded bytes."""
-    base = spark.range(n).selectExpr(
+    # partitions sized to the row count (~256 media/partition): a fixed
+    # 32-way split of a small synthetic table would pay 32 Python-worker
+    # round-trips per downstream Arrow stage for a handful of rows each
+    base = spark.range(0, n, 1, min(32, max(1, n // 256))).selectExpr(
         "id as media_id",
         "case cast(id % 3 as int) when 0 then 'image' when 1 then 'audio' else 'video' end as kind",
         "case cast(id % 3 as int) when 0 then 'image/x-portable-pixmap' when 1 then 'audio/wav' else 'video/mp4' end as mime",

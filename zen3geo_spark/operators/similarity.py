@@ -242,8 +242,12 @@ def cosine_topk_ivf(queries: DataFrame, targets: DataFrame, k: int,
     """
     from zen3geo_spark.operators._util import ensure_parallelism
 
+    # persist: the seed collect, every Lloyd round, and the final list
+    # assignment all scan the parsed target table — without the persist
+    # each pass re-reads the source and re-pays the repartition shuffle
     t = ensure_parallelism(
-        targets.select(F.col(t_id).alias("target_id"), _as_double(F.col(t_vec)).alias("tv")))
+        targets.select(F.col(t_id).alias("target_id"),
+                       _as_double(F.col(t_vec)).alias("tv"))).persist()
     q = queries.select(F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv"))
 
     cents = [r["tv"] for r in
@@ -261,15 +265,44 @@ def cosine_topk_ivf(queries: DataFrame, targets: DataFrame, k: int,
         return nearest_list
 
     for _ in range(train_iters):
-        au = make_assign(C_unit)
-        means = (t.select(au(F.col("tv")).alias("list_id"), "tv")
-                 .groupBy("list_id")
-                 .agg(*[F.avg(F.col("tv")[i]).alias(f"c{i}") for i in range(dim)]))
-        got = {r["list_id"]: [r[f"c{i}"] for i in range(dim)]
-               for r in means.collect()}
+        # one MAP-ONLY pass per Lloyd round: each task assigns its rows
+        # with a single matmul and emits per-list partial (sum_vec, n) —
+        # at most n_lists rows per partition — which the driver combines
+        # into the new codebook (an n_lists×dim planning collect, same
+        # size class as the codebook itself). No shuffle, no 64-wide
+        # per-element aggregate walking tv[i] per row.
+        cu = C_unit
+
+        def lloyd(batches, _cu=cu):
+            S = np.zeros((n_lists, dim), dtype=np.float64)
+            n = np.zeros(n_lists, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(pdf["tv"].tolist(), dtype=np.float64)
+                a = (_unit_rows(M) @ _cu.T).argmax(axis=1)
+                for j in range(n_lists):
+                    sel = a == j
+                    if sel.any():
+                        S[j] += M[sel].sum(axis=0)
+                        n[j] += int(sel.sum())
+            live = np.nonzero(n)[0]
+            if len(live):
+                yield pd.DataFrame({
+                    "list_id": live.astype(np.int64),
+                    "s": [S[j].tolist() for j in live],
+                    "n": n[live],
+                })
+
+        part = t.mapInPandas(lloyd, schema="list_id long, s array<double>, n long")
+        S_tot = np.zeros((n_lists, dim), dtype=np.float64)
+        n_tot = np.zeros(n_lists, dtype=np.int64)
+        for r in part.collect():
+            S_tot[r["list_id"]] += np.asarray(r["s"], dtype=np.float64)
+            n_tot[r["list_id"]] += r["n"]
         C_unit = _unit_rows(np.asarray(
-            [got.get(i, C_unit[i].tolist()) for i in range(n_lists)],
-            dtype=np.float64))
+            [(S_tot[i] / n_tot[i]) if n_tot[i] else C_unit[i]
+             for i in range(n_lists)], dtype=np.float64))
 
     nearest_list = make_assign(C_unit)
     cu_final = C_unit
