@@ -22,6 +22,13 @@ from zen3geo_spark.functions.geo import (
     extract_first_geotag, mercator_x, mercator_x_sql, mercator_y,
     mercator_y_sql, micro_from_str, micro_from_str_sql,
 )
+from zen3geo_spark.functions.hilbert import (
+    hilbert_cte_sql, hilbert_encode, hilbert_parent,
+)
+from zen3geo_spark.functions.zorder import (
+    with_zorder, z_range_predicate, z_ranges_for_bbox, zorder_parent,
+    zorder_parent_sql, zorder_sql,
+)
 from zen3geo_spark.functions.text import (
     fingerprint, fingerprint_sql, lang_id, lang_id_sql, quality_score,
     quality_score_sql, token_count, token_count_sql,
@@ -149,6 +156,65 @@ def q_pages_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 12)
     )
     return pts.groupBy("cell").agg(F.count("*").alias("n_pages"))
+
+
+# res-12 Morton grid + res-6 rollup for the z-order queries; bbox picked to
+# straddle several top-level quadrant boundaries (the hard case for a
+# space-filling-curve cover)
+ZRES = 12
+ZBBOX = (-20_000_000, -40_000_000, 5_000_000, -5_000_000)  # minlat,minlon,maxlat,maxlon
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) cell encode + hierarchical rollup, pure bigint
+    JVM codegen — the id layout that makes bbox scans range-prunable at
+    10^12 rows (Delta OPTIMIZE ZORDER / S2 cell-range idea)."""
+    pts = with_zorder(_points_df(spark), "lat_us", "lon_us", ZRES)
+    return (pts.withColumn("z6", zorder_parent(F.col("z"), ZRES, 6))
+            .groupBy("z6").agg(F.count("*").alias("n_pages"),
+                               F.min("z").alias("z_min"),
+                               F.max("z").alias("z_max")))
+
+
+def q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox query over a STORED z-ordered table: points written once,
+    range-partitioned + sorted by Morton id (the Delta ``OPTIMIZE ZORDER``
+    layout), then the bbox is compiled driver-side to <=64 contiguous
+    z-ranges whose BETWEENs push to the parquet scan as row-group pruning
+    — plus an exact lat/lon refine.  The oracle is the DIRECT bbox filter:
+    hash equality proves the z-cover is a correct superset and the refine
+    is exact.  (Filtering computed-on-the-fly z instead would make
+    Catalyst inline the 5-step bit-spread into all 64 predicates — the
+    stored-column layout is both the correct scale pattern and the fast
+    plan.)"""
+    import pathlib
+
+    minlat, minlon, maxlat, maxlon = ZBBOX
+    ranges = z_ranges_for_bbox(minlat, minlon, maxlat, maxlon, ZRES)
+    d = pathlib.Path(__file__).resolve().parent / ".gen_assets" / f"ztable_{N_PAGES}"
+    if not (d / "_SUCCESS").exists():
+        (with_zorder(_points_df(spark), "lat_us", "lon_us", ZRES)
+         .repartitionByRange(8, "z").sortWithinPartitions("z")
+         .write.mode("overwrite").parquet(str(d)))
+    pts = spark.read.parquet(str(d))
+    return (pts.filter(z_range_predicate(F.col("z"), ranges))
+            .filter((F.col("lat_us") >= minlat) & (F.col("lat_us") <= maxlat)
+                    & (F.col("lon_us") >= minlon) & (F.col("lon_us") <= maxlon))
+            .select("point_id", "lat_us", "lon_us"))
+
+
+def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True S2-style Hilbert-curve cell encode + prefix-property rollup.
+    Spark side: Arrow-batched numpy kernel; oracle side: the SAME
+    per-level recurrence as a DuckDB recursive CTE — cross-engine
+    verification of an iterative algorithm."""
+    pts = _points_df(spark).withColumn(
+        "hd", hilbert_encode("lat_us", "lon_us", ZRES)
+    )
+    return (pts.withColumn("h6", hilbert_parent(F.col("hd"), ZRES, 6))
+            .groupBy("h6").agg(F.count("*").alias("n_pages"),
+                               F.min("hd").alias("hd_min"),
+                               F.max("hd").alias("hd_max")))
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +1010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- new this round ---
+        "zorder_cells": q_zorder_cells,
+        "zorder_range_scan": q_zorder_range_scan,
+        "hilbert_cells": q_hilbert_cells,
         "rasterize_line_mean": q_rasterize_line_mean,
         "rasterize_poly_max": q_rasterize_poly_max,
         "bbox_image_coords": q_bbox_image_coords,
@@ -1024,6 +1093,30 @@ def oracle_sql() -> dict[str, str]:
     pts_cte = _points_cte()
     edges = _edges_values()
     cell12 = cell_id_sql("lat_us", "lon_us", 12, "duckdb")
+
+    z12 = zorder_sql("lat_us", "lon_us", ZRES, "duckdb")
+    zorder_cells_sql_q = f"""
+    {pts_cte}
+    , zz as (select point_id, {z12} as z from pts)
+    select {zorder_parent_sql('z', ZRES, 6, 'duckdb')} as z6,
+           count(*) as n_pages, min(z) as z_min, max(z) as z_max
+    from zz group by z6
+    """
+    # recursive CTE: the RECURSIVE keyword must go on the shared WITH
+    hilbert_cells_sql_q = f"""
+    {pts_cte.replace("with ", "with recursive ", 1)}
+    , {hilbert_cte_sql('pts', 'point_id', 'lat_us', 'lon_us', ZRES)}
+    select {zorder_parent_sql('hd', ZRES, 6, 'duckdb')} as h6,
+           count(*) as n_pages, min(hd) as hd_min, max(hd) as hd_max
+    from hcells group by h6
+    """
+    zminlat, zminlon, zmaxlat, zmaxlon = ZBBOX
+    zorder_range_scan_sql_q = f"""
+    {pts_cte}
+    select point_id, lat_us, lon_us from pts
+    where lat_us between {zminlat} and {zmaxlat}
+      and lon_us between {zminlon} and {zmaxlon}
+    """
 
     pip_core = f"""
     {pts_cte}
@@ -1876,6 +1969,9 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_mean": rasterize_mean_sql,
         "rasterize_polygon": rasterize_polygon_sql,
         "rasterize_line": rasterize_line_sql,
+        "zorder_cells": zorder_cells_sql_q,
+        "zorder_range_scan": zorder_range_scan_sql_q,
+        "hilbert_cells": hilbert_cells_sql_q,
         "rasterize_line_mean": rasterize_line_mean_sql,
         "rasterize_poly_max": rasterize_poly_max_sql,
         "bbox_image_coords": bbox_image_coords_sql,
