@@ -70,3 +70,17 @@ def test_spark_encode_and_parent(spark):
     got = np.array([r["hd"] for r in rows])
     assert (got == want).all()
     assert all(r["h5"] == r["hd"] // (1 << 14) for r in rows)
+
+
+def test_encode_null_propagates(spark):
+    """Null lat/lon must yield null hd (same semantics as the JVM
+    cell/zorder paths), not an Arrow-batch crash or garbage."""
+    df = spark.createDataFrame(
+        [(0, 1_000_000, 2_000_000), (1, None, 2_000_000),
+         (2, 1_000_000, None), (3, None, None)],
+        "id long, lat_us long, lon_us long")
+    got = {r["id"]: r["hd"]
+           for r in df.withColumn(
+               "hd", hilbert_encode("lat_us", "lon_us", 10)).collect()}
+    assert got[0] is not None
+    assert got[1] is None and got[2] is None and got[3] is None

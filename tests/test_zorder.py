@@ -133,3 +133,39 @@ def test_encode_plan_is_pure_codegen(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "FlatMapGroupsInPandas"):
         assert bad not in plan
+
+
+@pytest.mark.parametrize("res", [25, MAX_ZRES])
+def test_encode_exact_at_max_res(spark, res):
+    """res >= 25 pushes the naive double-division numerator past 2^53;
+    the split-shift integer divide must stay bit-exact vs pure Python."""
+    from zen3geo_spark.functions.zorder import _grid_coord, with_zorder
+    rng = random.Random(42)
+    rows = [(i,
+             rng.randint(-90_000_000, 90_000_000),
+             rng.randint(-180_000_000, 180_000_000)) for i in range(3000)]
+    want = {i: _morton_py(_grid_coord(la, 90_000_000, 180_000_001, res),
+                          _grid_coord(lo, 180_000_000, 360_000_001, res),
+                          res)
+            for i, la, lo in rows}
+    df = spark.createDataFrame(rows, "id long, lat_us long, lon_us long")
+    got = {r["id"]: r["z"] for r in
+           df.select("id", zorder_encode("lat_us", "lon_us", res).alias("z"))
+           .collect()}
+    assert got == want
+    got_w = {r["id"]: r["z"]
+             for r in with_zorder(df, "lat_us", "lon_us", res).collect()}
+    assert got_w == want
+
+
+def test_bbox_cover_never_exceeds_budget():
+    """Docstring contract: len(ranges) <= max_ranges, even pre-merge-tight
+    covers (the split used to overshoot by up to 2)."""
+    rng = random.Random(3)
+    for _ in range(200):
+        lats = sorted(rng.randint(-90_000_000, 90_000_000) for _ in range(2))
+        lons = sorted(rng.randint(-180_000_000, 180_000_000) for _ in range(2))
+        budget = rng.choice([4, 5, 8, 13])
+        ranges = z_ranges_for_bbox(lats[0], lons[0], lats[1], lons[1],
+                                   res=10, max_ranges=budget)
+        assert len(ranges) <= budget

@@ -60,9 +60,14 @@ def hilbert_encode(lat_micro: Column | str, lon_micro: Column | str, res: int) -
 
     @pandas_udf("long")
     def _h(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        iy = ((lat.to_numpy(np.int64) + 90000000) << res) // 180000001
-        ix = ((lon.to_numpy(np.int64) + 180000000) << res) // 360000001
-        return pd.Series(hilbert_d_np(iy, ix, res))
+        # null-propagate like the JVM cell/zorder paths: compute on
+        # 0-filled copies, then mask the output back to null
+        bad = lat.isna().to_numpy() | lon.isna().to_numpy()
+        iy = ((lat.fillna(0).to_numpy(np.int64) + 90000000) << res) // 180000001
+        ix = ((lon.fillna(0).to_numpy(np.int64) + 180000000) << res) // 360000001
+        out = pd.Series(hilbert_d_np(iy, ix, res), dtype="Int64")
+        out[bad] = pd.NA
+        return out
 
     lat_micro = F.col(lat_micro) if isinstance(lat_micro, str) else lat_micro
     lon_micro = F.col(lon_micro) if isinstance(lon_micro, str) else lon_micro

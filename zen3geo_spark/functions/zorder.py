@@ -42,6 +42,36 @@ _SPREAD = [
 ]
 MAX_ZRES = 26  # 2 * 26 = 52 interleaved bits < 2^53: exact in double-free SQL
 
+# grid-coordinate constants shared with geo.cell_iy_sql/cell_ix_sql
+_LAT_OFF, _LAT_DEN = 90000000, 180000001
+_LON_OFF, _LON_DEN = 180000000, 360000001
+
+
+def _grid_idx_col(v_micro: Column, off: int, denom: int, res: int) -> Column:
+    """Exact ``((v + off) << res) // denom`` as a Spark Column.
+
+    Spark Columns have no integral-divide operator, and the naive
+    ``(x - pmod(x, d)) / d`` runs as DOUBLE division — the numerator
+    reaches ``denom * 2^res > 2^53`` for res >= 25, where doubles lose
+    integer exactness (off-by-one grid indexes that silently disagree
+    with :func:`zorder_sql`'s true ``div`` and the DuckDB oracle).  So
+    split the shift: with ``a = (v+off) << r1`` and ``r2 = res - r1``,
+
+        (a << r2) // denom  ==  (a // denom) << r2  +  ((a % denom) << r2) // denom
+
+    Every division numerator is now < denom * 2^13 < 2^41, where the
+    pmod/divide trick IS exact in double arithmetic.  Pure long ops —
+    stays inside WholeStageCodegen.
+    """
+    r1 = res // 2
+    r2 = res - r1
+    a = (v_micro + F.lit(off)).cast("long") * F.lit(1 << r1)
+    rem = F.pmod(a, F.lit(denom))
+    q1 = ((a - rem) / F.lit(denom)).cast("long")
+    b = rem * F.lit(1 << r2)
+    q2 = ((b - F.pmod(b, F.lit(denom))) / F.lit(denom)).cast("long")
+    return q1 * F.lit(1 << r2) + q2
+
 
 def _spread_sql(e: str, engine: str) -> str:
     """SQL: spread the low 26 bits of ``e`` onto even bit positions."""
@@ -83,10 +113,8 @@ def zorder_encode(lat_micro: Column | str, lon_micro: Column | str, res: int) ->
         raise ValueError(f"res {res} exceeds MAX_ZRES {MAX_ZRES}")
     lat_micro = F.col(lat_micro) if isinstance(lat_micro, str) else lat_micro
     lon_micro = F.col(lon_micro) if isinstance(lon_micro, str) else lon_micro
-    lat_l = (lat_micro + F.lit(90000000)).cast("long") * F.lit(1 << res)
-    lon_l = (lon_micro + F.lit(180000000)).cast("long") * F.lit(1 << res)
-    iy = ((lat_l - F.pmod(lat_l, F.lit(180000001))) / F.lit(180000001)).cast("long")
-    ix = ((lon_l - F.pmod(lon_l, F.lit(360000001))) / F.lit(360000001)).cast("long")
+    iy = _grid_idx_col(lat_micro, _LAT_OFF, _LAT_DEN, res)
+    ix = _grid_idx_col(lon_micro, _LON_OFF, _LON_DEN, res)
     return _spread_col(ix).bitwiseOR(_spread_col(iy) * F.lit(2)).cast("long")
 
 
@@ -103,14 +131,12 @@ def with_zorder(df, lat_micro: str, lon_micro: str, res: int, out: str = "z"):
     """
     if res > MAX_ZRES:
         raise ValueError(f"res {res} exceeds MAX_ZRES {MAX_ZRES}")
-    lat_l = (F.col(lat_micro) + F.lit(90000000)).cast("long") * F.lit(1 << res)
-    lon_l = (F.col(lon_micro) + F.lit(180000000)).cast("long") * F.lit(1 << res)
     zy, zx = f"__{out}_y", f"__{out}_x"
     df = df.withColumns({
-        zy: ((lat_l - F.pmod(lat_l, F.lit(180000001))) / F.lit(180000001))
-            .cast("long").bitwiseAND(F.lit((1 << MAX_ZRES) - 1)),
-        zx: ((lon_l - F.pmod(lon_l, F.lit(360000001))) / F.lit(360000001))
-            .cast("long").bitwiseAND(F.lit((1 << MAX_ZRES) - 1)),
+        zy: _grid_idx_col(F.col(lat_micro), _LAT_OFF, _LAT_DEN, res)
+            .bitwiseAND(F.lit((1 << MAX_ZRES) - 1)),
+        zx: _grid_idx_col(F.col(lon_micro), _LON_OFF, _LON_DEN, res)
+            .bitwiseAND(F.lit((1 << MAX_ZRES) - 1)),
     })
     for shift, mask in _SPREAD:
         df = df.withColumns({
@@ -193,7 +219,11 @@ def z_ranges_for_bbox(
         if y_hi < iy0 or y_lo > iy1 or x_hi < ix0 or x_lo > ix1:
             continue
         full = y_lo >= iy0 and y_hi <= iy1 and x_lo >= ix0 and x_hi <= ix1
-        if full or level == res or len(out) + len(stack) >= max_ranges:
+        # splitting replaces this node with 4 children (net +3 pending
+        # entries); emit instead whenever that would let the eventual
+        # range count exceed the budget, so len(out)+len(stack) — an
+        # upper bound on total emissions — never passes max_ranges
+        if full or level == res or len(out) + len(stack) + 3 > max_ranges:
             z0 = _morton_py(y_lo, x_lo, res)
             out.append((z0, z0 + span * span - 1))
             continue

@@ -37,16 +37,20 @@ def with_global_pos(df: DataFrame, order: list[str],
     Every task numbers its own partition in parallel; the only global
     state is the #partitions-integer offset map.
 
-    The repartitioned frame is PERSISTED and materialized by the counts
-    job before the numbering job reads it. This pins ONE physical
+    The repartitioned frame is localCheckpoint-ed and materialized by the
+    counts job before the numbering job reads it. This pins ONE physical
     partitioning: Spark's RangePartitioner seeds its reservoir sample
     with the per-execution RDD id, so two executions of the same
     repartitionByRange lineage can draw different range boundaries once
     partitions exceed the sample size — offsets computed from execution A
     against rows numbered in execution B would silently duplicate/skip
-    global ranks at exactly the scale this function exists for. With the
-    cached blocks (MEMORY_AND_DISK — eviction spills, it does not
-    recompute) both jobs see identical partitions.
+    global ranks at exactly the scale this function exists for. The
+    checkpoint stores the blocks MEMORY_AND_DISK (eviction spills, it
+    does not recompute) so both jobs see identical partitions — and,
+    stronger than the previous persist(), the truncated lineage makes a
+    silent re-draw IMPOSSIBLE (block loss fails the job instead of
+    renumbering), and the blocks free on GC instead of accumulating in
+    the CacheManager across calls.
     """
     cols = [F.col(c) for c in order]
     # explicit partition count: AQE never coalesces a user-numbered
@@ -58,7 +62,7 @@ def with_global_pos(df: DataFrame, order: list[str],
     except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
         n_part = df.sparkSession.sparkContext.defaultParallelism
     part = (df.repartitionByRange(n_part, *cols)
-            .sortWithinPartitions(*cols).persist())
+            .sortWithinPartitions(*cols).localCheckpoint(eager=False))
     local = part.select(
         "*", F.spark_partition_id().alias("_pid"),
         (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1

@@ -500,11 +500,14 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket").persist()
-    # ^ persist: the self-join below references the banded table on BOTH
-    # sides (plus the skew-guard aggregate) — without it the plan carries
-    # one signature-kernel MapInPandas node per reference and the dominant
-    # CPU cost of the pipeline (the minhash pass) runs 2-3x
+    ).select("doc", "bb.band", "bb.bucket").localCheckpoint(eager=False)
+    # ^ localCheckpoint: the self-join below references the banded table
+    # on BOTH sides (plus the skew-guard aggregate) — without it the plan
+    # carries one signature-kernel MapInPandas node per reference and the
+    # dominant CPU cost of the pipeline (the minhash pass) runs 2-3x;
+    # unlike persist it also cuts the plan tree (no per-reference subtree
+    # duplication) and its blocks are GC-freed instead of leaking in the
+    # CacheManager
     if max_bucket is not None:
         ok = (banded.groupBy("band", "bucket")
               .agg(F.count("*").alias("_n"))
@@ -540,10 +543,14 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     shingle). The df threshold is computed in-plan (one aggregate joined
     against the corpus count) — no driver action.
     """
-    # persist: the exploded-shingle table feeds both sides of a self-join
-    # (and on the df-filtered path also the df aggregate) — without the
-    # persist the shingle kernel would re-run once per plan reference
-    sh = exploded_shingles_pd(docs, text_col, id_col, shingle_n).persist()
+    # localCheckpoint: the exploded-shingle table feeds both sides of a
+    # self-join (and on the df-filtered path also the df aggregate) —
+    # evaluate the shingle kernel ONCE, and cut the plan tree so the
+    # references don't multiply the kernel subtree into the physical plan
+    # (as a plain persist does: execution deduped, plan still quadratic —
+    # a 10^12-row audit showed 227 shuffle nodes from exactly that)
+    sh = exploded_shingles_pd(docs, text_col, id_col,
+                              shingle_n).localCheckpoint(eager=False)
     if max_df_frac is not None:
         total = docs.agg(F.count("*").alias("_n_docs"))
         # shingles are distinct per doc, so count(*) IS document frequency
@@ -553,7 +560,8 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             .filter(F.col("_df") <= F.col("_n_docs") * F.lit(max_df_frac))
             .select("sh")
         )
-        blocked = sh.select("doc", "sh").join(rare, "sh").persist()
+        blocked = (sh.select("doc", "sh").join(rare, "sh")
+                   .localCheckpoint(eager=False))
         cand = (
             blocked.alias("l").join(blocked.alias("r"), "sh")
             .filter(F.col("l.doc") < F.col("r.doc"))
@@ -628,29 +636,37 @@ def simhash64_sql_duckdb(hs: str, n: str) -> str:
 def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
                          shingle_n: int = 2, threshold: float | None = None,
                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact n-gram Jaccard over CANDIDATE pairs (a_id, b_id) via Arrow
-    set-intersection — the verify stage after LSH blocking.
+    """Exact n-gram Jaccard over CANDIDATE pairs (a_id, b_id) — the
+    verify stage after LSH blocking — fully in the JVM.
 
     The relational alternative (explode shingles, equi-join on shingle,
     group per pair) multiplies every candidate pair by its shingle count
     before aggregating; for verification the pair list is already small,
     so join per-doc shingle ARRAYS (computed once per doc by the Arrow
-    kernel, not re-split per pair) and run a per-pair set intersection in
-    pandas. The RAW docs table is first SEMI-JOINED against the candidate
-    ids — the candidate set is already small post-LSH, so only
-    candidate docs are ever shingled (the kernel's work scales with the
-    candidate set, not the corpus); Catalyst/AQE then picks broadcast
-    from stats when it fits (no explicit hint — a corpus-wide
-    ``F.broadcast`` here would be a driver OOM by construction at scale).
-    A doc typically appears in many candidate pairs, so the kernel
-    memoizes the Python set per doc id within each Arrow batch. Values
-    are identical (exact integer set math feeding the same ratio).
+    kernel, not re-split per pair) and compute
+    ``size(array_intersect(a, b))`` per pair.  The arrays are
+    DISTINCT-per-doc by construction (``_shingle_list`` dedups), so the
+    intersect size IS the set-intersection cardinality and
+    ``inter / (|a| + |b| - inter)`` is the exact Jaccard — evaluated by
+    whole-stage codegen, zero Python in the per-pair hot path (an earlier
+    revision ran a per-pair ``frozenset`` loop in ``mapInPandas``;
+    interpreted-Python per candidate never beats codegen at scale).
+
+    The RAW docs table is first SEMI-JOINED against the candidate ids —
+    the candidate set is small post-LSH, so only candidate docs are ever
+    shingled (the kernel's work scales with the candidate set, not the
+    corpus); Catalyst/AQE then picks broadcast from stats when it fits
+    (no explicit hint — a corpus-wide ``F.broadcast`` here would be a
+    driver OOM by construction at scale).
     """
     # the candidate plan is referenced three times below (both sides of
-    # the id union + the verify join) — persist so the upstream candidate
-    # pipeline (LSH signatures included) evaluates once; candidates are
-    # two longs per row, post-LSH small by construction
-    cand = cand.persist()
+    # the id union + the verify join): localCheckpoint evaluates the
+    # upstream candidate pipeline (LSH signatures included) ONCE, caches
+    # the result (candidates are two longs per row, post-LSH small by
+    # construction), and — unlike persist(), whose CacheManager entry is
+    # never GC-freed — cuts the plan tree so downstream references don't
+    # multiply the whole LSH subtree into the physical plan
+    cand = cand.localCheckpoint(eager=False)
     ids = (cand.select(F.col("a_id").alias("_vid"))
            .unionByName(cand.select(F.col("b_id").alias("_vid")))
            .distinct())
@@ -659,47 +675,28 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     # scan in place with zero shuffle, BEFORE the shingle kernel runs, so
     # shingling cost scales with |candidates| not |corpus|. An
     # un-broadcast semi would sort-merge-shuffle the whole corpus's text.
-    # The filtered table is candidate-sized, so it's persisted (it feeds
-    # both the a-side and b-side joins) and left to AQE's stats for the
-    # join strategy — no hint on anything derived from the full docs
-    # table.
     cand_docs = docs.join(
         F.broadcast(ids.withColumnRenamed("_vid", id_col)), id_col, "left_semi")
-    d = shingle_table_pd(cand_docs, text_col, id_col, shingle_n).persist()
+    # candidate-sized (feeds both the a-side and b-side joins)
+    d = shingle_table_pd(cand_docs, text_col, id_col,
+                         shingle_n).localCheckpoint(eager=False)
     joined = (
         cand.join(d.withColumnRenamed("_vid", "a_id")
                   .withColumnRenamed("_vsh", "_sa"), "a_id")
         .join(d.withColumnRenamed("_vid", "b_id")
               .withColumnRenamed("_vsh", "_sb"), "b_id")
     )
-
-    def run(batches):
-        cache: dict[int, frozenset] = {}
-
-        def to_set(doc_id, arr):
-            s = cache.get(doc_id)
-            if s is None:
-                s = frozenset(arr)
-                if len(cache) > 1_000_000:
-                    cache.clear()
-                cache[doc_id] = s
-            return s
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            jac = []
-            for aid, bid, sa_arr, sb_arr in zip(pdf["a_id"], pdf["b_id"],
-                                                pdf["_sa"], pdf["_sb"]):
-                sa = to_set(aid, sa_arr)
-                sb = to_set(bid, sb_arr)
-                inter = len(sa & sb)
-                jac.append(inter / (len(sa) + len(sb) - inter))
-            out = pdf[["a_id", "b_id"]].copy()
-            out["jaccard"] = jac
-            yield out if threshold is None else out[out["jaccard"] >= threshold]
-
-    return joined.mapInPandas(run, schema="a_id long, b_id long, jaccard double")
+    # named intermediate so the (non-cheap) intersect is computed once —
+    # CollapseProject refuses to re-inline a non-cheap alias referenced
+    # twice (SPARK-36718), same trick as with_zorder's chained projection
+    out = (joined
+           .withColumn("_ni", F.size(F.array_intersect("_sa", "_sb")))
+           .select("a_id", "b_id",
+                   (F.col("_ni") / (F.size("_sa") + F.size("_sb")
+                                    - F.col("_ni"))).alias("jaccard")))
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
 
 
 def _local_cc_labels(sym: DataFrame) -> DataFrame:
@@ -809,12 +806,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         csym = (sym.join(lu, "u").join(lv, "v")
                 .filter(F.col("_lu") != F.col("_lv"))
                 .select(F.col("_lu").alias("u"), F.col("_lv").alias("v"))
-                .distinct().persist())
+                .distinct().localCheckpoint(eager=False))
     else:
         # pure-iterative path (testing/ablation): identity local labels,
         # iterate on the raw symmetric edge list
         base = verts.withColumn("label", F.col("node"))
-        csym = sym.persist()
+        csym = sym.localCheckpoint(eager=False)
     singletons = None
     if nodes is not None:
         singletons = (nodes.select(F.col(node_col).alias("node")).distinct()
@@ -850,7 +847,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             f"connected_components did not converge within {max_iters} "
             "iterations — labels may be non-minimal; raise max_iters",
             RuntimeWarning, stacklevel=2)
-    csym.unpersist()
+    # (csym is localCheckpointed — its blocks free on GC, and every
+    # round's plan referenced a leaf RDD scan, not the contraction tree)
     # compose: component(node) = comp(local_label(node)); nodes whose
     # local component never straddled partitions keep their local label
     comp = labels.select(F.col("node").alias("_cn"),
@@ -955,9 +953,10 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
                      F.shiftright("sh", c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"))
             for c in range(4)
         ])).alias("ck"),
-    ).select("doc", "sh", "ck.chunk", "ck.key").persist()
-    # ^ persist: both self-join sides read the cached chunk table, so the
-    # simhash signature kernel runs once per query instead of twice
+    ).select("doc", "sh", "ck.chunk", "ck.key").localCheckpoint(eager=False)
+    # ^ localCheckpoint: both self-join sides read the cached chunk table,
+    # so the simhash signature kernel runs once per query instead of
+    # twice — with the plan tree cut and blocks GC-freed (persist leaks)
     cand = (
         chunks.alias("l").join(chunks.alias("r"), ["chunk", "key"])
         .filter(F.col("l.doc") < F.col("r.doc"))

@@ -242,12 +242,15 @@ def cosine_topk_ivf(queries: DataFrame, targets: DataFrame, k: int,
     """
     from zen3geo_spark.operators._util import ensure_parallelism
 
-    # persist: the seed collect, every Lloyd round, and the final list
-    # assignment all scan the parsed target table — without the persist
-    # each pass re-reads the source and re-pays the repartition shuffle
+    # localCheckpoint: the seed collect, every Lloyd round, and the final
+    # list assignment all scan the parsed target table — without it each
+    # pass re-reads the source and re-pays the repartition shuffle; the
+    # checkpoint blocks are GC-freed after the query (a plain persist's
+    # CacheManager entry never is)
     t = ensure_parallelism(
         targets.select(F.col(t_id).alias("target_id"),
-                       _as_double(F.col(t_vec)).alias("tv"))).persist()
+                       _as_double(F.col(t_vec)).alias("tv"))
+    ).localCheckpoint(eager=False)
     q = queries.select(F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv"))
 
     cents = [r["tv"] for r in

@@ -77,16 +77,42 @@ def _pip_refine_group(pdf: pd.DataFrame) -> pd.DataFrame:
     y2 = np.concatenate([e[3] for e in edges])
     px = pdf["lon_us"].to_numpy(dtype=np.float64)
     py = pdf["lat_us"].to_numpy(dtype=np.float64)
-    # crossing test, one scalar-edge × contiguous-points pass per edge —
-    # formula mirrored in pip_refine_sql(), element-for-element identical
-    # to the (N,E) broadcast form but avoiding 0-stride operands, which
-    # this host's numpy runs ~200x slower than contiguous loops
-    crossings = np.zeros(len(px), dtype=np.int64)
+    # crossing test over (points × edge-tiles) 2-D blocks — formula
+    # mirrored in pip_refine_sql(), element-for-element identical double
+    # arithmetic.  Two pathologies bracketed out: (a) a per-edge Python
+    # loop costs E interpreter iterations per group (10k ufunc dispatches
+    # for a 10k-vertex polygon, regardless of how few points the group
+    # holds); (b) fresh (N,E) result allocations per op pay first-touch
+    # page faults (~100-500 µs/page on shared-tenancy hosts — measured
+    # ~200x over the compute itself; earlier misattributed to 0-stride
+    # broadcasting, which is actually fast).  So: tile the edge axis to
+    # bound memory, PREALLOCATE the per-tile buffers once per group, and
+    # run every elementwise op with ``out=`` into those buffers —
+    # E/e_tile interpreter iterations, zero per-tile allocation.
+    n_pts, n_edges = len(px), len(x1)
+    crossings = np.zeros(n_pts, dtype=np.int64)
+    e_tile = max(1, min(n_edges, 1_048_576 // max(n_pts, 1)))
+    pxc = px[:, None]
+    pyc = py[:, None]
+    b1 = np.empty((n_pts, e_tile), dtype=bool)
+    b2 = np.empty((n_pts, e_tile), dtype=bool)
+    f1 = np.empty((n_pts, e_tile), dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        for j in range(len(x1)):
-            straddle = (y1[j] > py) != (y2[j] > py)
-            xint = (x2[j] - x1[j]) * (py - y1[j]) / (y2[j] - y1[j]) + x1[j]
-            crossings += straddle & (px < xint)
+        for j0 in range(0, n_edges, e_tile):
+            j1 = min(j0 + e_tile, n_edges)
+            w = j1 - j0
+            B1, B2, XI = b1[:, :w], b2[:, :w], f1[:, :w]
+            y1t, y2t = y1[j0:j1], y2[j0:j1]
+            np.greater(y1t, pyc, out=B1)
+            np.greater(y2t, pyc, out=B2)
+            np.not_equal(B1, B2, out=B1)            # straddle
+            np.subtract(pyc, y1t, out=XI)           # (py - y1)
+            np.multiply(XI, x2[j0:j1] - x1[j0:j1], out=XI)
+            np.divide(XI, y2t - y1t, out=XI)
+            np.add(XI, x1[j0:j1], out=XI)           # xint
+            np.less(pxc, XI, out=B2)
+            np.logical_and(B1, B2, out=B1)
+            crossings += B1.sum(axis=1)
     inside = (crossings % 2) == 1
     out = pdf.loc[inside, ["point_id", "geom_id", "lat_us", "lon_us"]]
     return out
