@@ -4,10 +4,11 @@ Each ``queries()`` entry runs a real engine operator (zen3geo_spark.*) and
 has a DuckDB ``oracle_sql()`` twin sharing the exact same arithmetic via
 the engine-parameterized SQL templates in zen3geo_spark.functions /
 sources.pages. Column names and dtypes are aligned on both sides; float
-aggregates are rounded identically. The single rows-only query (no
-oracle entry) is ann_ivf_trained — its spherical-kmeans codebook comes
-from an iterative driver loop with no closed SQL form; its recall is
-pytest-asserted instead.
+aggregates are rounded identically. Every entry — including the
+iterative ones — has an oracle: the Hilbert curve runs as a recursive
+CTE and the trained-IVF spherical-kmeans recurrence as driver-built
+per-round SQL blocks (cosine scale-invariance lets the oracle skip the
+centroid re-normalization the Spark kernel performs).
 """
 
 from __future__ import annotations
@@ -575,7 +576,8 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a spherical-kmeans-trained codebook (2 Lloyd rounds)
-    — rows-only (approximate by construction; recall pytest-asserted)."""
+    — hash-checked against a driver-built per-round SQL twin of the
+    Lloyd recurrence (plus recall vs brute force in pytest)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -959,6 +961,35 @@ def q_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min_px", "max_px")
 
 
+def q_stac_asset_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XpySTACAssetReader engine DISPATCH end-to-end (xpystac.py:41-46):
+    the same ``open_asset`` entry point reads a STAC-item sidecar through
+    TWO different engines — json (item metadata) and csv (per-item pixel
+    table) — joined into one per-item readout. The unsupported-engine
+    error contract is pytest-asserted (test_datapipes_xpystac.py:96-102
+    parity)."""
+    import pathlib
+
+    from zen3geo_spark.sources.raster import (
+        open_asset, write_stac_sidecar_assets,
+    )
+
+    d = pathlib.Path(__file__).resolve().parent / ".gen_assets" / "sidecar"
+    write_stac_sidecar_assets(d)
+    items = open_asset(spark, str(d / "items.jsonl"), engine="json").select(
+        F.col("item_id").cast("long").alias("item_id"),
+        "collection",
+        F.col("lat_us").cast("long").alias("lat_us"),
+        F.col("lon_us").cast("long").alias("lon_us"))
+    px = open_asset(spark, str(d / "pixels.csv"), engine="csv",
+                    header="true", inferSchema="true")
+    stats = (px.groupBy(F.col("item_id").cast("long").alias("item_id"))
+             .agg(F.count("*").alias("n_px"),
+                  F.sum(F.col("v").cast("double")).alias("sum_v")))
+    return items.join(stats, "item_id").select(
+        "item_id", "collection", "lat_us", "lon_us", "n_px", "sum_v")
+
+
 def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup CLUSTERING end-to-end: exact block-matmul
     cosine pairs (>= 0.4) → connected components → (vec, component) keep
@@ -1009,68 +1040,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
-        # --- new this round ---
-        "zorder_cells": q_zorder_cells,
-        "zorder_range_scan": q_zorder_range_scan,
-        "hilbert_cells": q_hilbert_cells,
-        "rasterize_line_mean": q_rasterize_line_mean,
-        "rasterize_poly_max": q_rasterize_poly_max,
-        "bbox_image_coords": q_bbox_image_coords,
-        "binary_assets": q_binary_assets,
-        "embed_dedup_clusters": q_embed_dedup_clusters,
-        "word_jaccard_exact": q_word_jaccard_exact,
-        # --- changed this round (scale fixes touching these plans) ---
-        "kmv_distinct": q_kmv_distinct,
-        "image_stats": q_image_stats,
-        "near_dup_verified": q_near_dup_verified,
-        "word_jaccard": q_word_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "batcher": q_batcher,
-        "zipper": q_zipper,
-        "collate": q_collate,
-        # --- outside the driver's window last round (judge-verified only) ---
-        "winnow": q_winnow,
-        "overviews": q_overviews,
-        "corpus_clean": q_corpus_clean,
-        "raster_math": q_raster_math,
-        "month_split": q_month_split,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        # --- established, one green round ---
-        "zonal_stats": q_zonal_stats,
-        "rasterize_mean": q_rasterize_mean,
-        "rasterize_polygon": q_rasterize_polygon,
-        "rasterize_line": q_rasterize_line,
-        "chip_grid_nd": q_chip_grid_nd,
-        "rect_clip_reproject": q_rect_clip_reproject,
-        "stack_bilinear": q_stack_bilinear,
-        "stac_item_read": q_stac_item_read,
-        "forked_stats": q_forked_stats,
-        "unigram_logppl": q_unigram_logppl,
-        "embed_neardup": q_embed_neardup,
-        "ann_lsh": q_ann_lsh,
-        "session_window": q_session_window,
-        "tumbling_window": q_tumbling_window,
-        # --- established, two green rounds ---
-        "pip_join": q_pip_join,
-        "pip_join_salted": q_pip_join_salted,
-        "knn_brute": q_knn_brute,
-        "knn_cells": q_knn_cells,
-        "rasterize_world_points": q_rasterize_world_points,
-        "chip_grid": q_chip_grid,
-        "chip_assign": q_chip_assign,
-        "rect_clip": q_rect_clip,
-        "mosaic": q_mosaic,
-        "stack_mosaic": q_stack_mosaic,
+        # --- new this round (r4) ---
+        "stac_asset_engines": q_stac_asset_engines,
+        "ann_ivf_trained": q_ann_ivf_trained,  # oracle is new this round
+        # --- rotated back in: outside the driver's r3 window ---
         "dedup_exact": q_dedup_exact,
         "token_quality": q_token_quality,
         "ann_cosine": q_ann_cosine,
         "lang_id": q_lang_id,
         "mercator_bins": q_mercator_bins,
         "cell_rollup": q_cell_rollup,
-        # --- most-stable trivial scans/aggregates (may fall past the cap) ---
         "pages_extract": q_pages_extract,
         "pages_cell_counts": q_pages_cell_counts,
         "extract_all_tags": q_extract_all_tags,
@@ -1082,6 +1061,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_orders": q_segment_orders,
         "tile_scan": q_tile_scan,
         "vector_scan": q_vector_scan,
+        # --- code paths changed this round (r4 fixes touch these) ---
+        "zorder_cells": q_zorder_cells,
+        "zorder_range_scan": q_zorder_range_scan,
+        "hilbert_cells": q_hilbert_cells,
+        "near_dup_verified": q_near_dup_verified,
+        "word_jaccard": q_word_jaccard,
+        "word_jaccard_exact": q_word_jaccard_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_dedup_clusters": q_embed_dedup_clusters,
+        "winnow": q_winnow,
+        "kmv_distinct": q_kmv_distinct,
+        "corpus_clean": q_corpus_clean,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "embed_neardup": q_embed_neardup,
+        "zipper": q_zipper,
+        "batcher": q_batcher,
+        "collate": q_collate,
+        "forked_stats": q_forked_stats,
+        "pip_join": q_pip_join,
+        "pip_join_salted": q_pip_join_salted,
+        "zonal_stats": q_zonal_stats,
+        "knn_brute": q_knn_brute,
+        "knn_cells": q_knn_cells,
+        "binary_assets": q_binary_assets,
+        # --- in-window fillers (green r3, unchanged; keep re-checking) ---
+        "image_stats": q_image_stats,
+        "overviews": q_overviews,
+        "unigram_logppl": q_unigram_logppl,
+        "session_window": q_session_window,
+        "tumbling_window": q_tumbling_window,
+        # --- past the 50-cap this round: green in the r3 window AND
+        # --- untouched by r4 changes (re-enter the window next round) ---
+        "rasterize_mean": q_rasterize_mean,
+        "rasterize_polygon": q_rasterize_polygon,
+        "rasterize_line": q_rasterize_line,
+        "rasterize_line_mean": q_rasterize_line_mean,
+        "rasterize_poly_max": q_rasterize_poly_max,
+        "rasterize_world_points": q_rasterize_world_points,
+        "bbox_image_coords": q_bbox_image_coords,
+        "chip_grid": q_chip_grid,
+        "chip_assign": q_chip_assign,
+        "chip_grid_nd": q_chip_grid_nd,
+        "rect_clip": q_rect_clip,
+        "rect_clip_reproject": q_rect_clip_reproject,
+        "stack_bilinear": q_stack_bilinear,
+        "stack_mosaic": q_stack_mosaic,
+        "mosaic": q_mosaic,
+        "stac_item_read": q_stac_item_read,
+        "raster_math": q_raster_math,
+        "month_split": q_month_split,
     }
 
 
@@ -1506,6 +1538,65 @@ def oracle_sql() -> dict[str, str]:
     select query_id, target_id, rk from ranked where rk <= 3
     """
 
+    # ann_ivf_trained oracle: the Lloyd recurrence is deterministic
+    # (seeded centroids, fixed iteration order), so the driver BUILDS one
+    # SQL block per training round — same trick as the Hilbert recursive
+    # CTE, applied to an iterative ML algorithm.  Cosine similarity is
+    # scale-invariant, so the oracle skips the Spark side's per-round
+    # centroid re-normalization entirely: argmax cos(tv, c) and
+    # avg-of-assigned-vectors are the whole recurrence; empty lists keep
+    # the previous centroid via the left-join coalesce (the Spark kernel
+    # keeps C_unit[i] — same assignment under scale invariance).
+    def _ivf_trained_sql(train_iters: int = 2, n_lists: int = 16,
+                         n_probe: int = 6, k: int = 3, dim: int = 64) -> str:
+        parts = [
+            "t as (select vec_id as target_id, embedding::DOUBLE[] as tv "
+            "from embeddings)",
+            "q as (select vec_id as query_id, embedding::DOUBLE[] as qv "
+            "from embeddings where vec_id < 5)",
+            "c0 as (select vec_id as list_id, embedding::DOUBLE[] as cv "
+            f"from embeddings where vec_id < {n_lists})",
+        ]
+
+        def argmax_cte(name: str, rel: str, idc: str, vc: str, cents: str,
+                       keep: str) -> str:
+            return (
+                f"{name} as (select {idc}, {vc}, list_id from ("
+                f"select s.{idc}, s.{vc}, c.list_id, "
+                f"row_number() over (partition by s.{idc} "
+                f"order by list_cosine_similarity(s.{vc}, c.cv) desc, "
+                f"c.list_id asc) as rk from {rel} s, {cents} c) "
+                f"where {keep})")
+
+        prev = "c0"
+        for r in range(train_iters):
+            parts.append(argmax_cte(f"a{r}", "t", "target_id", "tv", prev,
+                                    "rk = 1"))
+            parts.append(
+                f"m{r} as (select list_id, i, avg(tv[i]) as v "
+                f"from a{r}, range(1, {dim + 1}) r(i) group by list_id, i)")
+            parts.append(
+                f"c{r + 1} as (select c.list_id, coalesce(m.mcv, c.cv) as cv "
+                f"from {prev} c left join (select list_id, "
+                f"list(v order by i) as mcv from m{r} group by list_id) m "
+                f"using (list_id))")
+            prev = f"c{r + 1}"
+        parts.append(argmax_cte("tl", "t", "target_id", "tv", prev, "rk = 1"))
+        parts.append(argmax_cte("qprobe", "q", "query_id", "qv", prev,
+                                f"rk <= {n_probe}"))
+        parts.append(
+            "pairs as (select p.query_id, l.target_id, "
+            "list_cosine_similarity(p.qv, l.tv) as cos "
+            "from qprobe p join tl l using (list_id)), "
+            "ranked as (select query_id, target_id, "
+            "row_number() over (partition by query_id "
+            "order by cos desc, target_id asc) as rk from pairs)")
+        return ("with " + ",\n".join(parts)
+                + f"\nselect query_id, target_id, rk from ranked "
+                  f"where rk <= {k}")
+
+    ann_ivf_trained_sql = _ivf_trained_sql()
+
     # ann_ivf oracle: untrained centroids are deterministic (first 16
     # target vectors); assignment = cosine-argmax over centroids, probes =
     # top-6 lists, exact cosine rerank — all expressible in SQL
@@ -1890,6 +1981,28 @@ def oracle_sql() -> dict[str, str]:
 
     # binary PGM assets: pixel i of asset f = (f·11 + i·17) mod 256 over
     # (20 + f%8) x (12 + f%4) pixels (multimodal.pgm_bytes)
+    # stac_asset_engines oracle: regenerate the deterministic sidecar
+    # formulas in pure SQL (no file reads) — same pattern as
+    # binary_assets below
+    stac_asset_engines_sql = """
+    with items as (
+      select id as item_id, 'c' || cast(id % 3 as varchar) as collection,
+             (id * 5000003) % 180000001 - 90000000 as lat_us,
+             (id * 9000007) % 360000001 - 180000000 as lon_us
+      from range(20) t(id)
+    ),
+    px as (
+      select i.item_id, cast((i.item_id * 11 + j.j * 17) % 256 as double) as v
+      from items i, range(15) j(j) where j.j < 10 + i.item_id % 5
+    ),
+    stats as (
+      select item_id, count(*) as n_px, sum(v) as sum_v
+      from px group by item_id
+    )
+    select i.item_id, i.collection, i.lat_us, i.lon_us, s.n_px, s.sum_v
+    from items i join stats s using (item_id)
+    """
+
     binary_assets_sql = f"""
     with a as (select id as asset_id, 20 + id % 8 as w, 12 + id % 4 as h
                from range({N_PGM_ASSETS}) t(id)),
@@ -1976,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_poly_max": rasterize_poly_max_sql,
         "bbox_image_coords": bbox_image_coords_sql,
         "binary_assets": binary_assets_sql,
+        "stac_asset_engines": stac_asset_engines_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,
@@ -2189,6 +2303,5 @@ def oracle_sql() -> dict[str, str]:
             "from orders join customer on o_custkey = c_custkey "
             "group by c_mktsegment"
         ),
-        # rows-only: ann_ivf_trained (iterative kmeans codebook — no
-        # closed SQL form; recall asserted vs brute force in pytest)
+        "ann_ivf_trained": ann_ivf_trained_sql,
     }

@@ -204,3 +204,28 @@ def test_open_asset_netpbm_engine_decodes_pixels(spark, tmp_path):
     assert px.count() == sum((20 + i % 8) * (12 + i % 4) for i in range(3))
     with pytest.raises(ValueError, match="unsupported engine"):
         open_asset(spark, d, engine="zarr")
+
+
+def test_open_asset_json_csv_engines_dispatch(spark, tmp_path):
+    """Engine-override parity with the reference
+    (test_datapipes_xpystac.py:11-102): the same open_asset entry point
+    reads the STAC item sidecar via the json engine and the pixel table
+    via the csv engine; values match the deterministic fixture
+    formulas."""
+    from zen3geo_spark.sources.raster import (
+        N_SIDECAR_ITEMS, open_asset, write_stac_sidecar_assets,
+    )
+
+    d = tmp_path / "sidecar"
+    write_stac_sidecar_assets(d)
+    items = open_asset(spark, str(d / "items.jsonl"), engine="json")
+    got = {r["item_id"]: r for r in items.collect()}
+    assert len(got) == N_SIDECAR_ITEMS
+    assert got[7]["collection"] == "c1"
+    assert got[7]["lat_us"] == (7 * 5_000_003) % 180_000_001 - 90_000_000
+    px = open_asset(spark, str(d / "pixels.csv"), engine="csv",
+                    header="true", inferSchema="true")
+    n = px.filter(F.col("item_id") == 3).count()
+    assert n == 13  # 10 + 3 % 5
+    v = px.filter((F.col("item_id") == 3) & (F.col("px") == 2)).collect()
+    assert v[0]["v"] == (3 * 11 + 2 * 17) % 256

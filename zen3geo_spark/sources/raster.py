@@ -114,3 +114,38 @@ def _read_netpbm_pixels(spark: SparkSession, path: str) -> DataFrame:
 
     return raw.mapInPandas(
         run, schema="asset_id long, band int, y_idx int, x_idx int, value double")
+
+
+N_SIDECAR_ITEMS = 20
+
+
+def write_stac_sidecar_assets(asset_dir) -> None:
+    """Deterministic STAC-sidecar fixtures for the engine dispatch:
+    ``items.jsonl`` (one STAC-item-ish record per line — the json engine)
+    and ``pixels.csv`` (a per-item pixel table — the csv engine).
+    Mirrors the reference's multi-engine asset readout
+    (``/root/reference/zen3geo/datapipes/xpystac.py:41-46``, engines
+    exercised in ``tests/test_datapipes_xpystac.py:11-102``); formulas
+    are integer-deterministic so a pure-SQL oracle can regenerate them
+    without reading the files."""
+    import json as _json
+    import pathlib
+
+    d = pathlib.Path(asset_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    jpath, cpath = d / "items.jsonl", d / "pixels.csv"
+    if jpath.exists() and cpath.exists():
+        return
+    with open(jpath, "w") as f:
+        for i in range(N_SIDECAR_ITEMS):
+            f.write(_json.dumps({
+                "item_id": i,
+                "collection": f"c{i % 3}",
+                "lat_us": (i * 5_000_003) % 180_000_001 - 90_000_000,
+                "lon_us": (i * 9_000_007) % 360_000_001 - 180_000_000,
+            }, sort_keys=True) + "\n")
+    with open(cpath, "w") as f:
+        f.write("item_id,px,v\n")
+        for i in range(N_SIDECAR_ITEMS):
+            for j in range(10 + i % 5):
+                f.write(f"{i},{j},{(i * 11 + j * 17) % 256}\n")
