@@ -94,11 +94,33 @@ def test_spark_submit_py_files(tmp_path):
 
 
 def test_driver_contract_key_alignment():
-    """Every oracle_sql() key must have a queries() entry; the only
-    queries() entries without an oracle are the declared rows-only set."""
+    """Every oracle_sql() key must have a queries() entry and vice versa
+    — since r4 every query (including the iterative trained-IVF) carries
+    a value-hash oracle; the rows-only set is empty."""
     import __spark_entry__ as E
 
     q = set(E.queries())
     o = set(E.oracle_sql())
-    assert o <= q, o - q
-    assert q - o == {"ann_ivf_trained"}, q - o
+    assert o == q, (q - o, o - q)
+
+
+def test_checkpoint_runner_releases_cached_blocks(spark, tmp_path):
+    """A multi-stage run must not accumulate cached/localCheckpoint
+    blocks: after each stage materializes to its checkpoint table, the
+    runner drops every persistent RDD (minhash/jaccard/CC intermediates
+    localCheckpoint internally)."""
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.operators.dedup import minhash_lsh_candidates
+    from zen3geo_spark.plans.checkpoint import CheckpointRunner
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} epsilon zeta") for i in range(40)],
+        "doc_id long, text string")
+    runner = CheckpointRunner(spark, str(tmp_path / "ckpt"))
+    out = runner.stage(
+        "cand", "fp1",
+        lambda: minhash_lsh_candidates(docs, num_hashes=8, bands=4))
+    assert out.count() > 0
+    n_persistent = (spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert n_persistent == 0, f"{n_persistent} persistent RDDs leaked"

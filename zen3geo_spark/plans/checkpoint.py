@@ -28,10 +28,29 @@ from pyspark.sql import functions as F
 
 
 class CheckpointRunner:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 release_cache: bool = True):
+        """release_cache: after each stage materializes, drop every
+        cached plan and persistent RDD (incl. intra-stage localCheckpoint
+        blocks) — downstream stages read the checkpoint table, so the
+        intermediates are dead weight that would otherwise accumulate
+        across a long multi-stage run. Set False if the session holds
+        caches the pipeline must not touch."""
         self.spark = spark
         self.root = root
+        self.release_cache = release_cache
         os.makedirs(root, exist_ok=True)
+
+    def _release_blocks(self) -> None:
+        """Unpersist everything: cached query plans (CacheManager) and
+        raw persistent RDDs (persist()/localCheckpoint blocks, which
+        catalog.clearCache does NOT cover). Safe post-materialization:
+        the stage output lives in the checkpoint table."""
+        self.spark.catalog.clearCache()
+        # py4j exposes the java Map as a dict view
+        for rdd in list(self.spark.sparkContext._jsc.getPersistentRDDs()
+                        .values()):
+            rdd.unpersist()
 
     def _paths(self, stage: str) -> tuple[str, str]:
         return f"{self.root}/{stage}/data", f"{self.root}/{stage}/_MANIFEST.json"
@@ -76,6 +95,8 @@ class CheckpointRunner:
             writer = df.write.mode("overwrite")
         writer.parquet(dpath)
         wall_ms = int((time.time() - t0) * 1000)
+        if self.release_cache:
+            self._release_blocks()
 
         out = self.spark.read.parquet(dpath)
         if partition_col is not None:
