@@ -32,7 +32,14 @@ MAX_HRES = 26
 
 
 def hilbert_d_np(iy, ix, res: int):
-    """Vectorized xy→d on the level-``res`` Hilbert curve (int64 arrays)."""
+    """Vectorized xy→d on the level-``res`` Hilbert curve (int64 arrays).
+
+    The level-1 curve visits (0,0) (1,0) (1,1) (0,1) in d order —
+    continuous, unlike Morton's (0,0) (1,0) (0,1) (1,1) jump:
+
+    >>> list(hilbert_d_np([0, 1, 1, 0], [0, 0, 1, 1], 1))
+    [0, 1, 2, 3]
+    """
     x = np.asarray(ix, dtype=np.int64).copy()
     y = np.asarray(iy, dtype=np.int64).copy()
     d = np.zeros_like(x)

@@ -169,6 +169,16 @@ def zorder_parent_sql(z: str, res: int, parent_res: int, engine: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _morton_py(iy: int, ix: int, res: int) -> int:
+    """Pure-Python Morton interleave (bit-parity twin of the SQL/Column
+    paths).
+
+    >>> _morton_py(0, 0, 4)
+    0
+    >>> _morton_py(1, 0, 4)      # y bit lands on the odd position
+    2
+    >>> _morton_py(0b11, 0b01, 4)    # x=01 -> 0b0001, y=11 -> 0b1010
+    11
+    """
     def spread(v: int) -> int:
         v &= (1 << MAX_ZRES) - 1
         for shift, mask in _SPREAD:
@@ -180,6 +190,15 @@ def _morton_py(iy: int, ix: int, res: int) -> int:
 
 
 def _grid_coord(val_micro: int, off: int, denom: int, res: int) -> int:
+    """Exact grid index (planning-side twin of :func:`_grid_idx_col`).
+
+    >>> _grid_coord(0, 90_000_000, 180_000_001, 1)      # equator -> row 0
+    0
+    >>> _grid_coord(1, 90_000_000, 180_000_001, 1)      # just north -> row 1
+    1
+    >>> _grid_coord(89_999_999, 90_000_000, 180_000_001, 4)  # top row
+    15
+    """
     return ((val_micro + off) << res) // denom
 
 

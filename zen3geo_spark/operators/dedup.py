@@ -191,7 +191,17 @@ def _shingle_list(text: str, n: int) -> list[str]:
     """Python twin of ``shingles``: distinct word n-grams, identical to the
     Spark Column version including the lowercase normalization and the
     short-text edge (one gram = the whole word list; empty text → one ''
-    gram)."""
+    gram).
+
+    >>> _shingle_list("The quick brown fox", 2)
+    ['the quick', 'quick brown', 'brown fox']
+    >>> _shingle_list("a b a b", 2)          # distinct grams only
+    ['a b', 'b a']
+    >>> _shingle_list("hi", 3)               # short text: one whole gram
+    ['hi']
+    >>> _shingle_list("", 2)
+    ['']
+    """
     words = _WS.split(text.strip().lower())
     k = max(len(words) - n, 0) + 1
     return list(dict.fromkeys(" ".join(words[j:j + n]) for j in range(k)))

@@ -88,7 +88,16 @@ def parse_pgm(buf: bytes) -> np.ndarray:
 
 def pgm_bytes(asset_id: int, w: int, h: int) -> bytes:
     """Deterministic P5 PGM: pixel byte i = (asset_id·11 + i·17) mod 256
-    (the formula the binary_assets DuckDB oracle recomputes)."""
+    (the formula the binary_assets DuckDB oracle recomputes).
+
+    Round-trips exactly through the real parser:
+
+    >>> img = parse_pgm(pgm_bytes(3, 4, 2))
+    >>> img.shape
+    (2, 4)
+    >>> [int(v) for v in img[0]]     # 3*11 + i*17 mod 256
+    [33, 50, 67, 84]
+    """
     header = f"P5\n{w} {h}\n255\n".encode()
     idx = np.arange(w * h, dtype=np.int64)
     return header + ((asset_id * 11 + idx * 17) % 256).astype(np.uint8).tobytes()
