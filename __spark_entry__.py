@@ -990,6 +990,25 @@ def q_stac_asset_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id", "collection", "lat_us", "lon_us", "n_px", "sum_v")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-bigram coverage + duplicate
+    trigram fraction per doc, keep flag under both thresholds."""
+    from zen3geo_spark.functions.text import ngram_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_repetition_stats(docs)
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of a fixed term set over the corpus (training-data
+    retrieval/filter scorer); df/corpus stats broadcast into the tf
+    join."""
+    from zen3geo_spark.functions.text import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, ["spark", "table", "window"])
+
+
 def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup CLUSTERING end-to-end: exact block-matmul
     cosine pairs (>= 0.4) → connected components → (vec, component) keep
@@ -1041,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- new this round (r4) ---
+        "gopher_repetition": q_gopher_repetition,
+        "bm25_scores": q_bm25_scores,
         "stac_asset_engines": q_stac_asset_engines,
         "ann_ivf_trained": q_ann_ivf_trained,  # oracle is new this round
         # --- rotated back in: outside the driver's r3 window ---
@@ -1981,6 +2002,14 @@ def oracle_sql() -> dict[str, str]:
 
     # binary PGM assets: pixel i of asset f = (f·11 + i·17) mod 256 over
     # (20 + f%8) x (12 + f%4) pixels (multimodal.pgm_bytes)
+    from zen3geo_spark.functions.text import (
+        bm25_sql_duckdb, ngram_repetition_sql_duckdb,
+    )
+
+    gopher_repetition_sql = ngram_repetition_sql_duckdb("documents")
+    bm25_scores_sql = bm25_sql_duckdb(
+        "documents", ["spark", "table", "window"])
+
     # stac_asset_engines oracle: regenerate the deterministic sidecar
     # formulas in pure SQL (no file reads) — same pattern as
     # binary_assets below
@@ -2090,6 +2119,8 @@ def oracle_sql() -> dict[str, str]:
         "bbox_image_coords": bbox_image_coords_sql,
         "binary_assets": binary_assets_sql,
         "stac_asset_engines": stac_asset_engines_sql,
+        "gopher_repetition": gopher_repetition_sql,
+        "bm25_scores": bm25_scores_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,

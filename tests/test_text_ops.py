@@ -342,3 +342,33 @@ def test_hash_parity_non_bmp_all_three_paths(spark):
     column = spark.range(1).select(
         gram_hash40(F.lit(s)).alias("h")).collect()[0]["h"]
     assert column == kernel
+
+
+def test_ngram_repetition_stats_hand_computed(spark):
+    """'a b a b a' bigrams: [a b, b a, a b, b a] -> top 2/4; trigrams:
+    [a b a, b a b, a b a] -> dup (3-2)/3."""
+    from zen3geo_spark.functions.text import ngram_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z q r")], "doc_id long, text string")
+    got = {r["doc"]: r for r in ngram_repetition_stats(docs).collect()}
+    assert got[1]["top_bigram_frac"] == 0.5
+    assert got[1]["dup_trigram_frac"] == round(1 / 3, 6)
+    assert not got[1]["keep"]          # repetitive doc filtered
+    assert got[2]["top_bigram_frac"] == 0.2
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[2]["keep"]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc hitting the rarer term scores above one hitting the common
+    term with equal tf/dl (idf monotonicity)."""
+    from zen3geo_spark.functions.text import bm25_scores
+
+    rows = [(i, "common filler words here") for i in range(8)]
+    rows += [(8, "rare common pad pad"), (9, "common common pad pad")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: r["bm25"]
+           for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    assert got[8] > got[9]
+    assert set(got) == set(range(10))  # every doc hits 'common'

@@ -168,3 +168,143 @@ def unigram_logppl_sql_duckdb(rel: str, id_col: str = "doc_id",
     from toks join tf using (tok), total
     group by doc
     """
+
+
+def _gram_expr(text: Column, n: int) -> Column:
+    """JVM word n-gram array (NON-distinct, positional — repetition
+    statistics need every occurrence, unlike the dedup shingles)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+def ngram_repetition_stats(docs, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           top_frac_max: float = 0.20,
+                           dup_frac_max: float = 0.30):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted
+    to single-line corpora): per doc, the fraction of 2-gram occurrences
+    taken by the SINGLE most frequent 2-gram (``top_bigram_frac``) and
+    the fraction of 3-gram occurrences that are repeats of an earlier
+    3-gram (``dup_trigram_frac``); ``keep`` flags docs under both
+    thresholds.
+
+    Scale shape: one explode per n, grams counted per (doc, gram) then
+    folded per doc — two map-side-combinable aggregations keyed by the
+    doc id, no self-joins, no windows; everything JVM (the HOF gram
+    build runs once per doc, not per gram pair).
+    """
+    def stats(n: int, top_out: str, dup_out: str):
+        g = docs.select(F.col(id_col).alias("doc"),
+                        F.explode(_gram_expr(F.col(text_col), n)).alias("g"))
+        per_gram = g.groupBy("doc", "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy("doc").agg(
+            (F.max("c") / F.sum("c")).alias(top_out),
+            ((F.sum("c") - F.count("*")) / F.sum("c")).alias(dup_out))
+
+    bi = stats(2, "top_bigram_frac", "_dup2")
+    tri = stats(3, "_top3", "dup_trigram_frac")
+    out = bi.select("doc", "top_bigram_frac").join(
+        tri.select("doc", "dup_trigram_frac"), "doc")
+    return out.select(
+        "doc",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        ((F.col("top_bigram_frac") <= top_frac_max)
+         & (F.col("dup_trigram_frac") <= dup_frac_max)).alias("keep"))
+
+
+def ngram_repetition_sql_duckdb(rel: str, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                top_frac_max: float = 0.20,
+                                dup_frac_max: float = 0.30) -> str:
+    """DuckDB twin of :func:`ngram_repetition_stats` (same gram build as
+    ``shingles_sql_duckdb`` but NON-distinct)."""
+    def grams(n: int) -> str:
+        words = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+        return (
+            f"select {id_col} as doc, unnest(list_transform("
+            f"generate_series(1, greatest(len({words}) - {n}, 0) + 1), "
+            f"i -> array_to_string(({words})[i:i+{n - 1}], ' '))) as g "
+            f"from {rel}")
+
+    def stats(n: int, top_out: str, dup_out: str) -> str:
+        return (
+            f"select doc, cast(max(c) as double) / sum(c) as {top_out}, "
+            f"cast(sum(c) - count(*) as double) / sum(c) as {dup_out} "
+            f"from (select doc, g, count(*) as c from ({grams(n)}) "
+            f"group by doc, g) group by doc")
+
+    return f"""
+    with bi as ({stats(2, 'top_bigram_frac', '_d2')}),
+    tri as ({stats(3, '_t3', 'dup_trigram_frac')})
+    select doc, round(top_bigram_frac, 6) as top_bigram_frac,
+           round(dup_trigram_frac, 6) as dup_trigram_frac,
+           (top_bigram_frac <= {top_frac_max}
+            and dup_trigram_frac <= {dup_frac_max}) as keep
+    from bi join tri using (doc)
+    """
+
+
+def bm25_scores(docs, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 of a fixed term set over the corpus — the retrieval
+    scorer of a training-data search/filter stage.
+
+    idf uses the Lucene form ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    Scale shape: term stats (df) and corpus stats (N, avgdl) are
+    term-count- and 1-row-sized aggregates broadcast into the per-doc
+    tf join — no shuffle touches the corpus twice; all JVM.
+    """
+    from zen3geo_spark.operators._util import pair_all
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+    dl = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    corpus = pair_all(
+        docs.agg(F.count("*").alias("n_docs")),
+        dl.agg(F.avg("dl").alias("avgdl")))
+    hits = toks.filter(F.col("tok").isin(terms))
+    tf = hits.groupBy("doc", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = pair_all(tf.join(F.broadcast(df), "tok").join(dl, "doc"),
+                      corpus)
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    num = F.col("tf") * (F.lit(k1) + 1)
+    den = (F.col("tf") + F.lit(k1)
+           * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    return (scored.withColumn("_s", idf * num / den)
+            .groupBy("doc").agg(F.round(F.sum("_s"), 4).alias("bm25")))
+
+
+def bm25_sql_duckdb(rel: str, terms: list[str], id_col: str = "doc_id",
+                    text_col: str = "text", k1: float = 1.2,
+                    b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_scores` (same arithmetic order:
+    idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)), summed per doc)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    with toks as (
+      select {id_col} as doc,
+             unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) as tok
+      from {rel}
+    ),
+    dl as (select doc, count(*) as dl from toks group by doc),
+    corpus as (
+      select (select count(*) from {rel}) as n_docs,
+             (select avg(dl) from dl) as avgdl
+    ),
+    tf as (select doc, tok, count(*) as tf from toks
+           where tok in ({terms_sql}) group by doc, tok),
+    df as (select tok, count(*) as df from tf group by tok)
+    select tf.doc,
+           round(sum(ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * ({k1} + 1))
+                     / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))),
+                 4) as bm25
+    from tf join df using (tok) join dl on tf.doc = dl.doc, corpus c
+    group by tf.doc
+    """
