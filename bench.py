@@ -268,6 +268,18 @@ def measure_scaling() -> dict:
         "n_pages": N_PAGES_BENCH,
     }
     os.makedirs("BENCH", exist_ok=True)
+    # everything below the marker (manually-authored history: A/B tables,
+    # prior-round scaling evidence, cross-session context) survives
+    # regeneration — only the auto section above it is rewritten
+    marker = "<!-- MANUAL SECTIONS BELOW: preserved by bench.py -->"
+    manual_tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if marker in old:
+            manual_tail = "\n" + marker + old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     rows = "\n".join(
         f"| {i + 1} | {r['lo']['sec']:.2f} | {r['hi']['sec']:.2f} "
         f"| {r['lo']['pages_per_sec']:,.0f} | {r['hi']['pages_per_sec']:,.0f} "
@@ -311,7 +323,7 @@ Least-contended round (the best proxy for a real cluster, where each
 executor core is dedicated): raw efficiency {best['eff']:.3f} at a
 hardware ceiling of {best['cpu_eff']:.3f} — when the host actually
 delivers ~4x the cycles, the job scales accordingly.
-""")
+""" + manual_tail)
     return summary
 
 

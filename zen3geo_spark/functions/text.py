@@ -308,3 +308,66 @@ def bm25_sql_duckdb(rel: str, terms: list[str], id_col: str = "doc_id",
     from tf join df using (tok) join dl on tf.doc = dl.doc, corpus c
     group by tf.doc
     """
+
+
+def hashed_tfidf(docs, dim: int = 64, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Hashing-trick TF-IDF vectorizer: token → portable 40-bit
+    polynomial hash → bucket ``hash % dim``; weight = tf · (ln((N+1)/
+    (df+1)) + 1) summed per (doc, bucket) — the feature extractor that
+    bridges raw text into the embedding/ANN operators, in long form
+    (doc, bucket, w) so downstream stays relational.
+
+    Scale shape: tokens explode once; the Python hash kernel runs over
+    the DISTINCT vocabulary only (vocab-sized, not corpus-sized), and
+    df/N are aggregate-sized joins — the corpus-sized tables never pass
+    through Python.
+    """
+    import pandas as pd
+
+    from zen3geo_spark.operators._util import pair_all
+
+    @F.pandas_udf("long")
+    def h40(tok: pd.Series) -> pd.Series:
+        from zen3geo_spark.operators.dedup import _POWS1_NP, _poly_hash_batch
+
+        return pd.Series(_poly_hash_batch(
+            [t if isinstance(t, str) else "" for t in tok], _POWS1_NP))
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+    tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = df.select("tok", "df",
+                      F.pmod(h40(F.col("tok")), F.lit(dim)).alias("bucket"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = pair_all(tf.join(vocab, "tok"), n_docs)
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (w.withColumn("_w", F.col("tf") * idf)
+            .groupBy("doc", "bucket")
+            .agg(F.round(F.sum("_w"), 6).alias("w")))
+
+
+def hashed_tfidf_sql_duckdb(rel: str, dim: int = 64, id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """DuckDB twin of :func:`hashed_tfidf` (same polynomial hash via
+    ``hash40_sql_duckdb``, same idf arithmetic order)."""
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb
+
+    return f"""
+    with toks as (
+      select {id_col} as doc,
+             unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) as tok
+      from {rel}
+    ),
+    tf as (select doc, tok, count(*) as tf from toks group by doc, tok),
+    dfreq as (select tok, count(*) as df from tf group by tok),
+    vocab as (select tok, df, ({hash40_sql_duckdb('tok', 1)}) % {dim} as bucket
+              from dfreq),
+    nd as (select count(*) as n_docs from {rel})
+    select tf.doc, v.bucket,
+           round(sum(tf.tf * (ln((nd.n_docs + 1.0) / (v.df + 1.0)) + 1.0)), 6) as w
+    from tf join vocab v using (tok), nd
+    group by tf.doc, v.bucket
+    """
