@@ -961,6 +961,16 @@ def q_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min_px", "max_px")
 
 
+def q_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF features in long form (doc, bucket, w):
+    portable polynomial hash over the DISTINCT vocab only; df/N joins are
+    aggregate-sized."""
+    from zen3geo_spark.functions.text import hashed_tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hashed_tfidf(docs, dim=64)
+
+
 def q_stac_asset_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XpySTACAssetReader engine DISPATCH end-to-end (xpystac.py:41-46):
     the same ``open_asset`` entry point reads a STAC-item sidecar through
@@ -1062,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r4) ---
         "gopher_repetition": q_gopher_repetition,
         "bm25_scores": q_bm25_scores,
+        "hashed_tfidf": q_hashed_tfidf,
         "stac_asset_engines": q_stac_asset_engines,
         "ann_ivf_trained": q_ann_ivf_trained,  # oracle is new this round
         # --- rotated back in: outside the driver's r3 window ---
@@ -2003,9 +2014,10 @@ def oracle_sql() -> dict[str, str]:
     # binary PGM assets: pixel i of asset f = (f·11 + i·17) mod 256 over
     # (20 + f%8) x (12 + f%4) pixels (multimodal.pgm_bytes)
     from zen3geo_spark.functions.text import (
-        bm25_sql_duckdb, ngram_repetition_sql_duckdb,
+        bm25_sql_duckdb, hashed_tfidf_sql_duckdb, ngram_repetition_sql_duckdb,
     )
 
+    hashed_tfidf_sql = hashed_tfidf_sql_duckdb("documents", dim=64)
     gopher_repetition_sql = ngram_repetition_sql_duckdb("documents")
     bm25_scores_sql = bm25_sql_duckdb(
         "documents", ["spark", "table", "window"])
@@ -2121,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "stac_asset_engines": stac_asset_engines_sql,
         "gopher_repetition": gopher_repetition_sql,
         "bm25_scores": bm25_scores_sql,
+        "hashed_tfidf": hashed_tfidf_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,

@@ -372,3 +372,21 @@ def test_bm25_rare_term_outranks_common(spark):
            for r in bm25_scores(docs, ["rare", "common"]).collect()}
     assert got[8] > got[9]
     assert set(got) == set(range(10))  # every doc hits 'common'
+
+
+def test_hashed_tfidf_semantics(spark):
+    """Weights positive, buckets bounded by dim, idf ordering: a term
+    appearing in every doc gets the minimum idf, so a doc made only of
+    ubiquitous terms scores below one with a unique term (equal tf)."""
+    from zen3geo_spark.functions.text import hashed_tfidf
+
+    docs = spark.createDataFrame(
+        [(0, "every doc"), (1, "every doc"), (2, "every unique")],
+        "doc_id long, text string")
+    rows = hashed_tfidf(docs, dim=16).collect()
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+    assert all(r["w"] > 0 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc"]] = per_doc.get(r["doc"], 0.0) + r["w"]
+    assert per_doc[2] > per_doc[0]  # 'unique' carries higher idf

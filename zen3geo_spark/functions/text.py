@@ -8,6 +8,7 @@ Column helpers that stay inside whole-stage codegen (no Python).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -323,8 +324,6 @@ def hashed_tfidf(docs, dim: int = 64, text_col: str = "text",
     df/N are aggregate-sized joins — the corpus-sized tables never pass
     through Python.
     """
-    import pandas as pd
-
     from zen3geo_spark.operators._util import pair_all
 
     @F.pandas_udf("long")
