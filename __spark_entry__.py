@@ -152,6 +152,23 @@ def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("lat_str") != "")
 
 
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level rollup over the pages table —
+    the per-domain aggregation every crawl pipeline runs (robots/quotas/
+    spam scoring). Host parsed with the same regex both engines; one
+    map-side-combinable aggregate keyed by host (1000 hosts at any
+    corpus scale — no skew, the heavy key is the GROUP key itself)."""
+    pages = synth_pages(spark, N_PAGES)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    return (pages
+            .select(host.alias("host"), "lang", "warc_ts")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.min("warc_ts").alias("first_ts"),
+                 F.max("warc_ts").alias("last_ts")))
+
+
 def q_pages_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_df(spark).withColumn(
         "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 12)
@@ -1073,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "bm25_scores": q_bm25_scores,
         "hashed_tfidf": q_hashed_tfidf,
+        "url_host_stats": q_url_host_stats,
         "stac_asset_engines": q_stac_asset_engines,
         "ann_ivf_trained": q_ann_ivf_trained,  # oracle is new this round
         # --- rotated back in: outside the driver's r3 window ---
@@ -2018,6 +2036,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     hashed_tfidf_sql = hashed_tfidf_sql_duckdb("documents", dim=64)
+
+    url_host_stats_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)})
+    select regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+           count(*) as n_pages, count(distinct lang) as n_langs,
+           min(warc_ts) as first_ts, max(warc_ts) as last_ts
+    from pages group by host
+    """
     gopher_repetition_sql = ngram_repetition_sql_duckdb("documents")
     bm25_scores_sql = bm25_sql_duckdb(
         "documents", ["spark", "table", "window"])
@@ -2134,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": gopher_repetition_sql,
         "bm25_scores": bm25_scores_sql,
         "hashed_tfidf": hashed_tfidf_sql,
+        "url_host_stats": url_host_stats_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,

@@ -169,3 +169,31 @@ def test_bbox_cover_never_exceeds_budget():
         ranges = z_ranges_for_bbox(lats[0], lons[0], lats[1], lons[1],
                                    res=10, max_ranges=budget)
         assert len(ranges) <= budget
+
+
+def test_optimize_zorder_prunes_files(spark, tmp_path):
+    """After optimize_zorder, a bbox range scan touches a strict subset
+    of the files (file-level footer pruning) and returns exactly the
+    direct-filter rows."""
+    from zen3geo_spark.functions.zorder import files_touched, optimize_zorder
+
+    res = 10
+    df = spark.range(20_000).selectExpr(
+        "id as point_id",
+        "cast((id * 48271 + 11) % 180000001 - 90000000 as long) as lat_us",
+        "cast((id * 16807 + 7) % 360000001 - 180000000 as long) as lon_us")
+    tab = optimize_zorder(df, str(tmp_path / "zt"), res=res, n_files=16)
+    bbox = (-20_000_000, -40_000_000, 5_000_000, -5_000_000)
+    ranges = z_ranges_for_bbox(*bbox, res)
+    scan = tab.filter(z_range_predicate("z", ranges)).filter(
+        (F.col("lat_us") >= bbox[0]) & (F.col("lat_us") <= bbox[2])
+        & (F.col("lon_us") >= bbox[1]) & (F.col("lon_us") <= bbox[3]))
+    direct = df.filter(
+        (F.col("lat_us") >= bbox[0]) & (F.col("lat_us") <= bbox[2])
+        & (F.col("lon_us") >= bbox[1]) & (F.col("lon_us") <= bbox[3]))
+    got = sorted(r["point_id"] for r in scan.collect())
+    want = sorted(r["point_id"] for r in direct.collect())
+    assert got == want and len(got) > 0
+    total = files_touched(tab)
+    touched = files_touched(tab.filter(z_range_predicate("z", ranges)))
+    assert touched < total, (touched, total)

@@ -266,3 +266,36 @@ def z_range_predicate(z: Column | str, ranges: list[tuple[int, int]]) -> Column:
     for lo, hi in ranges:
         pred = pred | z.between(F.lit(lo), F.lit(hi))
     return pred
+
+
+def optimize_zorder(df, path: str, lat_micro: str = "lat_us",
+                    lon_micro: str = "lon_us", res: int = 12,
+                    out: str = "z", n_files: int | None = None):
+    """``OPTIMIZE ZORDER BY`` for a lat/lon table: add the Morton id,
+    RANGE-partition on it (contiguous z-intervals per output file, so
+    parquet min/max footer stats are tight), sort within partitions
+    (tight row-group stats), write, and return the read-back frame.
+
+    This is the data-layout half of the bbox range-scan story: after
+    this write, any bbox compiles (``z_ranges_for_bbox``) to a handful
+    of BETWEENs that prune at BOTH the file level (footer min/max) and
+    the row-group level — on a 10^12-row table the scan touches only
+    the files whose z-interval intersects the query ranges.  Same idea
+    as Delta Lake's ``OPTIMIZE ZORDER BY``, expressed as plain
+    DataFrame ops + parquet.
+    """
+    spark = df.sparkSession
+    if n_files is None:
+        n_files = max(spark.sparkContext.defaultParallelism, 8)
+    zdf = with_zorder(df, lat_micro, lon_micro, res, out=out)
+    (zdf.repartitionByRange(n_files, out).sortWithinPartitions(out)
+        .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+def files_touched(df) -> int:
+    """Number of distinct parquet files a (filtered) scan actually
+    reads — the file-level-pruning metric for layout tests."""
+    from pyspark.sql import functions as _F
+
+    return df.select(_F.input_file_name()).distinct().count()
