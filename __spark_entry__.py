@@ -207,14 +207,15 @@ def q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan.)"""
     import pathlib
 
+    from zen3geo_spark.functions.zorder import optimize_zorder
+
     minlat, minlon, maxlat, maxlon = ZBBOX
     ranges = z_ranges_for_bbox(minlat, minlon, maxlat, maxlon, ZRES)
     d = pathlib.Path(__file__).resolve().parent / ".gen_assets" / f"ztable_{N_PAGES}"
     if not (d / "_SUCCESS").exists():
-        (with_zorder(_points_df(spark), "lat_us", "lon_us", ZRES)
-         .repartitionByRange(8, "z").sortWithinPartitions("z")
-         .write.mode("overwrite").parquet(str(d)))
-    pts = spark.read.parquet(str(d))
+        pts = optimize_zorder(_points_df(spark), str(d), res=ZRES, n_files=8)
+    else:
+        pts = spark.read.parquet(str(d))
     return (pts.filter(z_range_predicate(F.col("z"), ranges))
             .filter((F.col("lat_us") >= minlat) & (F.col("lat_us") <= maxlat)
                     & (F.col("lon_us") >= minlon) & (F.col("lon_us") <= maxlon))

@@ -67,3 +67,37 @@ def test_streaming_dedup_keep_first_across_runs(spark, tmp_path):
     got2 = {r["fp"]: r["keep_id"] for r in spark.read.parquet(out_dir).collect()}
     # only the genuinely new content (doc 5) was admitted in run 2
     assert sorted(got2.values()) == [1, 2, 5]
+
+
+def test_streaming_lsh_candidates_across_runs(spark, tmp_path):
+    """Bucket anchors persist in the state store: an exact/near duplicate
+    arriving in a LATER availableNow run pairs against the first run's
+    anchor; in-run duplicates pair within their first batch."""
+    import pandas as pd
+
+    from zen3geo_spark.streaming.stateful import run_streaming_lsh
+
+    docs_dir, out_dir = tmp_path / "docs", tmp_path / "cand"
+    ckpt = tmp_path / "ckpt"
+    docs_dir.mkdir()
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight nine",
+        2: "one two three four five six seven eight nine",  # dup of 1
+        3: "completely different content with unique words entirely",
+    }
+    pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}
+                 ).to_parquet(docs_dir / "part0.parquet", index=False)
+    run_streaming_lsh(spark, str(docs_dir), str(out_dir), str(ckpt))
+    got1 = {(r["a_id"], r["b_id"])
+            for r in spark.read.parquet(str(out_dir)).distinct().collect()}
+    assert (1, 2) in got1
+    # second run: a duplicate of doc 0 arrives later
+    pd.DataFrame({"doc_id": [100],
+                  "text": [texts[0]]}).to_parquet(
+        docs_dir / "part1.parquet", index=False)
+    run_streaming_lsh(spark, str(docs_dir), str(out_dir), str(ckpt))
+    got2 = {(r["a_id"], r["b_id"])
+            for r in spark.read.parquet(str(out_dir)).distinct().collect()}
+    assert (0, 100) in got2       # paired against the run-1 anchor
+    assert got1 <= got2

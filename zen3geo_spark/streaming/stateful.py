@@ -147,3 +147,97 @@ def run_streaming_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# streaming minhash-LSH near-dup candidates: each (band, bucket) keeps ONE
+# anchor doc in state; later arrivals in the same bucket emit (anchor, doc)
+# candidate pairs — the streaming twin of
+# ``operators.dedup.minhash_lsh_candidates``, with deliberately LINEAR
+# state/output (one anchor per bucket instead of the batch version's full
+# in-bucket pairing): on an unbounded crawl feed, quadratic in-bucket
+# pairing is unbounded; anchor pairing still links every near-dup group
+# through its anchor, and the batch verify/connected-components stages
+# recover the full clusters downstream.
+# ---------------------------------------------------------------------------
+
+_LSH_OUT = StructType([
+    StructField("a_id", LongType()),
+    StructField("b_id", LongType()),
+])
+_LSH_STATE = StructType([StructField("anchor", LongType())])
+
+
+def _lsh_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(v) for v in pdf["doc"])
+    ids = sorted(set(ids))
+    if not ids:
+        return
+    if state.exists:
+        (anchor,) = state.get
+    else:
+        anchor = ids[0]
+        state.update((anchor,))
+    pairs = [(anchor, i) for i in ids if i != anchor]
+    if pairs:
+        yield pd.DataFrame({"a_id": [p[0] for p in pairs],
+                            "b_id": [p[1] for p in pairs]})
+
+
+def streaming_lsh_candidates(docs: DataFrame, num_hashes: int = 16,
+                             bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Near-dup CANDIDATE pairs on a document stream: minhash signature
+    (same Column kernel as the batch path) → band buckets → per-bucket
+    anchor state → (a_id, b_id) with a = the bucket's first-ever doc.
+    Pairs may repeat across bands/batches; downstream dedups with the
+    same ``distinct()`` the batch pipeline uses. State: ONE long per
+    non-empty bucket, across micro-batches and availableNow runs."""
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.operators.dedup import minhash_signature
+
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col("doc_id").alias("doc"),
+        minhash_signature(F.col("text"), num_hashes, shingle_n).alias("sig"))
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band),
+                        lambda v: v.cast("string"),
+                    ), "|")).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _lsh_update, outputStructType=_LSH_OUT, stateStructType=_LSH_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_lsh(spark: SparkSession, docs_dir: str, out_dir: str,
+                      checkpoint_dir: str, num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3) -> None:
+    """availableNow incremental near-dup candidates: each run appends the
+    newly discovered (a_id, b_id) pairs; bucket anchors persist in the
+    state store, so a doc arriving in a LATER run still pairs against the
+    first run's anchor."""
+    stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(docs_dir)
+    cand = streaming_lsh_candidates(stream, num_hashes=num_hashes,
+                                    bands=bands, shingle_n=shingle_n)
+    q = (cand.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
