@@ -79,10 +79,13 @@ def flagship_pages_pipeline(spark, n_pages: int) -> int:
     host): pure-JVM regexp with NO barrier 4.8 s (codegen subexpression
     elimination absorbs most of the residual duplication), JVM + persist
     barrier 5.4 s cold, JVM + repartition barrier 18.7 s (local shuffle
-    is disk-bound), Arrow-UDF path ~10 s (the Arrow text transfer is
-    ~3.2 s of it). The Arrow path stays the flagship because the north
-    rule specifies geotag extraction "via vectorized Arrow UDFs" — the
-    JVM numbers are recorded here as the measured headroom.
+    is disk-bound), Arrow-UDF full-text path ~10 s (the Arrow text
+    transfer is ~3.2 s of it). Since r4 the Arrow path projects the
+    candidate tag substring JVM-side before the Arrow hop
+    (extract_points_arrow prefilter — 2.4x on the extract stage,
+    byte-identical output), closing most of the gap to pure JVM while
+    keeping the semantic parse in the vectorized Arrow kernel the north
+    rule specifies.
     """
     from zen3geo_spark.functions.geo import extract_points_arrow
     from zen3geo_spark.operators.spatial_join import points_in_polygons

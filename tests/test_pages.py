@@ -113,6 +113,9 @@ def test_extract_points_arrow_matches_jvm(spark):
     pages = synth_pages(spark, 500)
     arrow = {(r["point_id"], r["lat_us"], r["lon_us"])
              for r in extract_points_arrow(pages).collect()}
+    full = {(r["point_id"], r["lat_us"], r["lon_us"])
+            for r in extract_points_arrow(pages, prefilter=False).collect()}
+    assert arrow == full  # pushdown path == full-text kernel
     lat_s, lon_s = extract_first_geotag(F.col("text"))
     jvm_df = (
         pages.select(
