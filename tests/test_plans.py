@@ -124,26 +124,44 @@ def test_no_nested_loop_or_cartesian_in_any_query(spark):
 def test_near_dup_verified_semi_joins_candidates_no_corpus_broadcast(spark):
     """The verify stage must shrink the shingle-array table to candidate
     ids with a LEFT-SEMI join before the wide join — never broadcast a
-    frame derived from the full corpus (driver OOM at scale)."""
-    plan = _plan(E.q_near_dup_verified(spark, SF))
+    frame derived from the full corpus (driver OOM at scale). The
+    shipping path localCheckpoints the stage boundary (which hides the
+    semi-join behind an RDD leaf), so inspect the cut_lineage=False
+    tree."""
+    from zen3geo_spark.operators.dedup import (
+        minhash_lsh_candidates, verify_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=2)
+    plan = _plan(verify_jaccard_pairs(cand, docs, shingle_n=2,
+                                      cut_lineage=False))
     assert "LeftSemi" in plan, plan
+    # and the default (shipping) plan reads checkpointed leaves — the
+    # LSH/shingle subtrees appear ONCE at materialization, not once per
+    # plan reference
+    cut = _plan(E.q_near_dup_verified(spark, SF))
+    assert "Scan ExistingRDD" in cut, cut
 
 
 def test_lsh_signature_tables_cached_once(spark):
-    """minhash/simhash band tables are persisted: both self-join sides
-    must read the cache (InMemoryTableScan), so the signature kernel
-    evaluates once per query."""
+    """minhash/simhash band tables are localCheckpointed: both self-join
+    sides must read the SAME materialized RDD leaf (the signature kernel
+    evaluates once per query, and the kernel subtree no longer appears
+    per plan reference — zero MapInPandas nodes in the final plan)."""
     for q in (E.q_minhash_lsh, E.q_simhash):
         plan = _plan(q(spark, SF))
-        assert plan.count("InMemoryTableScan") >= 2, q
+        assert plan.count("Scan ExistingRDD") >= 2, q
+        assert "MapInPandas" not in plan, q
 
 
 def test_batcher_numbering_partitioning_is_pinned(spark):
-    """with_global_pos persists the repartitioned frame so the counts job
-    and the numbering job see ONE physical partitioning (RangePartitioner
-    samples with a per-execution seed otherwise)."""
+    """with_global_pos localCheckpoints the repartitioned frame so the
+    counts job and the numbering job see ONE physical partitioning
+    (RangePartitioner samples with a per-execution seed otherwise; the
+    truncated lineage makes a silent re-draw impossible)."""
     plan = _plan(E.q_batcher(spark, SF))
-    assert "InMemoryTableScan" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_connected_components_lineage_truncated(spark):

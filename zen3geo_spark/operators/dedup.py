@@ -645,7 +645,8 @@ def simhash64_sql_duckdb(hs: str, n: str) -> str:
 
 def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
                          shingle_n: int = 2, threshold: float | None = None,
-                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                         text_col: str = "text", id_col: str = "doc_id",
+                         cut_lineage: bool = True) -> DataFrame:
     """Exact n-gram Jaccard over CANDIDATE pairs (a_id, b_id) — the
     verify stage after LSH blocking — fully in the JVM.
 
@@ -675,8 +676,11 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     # the result (candidates are two longs per row, post-LSH small by
     # construction), and — unlike persist(), whose CacheManager entry is
     # never GC-freed — cuts the plan tree so downstream references don't
-    # multiply the whole LSH subtree into the physical plan
-    cand = cand.localCheckpoint(eager=False)
+    # multiply the whole LSH subtree into the physical plan.
+    # cut_lineage=False keeps the full tree (plan-shape tests inspect the
+    # semi-join; resumable callers may prefer recomputable lineage)
+    if cut_lineage:
+        cand = cand.localCheckpoint(eager=False)
     ids = (cand.select(F.col("a_id").alias("_vid"))
            .unionByName(cand.select(F.col("b_id").alias("_vid")))
            .distinct())
@@ -688,8 +692,9 @@ def verify_jaccard_pairs(cand: DataFrame, docs: DataFrame,
     cand_docs = docs.join(
         F.broadcast(ids.withColumnRenamed("_vid", id_col)), id_col, "left_semi")
     # candidate-sized (feeds both the a-side and b-side joins)
-    d = shingle_table_pd(cand_docs, text_col, id_col,
-                         shingle_n).localCheckpoint(eager=False)
+    d = shingle_table_pd(cand_docs, text_col, id_col, shingle_n)
+    if cut_lineage:
+        d = d.localCheckpoint(eager=False)
     joined = (
         cand.join(d.withColumnRenamed("_vid", "a_id")
                   .withColumnRenamed("_vsh", "_sa"), "a_id")
