@@ -220,13 +220,33 @@ def _scaling_child(cores: int) -> None:
     spark.stop()
 
 
-def _run_child(cores: int) -> dict:
-    p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-        capture_output=True, text=True, timeout=1800,
-    )
-    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+CHILD_TIMEOUT = int(os.environ.get("SPARK_GRAFT_CHILD_TIMEOUT", "600"))
+
+
+def _run_child(cores: int, attempts: int = 2) -> dict | None:
+    """One measurement subprocess, watchdog-guarded: a healthy child
+    finishes in 1-3 minutes; a child stuck past CHILD_TIMEOUT (observed
+    failure mode: an AQE stage-materialization event lost after a Python
+    worker death — `withFinalPlanUpdate` blocks on its queue forever) is
+    killed and retried once in a fresh JVM. Returns None if every
+    attempt hangs/crashes, so the caller can skip the round instead of
+    aborting the whole bench."""
+    for _ in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT,
+            )
+            lines = [l for l in p.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+            print(f"[scaling] child local[{cores}] exited rc={p.returncode} "
+                  f"with no result:\n{p.stderr[-1500:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"[scaling] child local[{cores}] hung past "
+                  f"{CHILD_TIMEOUT}s — killed, retrying", file=sys.stderr)
+    return None
 
 
 def measure_scaling() -> dict:
@@ -246,13 +266,20 @@ def measure_scaling() -> dict:
     rounds = []
     for _ in range(SCALE_ROUNDS):
         r_lo = _run_child(SCALE_N)
-        r_hi = _run_child(hi)
+        r_hi = _run_child(hi) if r_lo is not None else None
+        if r_lo is None or r_hi is None:
+            print("[scaling] round skipped (child hung/crashed twice)",
+                  file=sys.stderr)
+            continue
         eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / 4.0
         cpu_eff = (r_lo["cpu_sec"] / r_hi["cpu_sec"]) / 4.0
         rounds.append({
             "lo": r_lo, "hi": r_hi, "eff": eff, "cpu_eff": cpu_eff,
             "norm": min(eff / cpu_eff, 1.0) if cpu_eff > 0 else 0.0,
         })
+    if not rounds:
+        return {"pair": [SCALE_N, hi], "error": "all rounds hung/crashed",
+                "n_pages": N_PAGES_BENCH}
     gate = statistics.median(r["eff"] for r in rounds)
     norm = statistics.median(r["norm"] for r in rounds)
     best = max(rounds, key=lambda r: r["cpu_eff"])
