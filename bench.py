@@ -102,6 +102,37 @@ def flagship_pages_pipeline(spark, n_pages: int) -> int:
     return n_pages
 
 
+QUERY_TIMEOUT = int(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "600"))
+
+
+def _run_with_watchdog(spark, action, seconds: int = QUERY_TIMEOUT):
+    """Run a driver action with a job-group watchdog: if it exceeds
+    ``seconds``, cancel the group (interrupting tasks) so the action
+    raises instead of wedging the whole bench. Guards against the
+    observed AQE hang (stage-materialization event lost after a Python
+    worker death — the collect blocks forever with the cluster idle)."""
+    import threading
+
+    sc = spark.sparkContext
+    group = f"bench-wd-{time.monotonic_ns()}"
+    sc.setJobGroup(group, "bench watchdog", interruptOnCancel=True)
+    done = threading.Event()
+
+    def killer():
+        if not done.wait(seconds):
+            print(f"[bench] watchdog fired after {seconds}s — cancelling "
+                  f"job group", file=sys.stderr)
+            sc.cancelJobGroup(group)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    try:
+        return action()
+    finally:
+        done.set()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def run_queries(spark, sf_dir: str, warm: bool | None = None) -> dict[str, float]:
     """Per-query wall times, measured STEADY-STATE: one untimed warm pass
     over the whole suite first (JVM JIT + whole-stage-codegen compile +
@@ -120,7 +151,7 @@ def run_queries(spark, sf_dir: str, warm: bool | None = None) -> dict[str, float
     if warm:
         for name, fn in qs.items():
             try:
-                fn(spark, sf_dir).count()
+                _run_with_watchdog(spark, lambda: fn(spark, sf_dir).count())
             except Exception:
                 pass
         spark.catalog.clearCache()
@@ -129,7 +160,7 @@ def run_queries(spark, sf_dir: str, warm: bool | None = None) -> dict[str, float
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).count()
+            _run_with_watchdog(spark, lambda: fn(spark, sf_dir).count())
             times[name] = round(time.time() - t0, 3)
         except Exception:
             import traceback
@@ -157,9 +188,11 @@ def main() -> None:
 
     # … then the flagship (input materialization + one warm run untimed)
     ensure_pages_parquet(spark, N_PAGES_BENCH)
-    flagship_pages_pipeline(spark, N_PAGES_BENCH)
+    _run_with_watchdog(spark,
+                       lambda: flagship_pages_pipeline(spark, N_PAGES_BENCH))
     t0 = time.time()
-    n_pages = flagship_pages_pipeline(spark, N_PAGES_BENCH)
+    n_pages = _run_with_watchdog(
+        spark, lambda: flagship_pages_pipeline(spark, N_PAGES_BENCH))
     flagship_sec = time.time() - t0
     pages_per_sec = n_pages / flagship_sec
 
