@@ -1592,7 +1592,16 @@ def oracle_sql() -> dict[str, str]:
     # ann_ivf_trained oracle: the Lloyd recurrence is deterministic
     # (seeded centroids, fixed iteration order), so the driver BUILDS one
     # SQL block per training round — same trick as the Hilbert recursive
-    # CTE, applied to an iterative ML algorithm.  Cosine similarity is
+    # CTE, applied to an iterative ML algorithm.
+    #
+    # FP fragility note (known, accepted): the Spark kernel scores on
+    # NORMALIZED vectors via one float64 matmul, the oracle via DuckDB's
+    # list_cosine_similarity on RAW vectors — different summation orders.
+    # Exact ties resolve identically (both sides break on lowest list_id:
+    # stable argsort on the Spark side, (cos DESC, list_id ASC) here), but
+    # a near-tie at rounding noise could still flip an assignment or an
+    # n_probe boundary and fail the hash intermittently; the pytest recall
+    # assertion (tests/test_lang_similarity.py) is the primary gate.  Cosine similarity is
     # scale-invariant, so the oracle skips the Spark side's per-round
     # centroid re-normalization entirely: argmax cos(tv, c) and
     # avg-of-assigned-vectors are the whole recurrence; empty lists keep

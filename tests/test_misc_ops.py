@@ -50,6 +50,34 @@ def test_checkpoint_resume(spark, tmp_path):
     assert calls["n"] == 2
 
 
+def test_checkpoint_release_scoped_to_stage(spark, tmp_path):
+    """release_cache must drop only blocks created DURING the stage:
+    a caller-owned localCheckpoint-ed frame (truncated lineage — cannot
+    recompute) has to stay usable after stage() completes."""
+    outside = synth_pages(spark, 50).select("url").localCheckpoint(eager=True)
+    assert outside.count() == 50
+    runner = CheckpointRunner(spark, str(tmp_path / "ckpt3"))
+    jsc = spark.sparkContext._jsc
+
+    inside_ids = {}
+
+    def build():
+        inner = synth_pages(spark, 80).select("url", "lang").persist()
+        inner.count()
+        inside_ids["ids"] = set(jsc.getPersistentRDDs().keys())
+        return inner
+
+    before = set(jsc.getPersistentRDDs().keys())
+    out = runner.stage("scoped", "fp1", build)
+    assert out.count() == 80
+    after = set(jsc.getPersistentRDDs().keys())
+    # intra-stage persist() blocks were released...
+    assert not (inside_ids["ids"] - before) & after
+    # ...and the caller's checkpoint block was NOT: the frame still works
+    assert outside.count() == 50
+    outside.unpersist()
+
+
 def test_checkpoint_partitioned_resume(spark, tmp_path):
     root = str(tmp_path / "ckpt2")
     runner = CheckpointRunner(spark, root)

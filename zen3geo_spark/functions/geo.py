@@ -183,6 +183,20 @@ def extract_points_arrow(pages, url_id_pattern: str = r"/page/(\d+)",
     the whole extraction in pandas — same rows, kept as the
     parity/fallback kernel for sources whose tag grammar the JVM regexp
     can't express. No shuffle in either path.
+
+    Regex-dialect contract: with ``prefilter=True`` the patterns run in
+    JAVA regex (JVM ``regexp_extract``); with ``prefilter=False`` (and in
+    the pandas re-parse of the prefiltered tag) they run in PYTHON ``re``.
+    A caller-supplied ``url_id_pattern`` must therefore be valid AND
+    equivalent in both dialects: no Python-only syntax such as
+    ``(?P<name>...)`` (Java spells it ``(?<name>...)``), and beware that
+    ``\\d``/``\\w``/``\\s`` are Unicode-aware in Java but ASCII-oriented
+    in Python ``re`` on str for ``\\d`` digits — on non-ASCII text prefer
+    explicit classes like ``[0-9]``. The defaults satisfy this
+    (ASCII digits/dot/minus only). A pattern inexpressible in both
+    dialects should use ``prefilter=False`` to stay entirely in Python
+    ``re``; the pattern is validated against both engines up front so a
+    dialect mismatch fails at plan time, not mid-job on an executor.
     """
     import re as _re
 
@@ -190,9 +204,21 @@ def extract_points_arrow(pages, url_id_pattern: str = r"/page/(\d+)",
     import pandas as pd
 
     pat = _re.compile(LAT_LON_PATTERN)
-    idpat = _re.compile(url_id_pattern)
+    idpat = _re.compile(url_id_pattern)  # Python-dialect check (both paths)
 
     if prefilter:
+        # Java-dialect check: the default path hands url_id_pattern to JVM
+        # regexp_extract, which would otherwise fail at runtime on the
+        # first executor task for Python-only syntax like (?P<name>...)
+        try:
+            jvm = pages.sparkSession._jvm
+            jvm.java.util.regex.Pattern.compile(url_id_pattern)
+        except Exception as e:  # py4j wraps PatternSyntaxException
+            raise ValueError(
+                f"url_id_pattern {url_id_pattern!r} is not valid Java "
+                "regex (prefilter=True runs it in JVM regexp_extract); "
+                "use dialect-portable syntax or pass prefilter=False: "
+                f"{e}") from None
         pre = pages.select(
             F.regexp_extract("url", url_id_pattern, 1).try_cast("long")
             .alias("point_id"),

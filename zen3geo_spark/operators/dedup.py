@@ -17,6 +17,17 @@ Scale notes: every stage is a hash aggregate or equi-join on a derived
 key — no cross products. Candidate generation for near-dup is strictly
 band-bucket (LSH) or chunk-blocked (pigeonhole); verification joins only
 within buckets.
+
+localCheckpoint caveat (applies to every operator here that returns or
+holds a ``localCheckpoint(eager=False)`` frame — minhash banding, n-gram
+Jaccard, connected components — and to ``cosine_topk_ivf``): lineage is
+TRUNCATED, so a lost executor / decommissioned node means the next action
+fails fast with "Checkpoint block not found" instead of recomputing.
+Under dynamic allocation or spot instances, either disable executor
+decommission of storage-bearing nodes, or replace these call sites with
+reliable ``checkpoint()`` to a cluster-visible directory (same semantics,
+survives executor loss). Blocks free on GC of the wrapper; the iterative
+paths additionally unpersist dead per-round blocks eagerly.
 """
 
 from __future__ import annotations
@@ -836,7 +847,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
               .select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     converged = False
+    # eager cleanup of dead rounds: once round N+1's checkpoint is
+    # materialized (the changed-count job), round N's blocks are
+    # unreachable from any live plan — free them instead of waiting for
+    # GC, so a long driver session doesn't hold O(rounds) dead block sets
+    # in executor storage memory. Ids are diffed around this loop's own
+    # single checkpoint materialization, never swept globally.
+    sc = edges.sparkSession.sparkContext
+    prev_round_ids: set[int] = set()
     for _ in range(max_iters):
+        ids_before = set(sc._jsc.getPersistentRDDs().keys())
         nbr = (csym.join(labels.withColumnRenamed("node", "v"), "v")
                .groupBy("u").agg(F.min("label").alias("nbr_min")))
         stepped = (labels.join(nbr.withColumnRenamed("u", "node"), "node", "left")
@@ -853,6 +873,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                   # lineage, so round N+1's plan starts from a leaf
                   ).localCheckpoint(eager=False)
         changed = jumped.filter(F.col("label") < F.col("_old")).count()
+        jmap = sc._jsc.getPersistentRDDs()
+        this_round_ids = set(jmap.keys()) - ids_before
+        for rid in prev_round_ids:
+            if rid in jmap:
+                jmap[rid].unpersist()
+        prev_round_ids = this_round_ids
         labels = jumped.select("node", "label")
         if changed == 0:
             converged = True

@@ -246,7 +246,9 @@ def cosine_topk_ivf(queries: DataFrame, targets: DataFrame, k: int,
     # list assignment all scan the parsed target table — without it each
     # pass re-reads the source and re-pays the repartition shuffle; the
     # checkpoint blocks are GC-freed after the query (a plain persist's
-    # CacheManager entry never is)
+    # CacheManager entry never is). Caveat: lineage is truncated, so an
+    # executor loss fails fast instead of recomputing — under dynamic
+    # allocation swap for reliable checkpoint() (see dedup.py module doc)
     t = ensure_parallelism(
         targets.select(F.col(t_id).alias("target_id"),
                        _as_double(F.col(t_vec)).alias("tv"))
@@ -316,7 +318,12 @@ def cosine_topk_ivf(queries: DataFrame, targets: DataFrame, k: int,
             return pd.Series([], dtype="object")
         M = _unit_rows(np.array(vecs.tolist(), dtype=np.float64))
         sims = M @ cu_final.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe].astype("int64")
+        # stable sort → exact ties resolve to the LOWEST list id, matching
+        # the oracle's (cos DESC, list_id ASC) ordering. argmax in the
+        # assign/Lloyd kernels already picks the lowest index on ties.
+        # Residual FP fragility (summation-order near-ties vs an oracle
+        # computing cosine on raw vectors) is documented at the oracle.
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype("int64")
         return pd.Series(list(order))
 
     tl = t.select("target_id", "tv", nearest_list(F.col("tv")).alias("list_id"))

@@ -30,27 +30,38 @@ from pyspark.sql import functions as F
 class CheckpointRunner:
     def __init__(self, spark: SparkSession, root: str,
                  release_cache: bool = True):
-        """release_cache: after each stage materializes, drop every
-        cached plan and persistent RDD (incl. intra-stage localCheckpoint
-        blocks) — downstream stages read the checkpoint table, so the
-        intermediates are dead weight that would otherwise accumulate
-        across a long multi-stage run. Set False if the session holds
-        caches the pipeline must not touch."""
+        """release_cache: after each stage materializes, drop the
+        persistent RDDs *created during the stage* (persist() blocks and
+        localCheckpoint blocks alike) — downstream stages read the
+        checkpoint table, so the intra-stage intermediates are dead
+        weight that would otherwise accumulate across a long multi-stage
+        run. RDDs persisted BEFORE the stage started are left untouched:
+        operators such as ``minhash_lsh_candidates`` / ``with_global_pos``
+        return localCheckpoint-ed frames with truncated lineage, and
+        unpersisting those out from under the caller would make the next
+        action fail with "Checkpoint block not found" instead of
+        recomputing. Set False to skip cleanup entirely."""
         self.spark = spark
         self.root = root
         self.release_cache = release_cache
         os.makedirs(root, exist_ok=True)
 
-    def _release_blocks(self) -> None:
-        """Unpersist everything: cached query plans (CacheManager) and
-        raw persistent RDDs (persist()/localCheckpoint blocks, which
-        catalog.clearCache does NOT cover). Safe post-materialization:
-        the stage output lives in the checkpoint table."""
-        self.spark.catalog.clearCache()
-        # py4j exposes the java Map as a dict view
-        for rdd in list(self.spark.sparkContext._jsc.getPersistentRDDs()
-                        .values()):
-            rdd.unpersist()
+    def _persistent_rdd_ids(self) -> set[int]:
+        # py4j exposes the java Map as a dict view keyed by RDD id
+        return set(self.spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    def _release_blocks(self, before_ids: set[int]) -> None:
+        """Unpersist persistent RDDs that appeared since ``before_ids``
+        was snapshotted (persist()/localCheckpoint blocks created inside
+        the stage build — catalog.clearCache would NOT cover raw RDD
+        blocks, and a blanket sweep would kill caller-owned checkpoint
+        blocks whose lineage is truncated and cannot recompute). Safe
+        post-materialization: the stage output lives in the checkpoint
+        table."""
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd_id in list(jmap.keys()):
+            if rdd_id not in before_ids:
+                jmap[rdd_id].unpersist()
 
     def _paths(self, stage: str) -> tuple[str, str]:
         return f"{self.root}/{stage}/data", f"{self.root}/{stage}/_MANIFEST.json"
@@ -82,6 +93,7 @@ class CheckpointRunner:
         if m.get("fingerprint") == fingerprint and m.get("complete"):
             return self.spark.read.parquet(dpath)
 
+        before_ids = self._persistent_rdd_ids() if self.release_cache else set()
         df = build()
         t0 = time.time()
         if partition_col is not None:
@@ -96,7 +108,7 @@ class CheckpointRunner:
         writer.parquet(dpath)
         wall_ms = int((time.time() - t0) * 1000)
         if self.release_cache:
-            self._release_blocks()
+            self._release_blocks(before_ids)
 
         out = self.spark.read.parquet(dpath)
         if partition_col is not None:
