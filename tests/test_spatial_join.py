@@ -208,3 +208,62 @@ def test_pip_refine_10k_vertex_polygon_bounded():
     # generous ceiling (shared host): per-edge interpreted looping costs
     # ~0.1 s+ here; the tiled kernel runs ~2 tile passes in a few ms
     assert wall < 1.0, f"10k-vertex refine took {wall:.2f}s"
+
+
+def test_knn_cells_ring_escalation_exactness(spark):
+    """Plants a query whose TRUE nearest target lies outside its 3x3 ring
+    at the initial res (sparse neighborhood: the only in-ring candidate is
+    farther than the ring-guaranteed radius). One-pass ring kNN returns
+    the wrong neighbor; escalation must detect the unsettled query, retry
+    at res-1 and match brute force — exactness as an invariant, not a
+    density assumption."""
+    res = 7
+
+    def row_floor(j):  # smallest lat_us whose row index at `res` is j
+        return -(-j * 180000001 // (1 << res)) - 90000000
+
+    q_lat = row_floor(65) - 1000          # near the TOP of row 64
+    t_out_lat = row_floor(66) + 1000      # row 66: outside the 63..65 ring
+    t_in_lat = row_floor(63) + 1000       # row 63: in ring, but ~2x farther
+    assert (q_lat - t_in_lat) > (t_out_lat - q_lat)
+
+    queries = spark.createDataFrame(
+        [(0, q_lat, 0), (1, -5_000_000, -5_000_000)],
+        "query_id long, lat_us long, lon_us long")
+    targets = spark.createDataFrame(
+        [(100, t_out_lat, 0), (101, t_in_lat, 0)]
+        + [(200 + i, -5_000_000 + i * 3000, -5_000_000 - i * 2000)
+           for i in range(5)],
+        "target_id long, lat_us long, lon_us long")
+
+    brute = sorted(
+        (r["query_id"], r["rk"], r["target_id"])
+        for r in knn_join_bruteforce(queries, targets, k=1).collect())
+    # the one-pass ring path really is wrong on this data (the trap is live)
+    one_pass = {r["query_id"]: r["target_id"]
+                for r in knn_join_cells(queries, targets, k=1, res=res,
+                                        escalate=False).collect()}
+    assert one_pass[0] == 101
+    escalated = sorted(
+        (r["query_id"], r["rk"], r["target_id"])
+        for r in knn_join_cells(queries, targets, k=1, res=res).collect())
+    assert escalated == brute
+    assert dict((q, t) for q, _, t in escalated)[0] == 100
+
+
+def test_knn_cells_escalation_fewer_targets_than_k(spark):
+    """k exceeding the total target count must terminate (res walks to 0,
+    the single-cell grid) and return exactly the brute-force rows."""
+    queries = spark.createDataFrame(
+        [(0, 10_000_000, 20_000_000)], "query_id long, lat_us long, lon_us long")
+    targets = spark.createDataFrame(
+        [(1, -80_000_000, -170_000_000), (2, 80_000_000, 170_000_000)],
+        "target_id long, lat_us long, lon_us long")
+    brute = sorted(
+        (r["query_id"], r["rk"], r["target_id"])
+        for r in knn_join_bruteforce(queries, targets, k=5).collect())
+    cells = sorted(
+        (r["query_id"], r["rk"], r["target_id"])
+        for r in knn_join_cells(queries, targets, k=5, res=6).collect())
+    assert cells == brute
+    assert len(cells) == 2

@@ -253,13 +253,11 @@ def knn_join_bruteforce(queries: DataFrame, targets: DataFrame, k: int) -> DataF
     )
 
 
-def knn_join_cells(queries: DataFrame, targets: DataFrame, k: int, res: int) -> DataFrame:
-    """Scale path: candidates from the 3×3 cell ring at ``res``, then the
-    same top-k window. Exact when the ring at ``res`` always contains the
-    true k nearest (caller picks res from target density; tests assert
-    equality vs brute force on such data). Equi-join on cell — no
-    nested-loop, no full cross product.
-    """
+def _knn_ring_topk(queries: DataFrame, targets: DataFrame, k: int, res: int) -> DataFrame:
+    """One ring pass: candidates from the 3×3 cell ring at ``res``, then a
+    per-query top-k window. Equi-join on cell — no nested-loop, no full
+    cross product. At res=0 the grid is a single cell, so the ring join
+    degenerates to the exact brute-force pairing."""
     from zen3geo_spark.functions.geo import cell_neighbors
 
     q = tag_point_cells(queries, res).select(
@@ -280,6 +278,79 @@ def knn_join_cells(queries: DataFrame, targets: DataFrame, k: int, res: int) -> 
         .filter(F.col("rk") <= k)
         .select("query_id", "target_id", "dist2", "rk")
     )
+
+
+def ring_guarantee_udeg(res: int) -> int:
+    """Lower bound (micro-degrees) on the distance from any query point to
+    the nearest point OUTSIDE its 3×3 cell ring at ``res``.
+
+    A point outside the ring differs by ≥2 in lat row index (or lon col
+    index), so at least one full intermediate cell separates the two —
+    cell extents are floor-or-ceil of span/2^res, minus slack for the
+    integer grid boundaries. Lat rows are the narrower axis, hence the
+    180000001 numerator. Conservative by construction: underestimating
+    only triggers a harmless extra escalation level.
+    """
+    return max((180000001 >> res) - 2, 0)
+
+
+def knn_join_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
+                   escalate: bool = True) -> DataFrame:
+    """Scale path kNN: 3×3-ring candidates at ``res`` + top-k window, with
+    per-query RING ESCALATION so exactness is an invariant, not a density
+    assumption.
+
+    A query is *settled* at a level when it found ≥k candidates AND its
+    k-th distance is within ``ring_guarantee_udeg(res)`` — the radius the
+    ring provably covers. Unsettled queries (sparse neighborhoods where
+    the true k-th neighbor lies outside the 3×3 ring) are anti-joined out
+    and re-run at ``res-1`` (cells 2× wider, guarantee 2× larger); at
+    res=0 the single-cell grid makes the pass exact by construction, so
+    the loop always terminates with brute-force-equal output. Escalation
+    work is proportional to the unsettled queries only — the dense bulk
+    settles at the first level. ``escalate=False`` restores the one-pass
+    caller-trusts-density behavior.
+
+    Levels are driver-side iterations (≤ res of them, typically 1); each
+    level localCheckpoints its remaining-queries frame so lineage stays
+    O(1) per level, and dead per-level blocks are freed eagerly.
+    """
+    if not escalate:
+        return _knn_ring_topk(queries, targets, k, res)
+
+    remaining = queries
+    parts: list[DataFrame] = []
+    r = res
+    while True:
+        topk = _knn_ring_topk(remaining, targets, k, r)
+        if r <= 0:
+            # single-cell grid: exact by construction
+            parts.append(topk)
+            break
+        g = ring_guarantee_udeg(r)
+        wq = Window.partitionBy("query_id")
+        # checkpoint the per-level top-k (≤ k rows/query — result-sized):
+        # the settled slice feeds the RESULT union and the settled-id set
+        # feeds the anti-join, so without the cut the final action would
+        # recompute every level's ring join a second time. Blocks stay
+        # referenced by the returned plan and free on GC of the wrappers
+        # (escalated levels hold only the unsettled sliver, so the
+        # transient footprint is result-sized, not corpus-sized).
+        stats = (topk
+                 .withColumn("_n", F.count("*").over(wq))
+                 .withColumn("_kd", F.max("dist2").over(wq))
+                 ).localCheckpoint(eager=False)
+        settled_cond = (F.col("_n") >= k) & (F.col("_kd") <= F.lit(g * g))
+        parts.append(stats.filter(settled_cond)
+                     .select("query_id", "target_id", "dist2", "rk"))
+        settled_ids = stats.filter(settled_cond).select("query_id").distinct()
+        remaining = (remaining.join(settled_ids, "query_id", "left_anti")
+                     .localCheckpoint(eager=False))
+        if remaining.count() == 0:  # materializes stats + remaining blocks
+            break
+        r -= 1
+    from functools import reduce
+    return reduce(DataFrame.unionByName, parts)
 
 
 def zonal_stats(pixels: DataFrame, polys: DataFrame, res: int = 7,
