@@ -197,3 +197,37 @@ def test_optimize_zorder_prunes_files(spark, tmp_path):
     total = files_touched(tab)
     touched = files_touched(tab.filter(z_range_predicate("z", ranges)))
     assert touched < total, (touched, total)
+
+
+def test_bbox_cover_budget_property_adversarial():
+    """Hypothesis property at adversarial bboxes: the contract is
+    len(ranges) <= max_ranges for ANY bbox/budget (incl. budget 1 and
+    degenerate/point bboxes), and clamping must never lose coverage —
+    every z inside the bbox stays inside some range."""
+    from hypothesis import given, settings, strategies as st
+
+    from zen3geo_spark.functions.zorder import _grid_coord, _morton_py
+
+    lat = st.integers(min_value=-90_000_000, max_value=90_000_000)
+    lon = st.integers(min_value=-180_000_000, max_value=180_000_000)
+
+    @settings(max_examples=300, deadline=None)
+    @given(lat, lat, lon, lon, st.integers(min_value=1, max_value=16),
+           st.integers(min_value=1, max_value=12), st.randoms())
+    def prop(lat_a, lat_b, lon_a, lon_b, budget, res, rnd):
+        lat0, lat1 = sorted((lat_a, lat_b))
+        lon0, lon1 = sorted((lon_a, lon_b))
+        ranges = z_ranges_for_bbox(lat0, lon0, lat1, lon1, res,
+                                   max_ranges=budget)
+        assert len(ranges) <= budget
+        assert all(lo <= hi for lo, hi in ranges)
+        # coverage: sampled in-bbox points (corners + random interior)
+        pts = [(lat0, lon0), (lat0, lon1), (lat1, lon0), (lat1, lon1)]
+        pts += [(rnd.randint(lat0, lat1), rnd.randint(lon0, lon1))
+                for _ in range(8)]
+        for la, lo_ in pts:
+            z = _morton_py(_grid_coord(la, 90000000, 180000001, res),
+                           _grid_coord(lo_, 180000000, 360000001, res), res)
+            assert any(a <= z <= b for a, b in ranges)
+
+    prop()

@@ -256,6 +256,16 @@ def z_ranges_for_bbox(
             merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
         else:
             merged.append((lo, hi))
+    # hard post-split clamp: the in-descent budget check is a heuristic
+    # (emissions can beat the len(out)+len(stack) bound by a couple when
+    # the stack drains unevenly), but the CONTRACT is <= max_ranges.
+    # Coalesce the closest-gap adjacent pairs — the cover only loosens
+    # (callers always re-check containment after the range scan), never
+    # loses a cell.
+    while len(merged) > max_ranges:
+        gi = min(range(len(merged) - 1),
+                 key=lambda i: merged[i + 1][0] - merged[i][1])
+        merged[gi:gi + 2] = [(merged[gi][0], merged[gi + 1][1])]
     return merged
 
 
