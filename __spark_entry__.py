@@ -677,6 +677,26 @@ def q_stack_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("value", 6).alias("value"))
 
 
+def q_stack_cast_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StackSTAC kwargs dtype= / fill_value= / xy_coords= (reference
+    stackstac.py:106-126, docs/stacking.md:244-251): a 4x4 source block in
+    an 8x8 bounds lattice — uncovered positions densify to fill_value,
+    values cast through float32, centroid coordinate labels attached."""
+    src = spark.range(16).selectExpr(
+        "cast(0 as int) as time", "'vv' as band",
+        "cast((id % 4) * 2.0 + 1.0 as double) as x",
+        "cast(15.0 - (id div 4) * 2.0 as double) as y",
+        "cast(id * 3 as double) as value",
+    )
+    cube = stack([src], assets=["vv"], bounds=(0.0, 0.0, 16.0, 16.0),
+                 xmin=0.0, ymax=16.0, res=2.0, fill_value=-1.0,
+                 dtype="float32", xy_coords="center")
+    return cube.select(
+        "time", "band", "y_idx", "x_idx",
+        F.col("value").cast("double").alias("value"),
+        "x_coord", "y_coord")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, 300)
     return frame_sample(media, every_ms=700).select(
@@ -1160,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_clip": q_rect_clip,
         "rect_clip_reproject": q_rect_clip_reproject,
         "stack_bilinear": q_stack_bilinear,
+        "stack_cast_fill": q_stack_cast_fill,
         "stack_mosaic": q_stack_mosaic,
         "mosaic": q_mosaic,
         "stac_item_read": q_stac_item_read,
@@ -2235,6 +2256,19 @@ def oracle_sql() -> dict[str, str]:
         "canvas": canvas_sql,
         "stack_mosaic": stack_mosaic_sql,
         "stack_bilinear": stack_bilinear_sql,
+        # 8x8 lattice, 4x4 source block at the top-left; uncovered cells
+        # fill with -1; values round-trip float32 (exact for these small
+        # ints); centroid labels are dyadic-exact doubles
+        "stack_cast_fill": """
+            select cast(0 as int) as time, 'vv' as band,
+                   cast(y.y_idx as int) as y_idx, cast(x.x_idx as int) as x_idx,
+                   cast(cast(case when y.y_idx < 4 and x.x_idx < 4
+                                  then (y.y_idx * 4 + x.x_idx) * 3.0
+                                  else -1.0 end as real) as double) as value,
+                   0.0 + (x.x_idx + 0.5) * 2.0 as x_coord,
+                   16.0 - (y.y_idx + 0.5) * 2.0 as y_coord
+            from range(8) y(y_idx), range(8) x(x_idx)
+        """,
         "frame_sample": frame_sample_sql,
         "image_stats": image_stats_sql,
         "batcher": batcher_sql,

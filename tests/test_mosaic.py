@@ -91,3 +91,45 @@ def test_bilinear_regrid_exact_on_linear_ramp(spark):
         cx, cy = i + 0.5, 16.0 - (j + 0.5)
         if 1.0 <= cx <= 15.0 and 1.0 <= cy <= 15.0:  # interior
             assert abs(v - (3.0 * cx + 5.0 * cy + 7.0)) < 1e-9, (j, i)
+
+
+def test_stack_dtype_fill_value_xy_coords(spark):
+    """stackstac kwargs parity (reference stackstac.py:106-126,
+    docs/stacking.md:244-251): dtype casts the value column, fill_value
+    densifies the output lattice where no source pixel landed, xy_coords
+    labels grid indices with world coords (center vs topleft)."""
+    from zen3geo_spark.operators.stacker import stack
+
+    # 4x4 source block in the top-left of an 8x8 bounds lattice
+    src = spark.range(16).selectExpr(
+        "cast(0 as int) as time", "'vv' as band",
+        "cast((id % 4) * 2.0 + 1.0 as double) as x",
+        "cast(15.0 - (id div 4) * 2.0 as double) as y",
+        "cast(id * 3 as double) as value",
+    )
+    out = stack([src], assets=["vv"], bounds=(0.0, 0.0, 16.0, 16.0),
+                xmin=0.0, ymax=16.0, res=2.0, fill_value=-1.0,
+                dtype="float32", xy_coords="center")
+    rows = {(r["y_idx"], r["x_idx"]): r for r in out.collect()}
+    assert len(rows) == 64  # full 8x8 lattice
+    assert out.schema["value"].dataType.typeName() == "float"
+    # present block keeps source values, cast to float32
+    assert rows[(0, 0)]["value"] == 0.0
+    assert rows[(3, 3)]["value"] == 45.0
+    # gap rows got the fill
+    assert rows[(7, 7)]["value"] == -1.0
+    assert rows[(0, 4)]["value"] == -1.0
+    # centroid labels
+    assert rows[(0, 0)]["x_coord"] == 1.0 and rows[(0, 0)]["y_coord"] == 15.0
+    assert rows[(7, 7)]["x_coord"] == 15.0 and rows[(7, 7)]["y_coord"] == 1.0
+    # topleft labels on the same cube
+    tl = stack([src], bounds=(0.0, 0.0, 16.0, 16.0), xmin=0.0, ymax=16.0,
+               res=2.0, xy_coords="topleft")
+    r00 = tl.filter("y_idx = 0 and x_idx = 0").first()
+    assert r00["x_coord"] == 0.0 and r00["y_coord"] == 16.0
+    # error contracts
+    import pytest
+    with pytest.raises(ValueError):
+        stack([src], fill_value=0.0)
+    with pytest.raises(ValueError):
+        stack([src], res=2.0, xy_coords="middle")

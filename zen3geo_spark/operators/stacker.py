@@ -130,12 +130,36 @@ def build_overviews(tiles: DataFrame, levels: int = 2,
     return reduce(DataFrame.unionByName, levels_dfs)
 
 
+# numpy-ish dtype names → Spark cast targets. float16 widens to float32:
+# Spark has no half type, and stackstac's float16 is a footprint choice,
+# not a semantics one — values are preserved, storage is what differs.
+_DTYPE_MAP = {
+    "float16": "float", "float32": "float", "float64": "double",
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint",
+}
+
+
+def _grid_lattice(df: DataFrame, width: int, height: int,
+                  keys: tuple[str, ...] = ("time", "band")) -> DataFrame:
+    """Full (keys… × y_idx × x_idx) lattice via nested explodes over the
+    DISTINCT key combos — no cartesian join, rows = |combos|·width·height
+    generated executor-side."""
+    return (df.select(*keys).distinct()
+            .select("*", F.explode(F.sequence(F.lit(0), F.lit(height - 1)))
+                    .alias("y_idx"))
+            .select("*", F.explode(F.sequence(F.lit(0), F.lit(width - 1)))
+                    .alias("x_idx")))
+
+
 def stack(item_tiles: list[DataFrame] | DataFrame, assets: list[str] | None = None,
           bounds: tuple[float, float, float, float] | None = None,
           xmin: float | None = None, ymax: float | None = None,
           res: float | None = None, resampling: str = "nearest",
           src_grid: tuple[float, float, float] | None = None,
-          dst_size: tuple[int, int] | None = None) -> DataFrame:
+          dst_size: tuple[int, int] | None = None,
+          xy_coords: str | None = None, dtype: str | None = None,
+          fill_value: float | None = None) -> DataFrame:
     """Union per-item tables into one cube; optional band/bounds selection
     and regrid. Input rows need (time, band, x, y, value).
 
@@ -143,6 +167,25 @@ def stack(item_tiles: list[DataFrame] | DataFrame, assets: list[str] | None = No
     (4-corner weighted resample — needs ``src_grid`` = (xmin, ymax, res)
     of the source lattice and ``dst_size`` = (width, height)), mirroring
     the reference's ``stackstac.stack(resolution=…, resampling=…)``.
+
+    Remaining ``stackstac.stack`` kwargs (reference
+    /root/reference/zen3geo/datapipes/stackstac.py:106-126, exercised in
+    docs/stacking.md:244-251):
+
+    * ``xy_coords``: 'topleft' or 'center' — adds world-coordinate label
+      columns (x_coord, y_coord) for each grid index, at the pixel's
+      top-left corner or centroid. Needs a grid (``res``).
+    * ``dtype``: cast the value column; accepts numpy-ish names
+      ('float32', 'int16', …; 'float16' widens to float — Spark has no
+      half type) or any Spark SQL type string.
+    * ``fill_value``: densify the output to the FULL (time, band, y, x)
+      lattice — grid positions no source pixel landed on get this value
+      (stackstac fills areas an asset doesn't cover). Needs an output
+      grid of known extent: ``dst_size``, or ``bounds`` + ``res``.
+      Lattice rows are generated per key-combo via nested explodes and
+      left-joined on the grid index — no cartesian product; at scale the
+      join shuffles on (time, band, y_idx, x_idx) exactly like the
+      regrid itself.
     """
     df = (reduce(DataFrame.unionByName, item_tiles)
           if isinstance(item_tiles, list) else item_tiles)
@@ -154,15 +197,56 @@ def stack(item_tiles: list[DataFrame] | DataFrame, assets: list[str] | None = No
             (F.col("x") >= bxmin) & (F.col("x") < bxmax)
             & (F.col("y") > bymin) & (F.col("y") <= bymax)
         )
+    gxmin = xmin if xmin is not None else (bounds[0] if bounds else 0.0)
+    gymax = ymax if ymax is not None else (bounds[3] if bounds else 0.0)
     if res is not None:
-        gxmin = xmin if xmin is not None else (bounds[0] if bounds else 0.0)
-        gymax = ymax if ymax is not None else (bounds[3] if bounds else 0.0)
         if resampling == "bilinear":
             if src_grid is None or dst_size is None:
                 raise ValueError("bilinear resampling needs src_grid and dst_size")
-            return regrid_bilinear(df, src_grid,
-                                   (gxmin, gymax, res, dst_size[0], dst_size[1]))
-        if resampling != "nearest":
+            df = regrid_bilinear(df, src_grid,
+                                 (gxmin, gymax, res, dst_size[0], dst_size[1]))
+        elif resampling != "nearest":
             raise NotImplementedError(f"resampling {resampling!r}")
-        df = snap_to_grid(df, gxmin, gymax, res)
+        else:
+            df = snap_to_grid(df, gxmin, gymax, res)
+    if fill_value is not None:
+        if res is None:
+            raise ValueError("fill_value needs an output grid (res=…)")
+        if dst_size is not None:
+            width, height = dst_size
+        elif bounds is not None:
+            import math
+            width = int(math.ceil((bounds[2] - bounds[0]) / res))
+            height = int(math.ceil((bounds[3] - bounds[1]) / res))
+        else:
+            raise ValueError("fill_value needs dst_size or bounds to size "
+                             "the lattice")
+        lattice = _grid_lattice(df, width, height)
+        present = df.select("time", "band", "y_idx", "x_idx").distinct() \
+            .withColumn("_has", F.lit(True))
+        missing = (lattice.join(present, ["time", "band", "y_idx", "x_idx"],
+                                "left")
+                   .filter(F.col("_has").isNull())
+                   .drop("_has")
+                   .withColumn("value", F.lit(float(fill_value))))
+        # align schemas: fill rows carry NULL for any extra source columns
+        for c in df.columns:
+            if c not in missing.columns:
+                missing = missing.withColumn(
+                    c, F.lit(None).cast(df.schema[c].dataType))
+        df = df.unionByName(missing.select(*df.columns))
+    if xy_coords is not None:
+        if res is None:
+            raise ValueError("xy_coords needs an output grid (res=…)")
+        if xy_coords not in ("topleft", "center"):
+            raise ValueError(f"xy_coords {xy_coords!r}: 'topleft' or 'center'")
+        off = 0.5 if xy_coords == "center" else 0.0
+        df = df.withColumn(
+            "x_coord", F.lit(gxmin) + (F.col("x_idx") + F.lit(off)) * F.lit(res)
+        ).withColumn(
+            "y_coord", F.lit(gymax) - (F.col("y_idx") + F.lit(off)) * F.lit(res)
+        )
+    if dtype is not None:
+        df = df.withColumn("value",
+                           F.col("value").cast(_DTYPE_MAP.get(dtype, dtype)))
     return df
