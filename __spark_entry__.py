@@ -1038,6 +1038,33 @@ def q_stac_asset_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id", "collection", "lat_us", "lon_us", "n_px", "sum_v")
 
 
+def q_zarr_like_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr-analogue chunked-store readout (the reference's zarr engine,
+    xpystac.py:41-46 / test_datapipes_xpystac.py:40-70): consolidated-
+    metadata sidecar + per-chunk binary files; a WINDOWED read plans only
+    the intersecting chunk files from metadata (lazy chunk access — the
+    prune metric is pytest-asserted via plan_chunks) and decodes exact
+    float32 values with pixel-center world coords. Values follow a
+    deterministic formula so DuckDB regenerates them without the files."""
+    import pathlib
+
+    import numpy as np
+
+    from zen3geo_spark.sources.raster import open_asset
+    from zen3geo_spark.sources.zarr_like import write_zarr_like_store
+
+    d = pathlib.Path(__file__).resolve().parent / ".gen_assets" / "zarr_like"
+    if not (d / ".zmeta.json").exists():
+        h, w = 40, 64
+        arr = ((np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17)
+               % 251).astype("float32")
+        write_zarr_like_store(str(d), arr, chunks=(16, 16),
+                              grid=(100.0, 500.0, 10.0), fill_value=-9.0)
+    px = open_asset(spark, str(d), engine="zarr_like",
+                    bbox_idx=(10, 25, 20, 50))
+    return px.select("y_idx", "x_idx", "value", "x", "y")
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: top-bigram coverage + duplicate
     trigram fraction per doc, keep flag under both thresholds."""
@@ -1113,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_tfidf": q_hashed_tfidf,
         "url_host_stats": q_url_host_stats,
         "stac_asset_engines": q_stac_asset_engines,
+        "zarr_like_scan": q_zarr_like_scan,
         "ann_ivf_trained": q_ann_ivf_trained,  # oracle is new this round
         # --- rotated back in: outside the driver's r3 window ---
         "dedup_exact": q_dedup_exact,
@@ -2256,6 +2284,16 @@ def oracle_sql() -> dict[str, str]:
         "canvas": canvas_sql,
         "stack_mosaic": stack_mosaic_sql,
         "stack_bilinear": stack_bilinear_sql,
+        # windowed zarr-like readout: rows (10..25) x cols (20..50) of the
+        # 40x64 deterministic lattice; float32 round-trip exact (values
+        # are small ints), world coords dyadic-exact
+        "zarr_like_scan": """
+            select cast(y.i as int) as y_idx, cast(x.j as int) as x_idx,
+                   cast((y.i * 31 + x.j * 17) % 251 as double) as value,
+                   100.0 + (x.j + 0.5) * 10.0 as x,
+                   500.0 - (y.i + 0.5) * 10.0 as y
+            from range(10, 26) y(i), range(20, 51) x(j)
+        """,
         # 8x8 lattice, 4x4 source block at the top-left; uncovered cells
         # fill with -1; values round-trip float32 (exact for these small
         # ints); centroid labels are dyadic-exact doubles

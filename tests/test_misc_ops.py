@@ -257,3 +257,51 @@ def test_open_asset_json_csv_engines_dispatch(spark, tmp_path):
     assert n == 13  # 10 + 3 % 5
     v = px.filter((F.col("item_id") == 3) & (F.col("px") == 2)).collect()
     assert v[0]["v"] == (3 * 11 + 2 * 17) % 256
+
+
+def test_open_asset_zarr_like_engine(spark, tmp_path):
+    """Zarr-analogue chunked store (the reference's zarr-engine readout,
+    test_datapipes_xpystac.py:40-70): shape/dtype/bounds/resolution come
+    from the consolidated metadata WITHOUT opening chunks; a windowed
+    read plans and opens only the intersecting chunk files (lazy chunk
+    access); decoded values are exact; edge-chunk padding is clipped."""
+    import numpy as np
+
+    from zen3geo_spark.sources.raster import open_asset
+    from zen3geo_spark.sources.zarr_like import (
+        plan_chunks, store_info, write_zarr_like_store,
+    )
+
+    h, w = 23, 37  # NOT chunk-aligned: edge chunks are padded
+    arr = ((np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17) % 251
+           ).astype("float32")
+    store = str(tmp_path / "store")
+    write_zarr_like_store(store, arr, chunks=(8, 16),
+                          grid=(100.0, 500.0, 10.0), fill_value=-9.0)
+
+    # consolidated-metadata pins (sizes / dtype / bounds / resolution)
+    info = store_info(store)
+    assert info["sizes"] == {"y": 23, "x": 37}
+    assert info["dtype"] == "float32"
+    assert info["bounds"] == (100.0, 500.0 - 230.0, 100.0 + 370.0, 500.0)
+    assert info["resolution"] == (10.0, -10.0)
+    assert info["n_chunks"] == 9  # ceil(23/8) * ceil(37/16)
+
+    # lazy chunk pruning: a window inside chunk (1,1) touches 1 file of 9
+    win = (9, 14, 17, 30)
+    touched = plan_chunks(store, win)
+    assert len(touched) == 1 and touched[0].endswith("c1.1.bin")
+    assert len(plan_chunks(store)) == 9
+
+    px = open_asset(spark, store, engine="zarr_like", bbox_idx=win)
+    got = {(r["y_idx"], r["x_idx"]): r for r in px.collect()}
+    assert len(got) == (14 - 9 + 1) * (30 - 17 + 1)
+    assert all(got[(y, x)]["value"] == float(arr[y, x]) for y, x in got)
+    # pixel-center world coords from the grid affine
+    assert got[(9, 17)]["x"] == 100.0 + 17.5 * 10.0
+    assert got[(9, 17)]["y"] == 500.0 - 9.5 * 10.0
+
+    # full scan clips edge-chunk padding to the metadata shape
+    full = open_asset(spark, store, engine="zarr_like")
+    assert full.count() == h * w
+    assert full.agg(F.min("value")).first()[0] >= 0.0  # no -9 padding leaked

@@ -56,7 +56,7 @@ def scan_binary_assets(spark: SparkSession, path_glob: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path_glob)
 
 
-ENGINES = {"parquet", "json", "csv", "binaryFile", "netpbm"}
+ENGINES = {"parquet", "json", "csv", "binaryFile", "netpbm", "zarr_like"}
 
 
 def open_asset(spark: SparkSession, path: str, engine: str = "parquet",
@@ -66,11 +66,19 @@ def open_asset(spark: SparkSession, path: str, engine: str = "parquet",
     is the real-decode path: binaryFile scan → NumPy PGM/PPM codec →
     long-form pixel rows (the shape ``scan_tiles`` consumes) — the
     container has no GDAL, so netpbm stands in for the reference's
-    rasterio/zarr engines with a genuinely decoded format."""
+    rasterio engine with a genuinely decoded format. ``engine='zarr_like'``
+    reads the chunked-array store (sources/zarr_like.py — consolidated
+    metadata + per-chunk binary, lazy chunk pruning via ``bbox_idx=``),
+    the analogue of the reference's zarr engine
+    (tests/test_datapipes_xpystac.py:40-70)."""
     if engine not in ENGINES:
         raise ValueError(f"unsupported engine {engine!r}; one of {sorted(ENGINES)}")
     if engine == "netpbm":
         return _read_netpbm_pixels(spark, path)
+    if engine == "zarr_like":
+        from zen3geo_spark.sources.zarr_like import read_zarr_like
+
+        return read_zarr_like(spark, path, bbox_idx=options.get("bbox_idx"))
     reader = spark.read.format(engine)
     for k, v in options.items():
         reader = reader.option(k, v)
