@@ -1134,67 +1134,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
-        # --- new this round (r4) ---
-        "gopher_repetition": q_gopher_repetition,
-        "bm25_scores": q_bm25_scores,
-        "hashed_tfidf": q_hashed_tfidf,
-        "url_host_stats": q_url_host_stats,
-        "stac_asset_engines": q_stac_asset_engines,
-        "zarr_like_scan": q_zarr_like_scan,
-        "ann_ivf_trained": q_ann_ivf_trained,  # oracle is new this round
-        # --- rotated back in: outside the driver's r3 window ---
-        "dedup_exact": q_dedup_exact,
-        "token_quality": q_token_quality,
-        "ann_cosine": q_ann_cosine,
-        "lang_id": q_lang_id,
-        "mercator_bins": q_mercator_bins,
-        "cell_rollup": q_cell_rollup,
-        "pages_extract": q_pages_extract,
-        "pages_cell_counts": q_pages_cell_counts,
-        "extract_all_tags": q_extract_all_tags,
-        "canvas": q_canvas,
-        "stac_search": q_stac_search,
-        "frame_sample": q_frame_sample,
-        "events_hourly": q_events_hourly,
-        "pricing_summary": q_pricing_summary,
-        "segment_orders": q_segment_orders,
-        "tile_scan": q_tile_scan,
-        "vector_scan": q_vector_scan,
-        # --- code paths changed this round (r4 fixes touch these) ---
-        "zorder_cells": q_zorder_cells,
-        "zorder_range_scan": q_zorder_range_scan,
-        "hilbert_cells": q_hilbert_cells,
-        "near_dup_verified": q_near_dup_verified,
-        "word_jaccard": q_word_jaccard,
-        "word_jaccard_exact": q_word_jaccard_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "embed_dedup_clusters": q_embed_dedup_clusters,
-        "winnow": q_winnow,
-        "kmv_distinct": q_kmv_distinct,
-        "corpus_clean": q_corpus_clean,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "embed_neardup": q_embed_neardup,
-        "zipper": q_zipper,
-        "batcher": q_batcher,
-        "collate": q_collate,
-        "forked_stats": q_forked_stats,
-        "pip_join": q_pip_join,
-        "pip_join_salted": q_pip_join_salted,
-        "zonal_stats": q_zonal_stats,
-        "knn_brute": q_knn_brute,
-        "knn_cells": q_knn_cells,
-        "binary_assets": q_binary_assets,
-        # --- in-window fillers (green r3, unchanged; keep re-checking) ---
-        "image_stats": q_image_stats,
+        # --- rotated back in: the 22 queries outside the driver's r4
+        # --- window (all hash-green in r3) lead the r5 ordering so every
+        # --- query is re-hashed at least every other round ---
         "overviews": q_overviews,
         "unigram_logppl": q_unigram_logppl,
         "session_window": q_session_window,
         "tumbling_window": q_tumbling_window,
-        # --- past the 50-cap this round: green in the r3 window AND
-        # --- untouched by r4 changes (re-enter the window next round) ---
         "rasterize_mean": q_rasterize_mean,
         "rasterize_polygon": q_rasterize_polygon,
         "rasterize_line": q_rasterize_line,
@@ -1208,12 +1154,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_clip": q_rect_clip,
         "rect_clip_reproject": q_rect_clip_reproject,
         "stack_bilinear": q_stack_bilinear,
-        "stack_cast_fill": q_stack_cast_fill,
         "stack_mosaic": q_stack_mosaic,
         "mosaic": q_mosaic,
         "stac_item_read": q_stac_item_read,
         "raster_math": q_raster_math,
         "month_split": q_month_split,
+        # --- new this round (r5) ---
+        "zarr_like_scan": q_zarr_like_scan,
+        "stack_cast_fill": q_stack_cast_fill,
+        # --- code paths changed this round (r5 fixes touch these) ---
+        "knn_cells": q_knn_cells,          # ring escalation
+        "knn_brute": q_knn_brute,
+        "ann_ivf_trained": q_ann_ivf_trained,  # stable probe tie-break
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "ann_cosine": q_ann_cosine,
+        "dedup_clusters": q_dedup_clusters,        # CC eager unpersist
+        "embed_dedup_clusters": q_embed_dedup_clusters,
+        "zorder_range_scan": q_zorder_range_scan,  # post-split clamp
+        "zorder_cells": q_zorder_cells,
+        "hilbert_cells": q_hilbert_cells,
+        "pages_extract": q_pages_extract,          # geo.py regex guard
+        "extract_all_tags": q_extract_all_tags,
+        "pages_cell_counts": q_pages_cell_counts,
+        "pip_join": q_pip_join,                    # spatial_join.py edits
+        "pip_join_salted": q_pip_join_salted,
+        "zonal_stats": q_zonal_stats,
+        # --- in-window fillers (green r4, keep re-checking) ---
+        "minhash_lsh": q_minhash_lsh,
+        "near_dup_verified": q_near_dup_verified,
+        "word_jaccard": q_word_jaccard,
+        "word_jaccard_exact": q_word_jaccard_exact,
+        "simhash": q_simhash,
+        "winnow": q_winnow,
+        "kmv_distinct": q_kmv_distinct,
+        "corpus_clean": q_corpus_clean,
+        "embed_neardup": q_embed_neardup,
+        # --- past the 50-cap this round: hash-green in the r4 window AND
+        # --- untouched by r5 changes (re-enter the window next round) ---
+        "gopher_repetition": q_gopher_repetition,
+        "bm25_scores": q_bm25_scores,
+        "hashed_tfidf": q_hashed_tfidf,
+        "url_host_stats": q_url_host_stats,
+        "stac_asset_engines": q_stac_asset_engines,
+        "dedup_exact": q_dedup_exact,
+        "token_quality": q_token_quality,
+        "lang_id": q_lang_id,
+        "mercator_bins": q_mercator_bins,
+        "cell_rollup": q_cell_rollup,
+        "canvas": q_canvas,
+        "stac_search": q_stac_search,
+        "frame_sample": q_frame_sample,
+        "events_hourly": q_events_hourly,
+        "pricing_summary": q_pricing_summary,
+        "segment_orders": q_segment_orders,
+        "tile_scan": q_tile_scan,
+        "vector_scan": q_vector_scan,
+        "zipper": q_zipper,
+        "batcher": q_batcher,
+        "collate": q_collate,
+        "forked_stats": q_forked_stats,
+        "image_stats": q_image_stats,
+        "binary_assets": q_binary_assets,
     }
 
 

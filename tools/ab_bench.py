@@ -39,6 +39,26 @@ def child(repo: str, queries: list[str]) -> None:
     qs = E.queries()
     out: dict[str, float] = {}
     for name in queries:
+        if name == "flagship":
+            # the headline pages pipeline from the checkout's own bench.py
+            # (pages input parquet is shared across checkouts — same
+            # generator since r2 — so both sides read identical bytes)
+            try:
+                import bench as B
+
+                B.warm_python_workers(spark)
+                B.ensure_pages_parquet(spark, B.N_PAGES_BENCH)
+                B.flagship_pages_pipeline(spark, B.N_PAGES_BENCH)  # warm
+                t0 = time.time()
+                B.flagship_pages_pipeline(spark, B.N_PAGES_BENCH)
+                out[name] = round(time.time() - t0, 3)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+                out[name] = -1.0
+            spark.catalog.clearCache()
+            continue
         fn = qs.get(name)
         if fn is None:
             out[name] = -2.0
@@ -55,6 +75,12 @@ def child(repo: str, queries: list[str]) -> None:
             traceback.print_exc()
             out[name] = -1.0
         spark.catalog.clearCache()
+    # pure-JVM ceiling probe: what the host delivered to THIS child —
+    # lets a reader sanity-check any per-round ratio against tenancy
+    t0 = time.time()
+    spark.sql(f"select max(xxhash64(id)) from range(0, 1000000000, 1, "
+              f"{CPUS * 8})").collect()
+    out["_cpu_probe"] = round(time.time() - t0, 3)
     spark.stop()
     print("ABRESULT " + json.dumps(out))
 
@@ -97,7 +123,7 @@ def main() -> None:
             t = run_side(repo, queries_csv)
             for q, sec in t.items():
                 if sec >= 0:
-                    res[label][q].append(sec)
+                    res[label].setdefault(q, []).append(sec)
             print(f"round {r} {label}: {t}", flush=True)
     print(f"\n| query | {label_a} med (s) | {label_b} med (s) | "
           f"{label_b}/{label_a} |")
@@ -112,6 +138,14 @@ def main() -> None:
         summary[q] = {label_a: ma, label_b: mb,
                       "ratio": round(mb / ma, 3) if ma else None}
         print(f"| {q} | {ma:.2f} | {mb:.2f} | {mb / ma:.2f} |")
+    pa = res[label_a].get("_cpu_probe", [])
+    pb = res[label_b].get("_cpu_probe", [])
+    if pa and pb:
+        ma, mb = statistics.median(pa), statistics.median(pb)
+        summary["_cpu_probe"] = {label_a: ma, label_b: mb,
+                                 "ratio": round(mb / ma, 3) if ma else None}
+        print(f"| _cpu_probe (host ceiling) | {ma:.2f} | {mb:.2f} "
+              f"| {mb / ma:.2f} |")
     print("\nABSUMMARY " + json.dumps(summary))
 
 
