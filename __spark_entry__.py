@@ -116,18 +116,26 @@ def _points_cte() -> str:
 
 
 def _polys_df(spark: SparkSession) -> DataFrame:
+    """Polygon dimension table as a pure-JVM single-partition VALUES
+    relation. createDataFrame(python_rows) would parallelize PICKLED rows
+    across defaultParallelism partitions — every broadcast build of the
+    PIP join then runs 32 python-deserialization tasks just to read 2
+    polygons; as a LocalRelation the broadcast side is one JVM-only task
+    (and Catalyst can fold it)."""
     rows = []
     for gid, ring in POLYS:
-        parts = [[{"x": float(x), "y": float(y)} for x, y in ring]]
-        rows.append((gid, "polygon", parts, "OGC:CRS84"))
-    df = with_bbox(spark.createDataFrame(rows, GEOM_SCHEMA))
-    return df.select(
-        "geom_id", "geom_type", "parts", "crs",
-        F.col("minx").cast("long").alias("minx_us"),
-        F.col("miny").cast("long").alias("miny_us"),
-        F.col("maxx").cast("long").alias("maxx_us"),
-        F.col("maxy").cast("long").alias("maxy_us"),
-    )
+        pts = ", ".join(
+            f"named_struct('x', cast({x} as double), 'y', cast({y} as double))"
+            for x, y in ring)
+        xs = [x for x, _ in ring]
+        ys = [y for _, y in ring]
+        rows.append(
+            f"({gid}L, 'polygon', array(array({pts})), 'OGC:CRS84', "
+            f"{min(xs)}L, {min(ys)}L, {max(xs)}L, {max(ys)}L)")
+    return spark.sql(
+        "select * from values " + ", ".join(rows) +
+        " as t(geom_id, geom_type, parts, crs, "
+        "minx_us, miny_us, maxx_us, maxy_us)")
 
 
 def _edges_values() -> str:

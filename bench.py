@@ -251,9 +251,13 @@ SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 
 def _scaling_child(cores: int) -> None:
     """One fresh-JVM measurement: warm (JIT + codegen + Python workers +
-    one full pipeline run), then best of 2 timed runs — steady-state
-    throughput, the regime a 100 TB job spends its life in. Also runs a
-    pure-JVM xxhash sweep as a hardware-parallelism calibration."""
+    one full pipeline run), then best of 3 timed runs — steady-state
+    throughput, the regime a 100 TB job spends its life in. Best-of-3
+    (was 2) because the sandbox host intermittently stalls a run by
+    10-100s (CPU-time inflation under hypervisor pressure, observed on
+    every pipeline shape); a single stalled run would otherwise poison
+    the round's efficiency. Also runs a pure-JVM xxhash sweep as a
+    hardware-parallelism calibration."""
     from zen3geo_spark.session import get_spark
 
     spark = get_spark(app_name=f"scal{cores}", cores=cores,
@@ -263,7 +267,7 @@ def _scaling_child(cores: int) -> None:
     ensure_pages_parquet(spark, N_PAGES_BENCH)
     flagship_pages_pipeline(spark, N_PAGES_BENCH)  # warm run, untimed
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n = flagship_pages_pipeline(spark, N_PAGES_BENCH)
         times.append(time.time() - t0)
