@@ -107,20 +107,23 @@ def test_driver_contract_key_alignment():
 def test_checkpoint_runner_releases_cached_blocks(spark, tmp_path):
     """A multi-stage run must not accumulate cached/localCheckpoint
     blocks: after each stage materializes to its checkpoint table, the
-    runner drops every persistent RDD (minhash/jaccard/CC intermediates
-    localCheckpoint internally)."""
-    from pyspark.sql import functions as F
-
+    runner drops every persistent RDD the stage CREATED (minhash/
+    jaccard/CC intermediates localCheckpoint internally) — while leaving
+    blocks that existed before the stage untouched (they may be
+    caller-owned localCheckpoint frames whose truncated lineage cannot
+    recompute; unpersisting them would poison the caller's next action)."""
     from zen3geo_spark.operators.dedup import minhash_lsh_candidates
     from zen3geo_spark.plans.checkpoint import CheckpointRunner
 
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta {i % 7} epsilon zeta") for i in range(40)],
         "doc_id long, text string")
+    before_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     runner = CheckpointRunner(spark, str(tmp_path / "ckpt"))
     out = runner.stage(
         "cand", "fp1",
         lambda: minhash_lsh_candidates(docs, num_hashes=8, bands=4))
     assert out.count() > 0
-    n_persistent = (spark.sparkContext._jsc.getPersistentRDDs().size())
-    assert n_persistent == 0, f"{n_persistent} persistent RDDs leaked"
+    after_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    leaked = after_ids - before_ids
+    assert not leaked, f"stage leaked persistent RDDs: {sorted(leaked)}"
