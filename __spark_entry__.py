@@ -1082,6 +1082,40 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition_stats(docs)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination check: per corpus doc, word-5-gram positions
+    shared with the benchmark split (doc_id % 97 == 0 stands in for the
+    eval-suite table). Benchmark n-gram vocab broadcasts; corpus side is
+    scan → expand → broadcast join → per-doc agg, all JVM."""
+    from zen3geo_spark.operators.curation import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_check(docs, n=5, bench_mod=97)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span inventory: top-20 most-repeated word 8-grams with
+    doc/source spread — the map-reduce approximation of the suffix-array
+    duplicate-substring report; group-by gram with map-side combine +
+    TakeOrdered top-k."""
+    from zen3geo_spark.operators.curation import duplicate_span_inventory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_span_inventory(docs, n=8, top_k=20)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling audit table: per (lang,
+    source) totals and kept counts under per-language keep-rates decided
+    by an arithmetic hash of doc_id (reproducible across engines/retries/
+    cluster sizes — no rand())."""
+    from zen3geo_spark.operators.curation import stratified_sample_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample_summary(
+        docs, rates={"en": 100, "es": 50}, default_rate=10)
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 of a fixed term set over the corpus (training-data
     retrieval/filter scorer); df/corpus stats broadcast into the tf
@@ -1170,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r5) ---
         "zarr_like_scan": q_zarr_like_scan,
         "stack_cast_fill": q_stack_cast_fill,
+        "contamination": q_contamination,
+        "dup_spans": q_dup_spans,
+        "stratified_sample": q_stratified_sample,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -1193,13 +1230,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_verified": q_near_dup_verified,
         "word_jaccard": q_word_jaccard,
         "word_jaccard_exact": q_word_jaccard_exact,
-        "simhash": q_simhash,
-        "winnow": q_winnow,
-        "kmv_distinct": q_kmv_distinct,
         "corpus_clean": q_corpus_clean,
         "embed_neardup": q_embed_neardup,
         # --- past the 50-cap this round: hash-green in the r4 window AND
-        # --- untouched by r5 changes (re-enter the window next round) ---
+        # --- behaviorally untouched by r5 changes (simhash/winnow/
+        # --- kmv_distinct demoted to make room for the three new
+        # --- curation queries; their dedup.py edits this round were
+        # --- docstring-only) ---
+        "simhash": q_simhash,
+        "winnow": q_winnow,
+        "kmv_distinct": q_kmv_distinct,
         "gopher_repetition": q_gopher_repetition,
         "bm25_scores": q_bm25_scores,
         "hashed_tfidf": q_hashed_tfidf,
@@ -2117,6 +2157,17 @@ def oracle_sql() -> dict[str, str]:
     bm25_scores_sql = bm25_sql_duckdb(
         "documents", ["spark", "table", "window"])
 
+    from zen3geo_spark.operators.curation import (
+        contamination_sql_duckdb, duplicate_span_sql_duckdb,
+        stratified_sample_sql_duckdb,
+    )
+
+    contamination_sql = contamination_sql_duckdb("documents", n=5,
+                                                 bench_mod=97)
+    dup_spans_sql = duplicate_span_sql_duckdb("documents", n=8, top_k=20)
+    stratified_sample_sql = stratified_sample_sql_duckdb(
+        "documents", rates={"en": 100, "es": 50}, default_rate=10)
+
     # stac_asset_engines oracle: regenerate the deterministic sidecar
     # formulas in pure SQL (no file reads) — same pattern as
     # binary_assets below
@@ -2228,6 +2279,9 @@ def oracle_sql() -> dict[str, str]:
         "stac_asset_engines": stac_asset_engines_sql,
         "gopher_repetition": gopher_repetition_sql,
         "bm25_scores": bm25_scores_sql,
+        "contamination": contamination_sql,
+        "dup_spans": dup_spans_sql,
+        "stratified_sample": stratified_sample_sql,
         "hashed_tfidf": hashed_tfidf_sql,
         "url_host_stats": url_host_stats_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
