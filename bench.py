@@ -282,6 +282,61 @@ def _scaling_child(cores: int) -> None:
     spark.stop()
 
 
+def _pair_child() -> None:
+    """Paired-alternation scaling measurement: ONE JVM alternating
+    local[N] / local[4N] SparkContexts for SCALE_ROUNDS pairs, one timed
+    flagship run per context visit.
+
+    Rationale vs the fresh-JVM-per-level children (`_scaling_child`): the
+    sandbox host's delivered CPU drifts at minute scale, and a lo-child →
+    hi-child round spans 3-8 minutes, so the two levels routinely sample
+    different host regimes (observed: the SAME child's best-of-3 spread
+    is 35.7→46.6 s at local[2] and 53.5→13.9 s at local[8]). Alternating
+    contexts inside one JVM puts each pair's two measurements ~1 minute
+    apart, and the JVM-wide JIT + whole-stage-codegen caches stay hot
+    across SparkContext restarts, so only the first visit per level needs
+    a full untimed warm run. Python workers are per-context and re-warmed
+    via `warm_python_workers` before every timed run.
+
+    Prints ONE JSON line {"pairs": [{"lo": {...}, "hi": {...}}, ...]}
+    with sec / pages_per_sec / cpu_sec (pure-JVM xxhash calibration) per
+    visit. No selection happens here — the caller sees every pair.
+    """
+    from zen3geo_spark.session import get_spark
+
+    levels = (SCALE_N, SCALE_N * 4)
+    warmed: set[int] = set()
+    pairs = []
+    for _ in range(SCALE_ROUNDS):
+        rec = {}
+        for cores in levels:
+            spark = get_spark(app_name=f"pair{cores}", cores=cores,
+                              shuffle_partitions=max(cores * 2, 8))
+            spark.range(1000).count()
+            warm_python_workers(spark)
+            ensure_pages_parquet(spark, N_PAGES_BENCH)
+            if cores not in warmed:
+                flagship_pages_pipeline(spark, N_PAGES_BENCH)  # untimed
+                warmed.add(cores)
+            t0 = time.time()
+            n = flagship_pages_pipeline(spark, N_PAGES_BENCH)
+            dt = time.time() - t0
+            spark.sql("select max(xxhash64(id)) from "
+                      f"range(0, 100000000, 1, {cores * 8})").collect()
+            t0 = time.time()
+            spark.sql("select max(xxhash64(id)) from "
+                      f"range(0, 2000000000, 1, {cores * 8})").collect()
+            cpu_sec = time.time() - t0
+            rec["lo" if cores == SCALE_N else "hi"] = {
+                "cores": cores, "sec": round(dt, 3),
+                "pages_per_sec": round(n / dt, 1),
+                "cpu_sec": round(cpu_sec, 3),
+            }
+            spark.stop()
+        pairs.append(rec)
+    print(json.dumps({"pairs": pairs, "n_pages": N_PAGES_BENCH}))
+
+
 CHILD_TIMEOUT = int(os.environ.get("SPARK_GRAFT_CHILD_TIMEOUT", "600"))
 
 
@@ -422,5 +477,7 @@ delivers ~4x the cycles, the job scales accordingly.
 if __name__ == "__main__":
     if "--child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--child") + 1]))
+    elif "--pairchild" in sys.argv:
+        _pair_child()
     else:
         main()

@@ -84,13 +84,55 @@ def _log(obj: dict) -> None:
         f.write(json.dumps(obj) + "\n")
 
 
+HUNT_MODE = os.environ.get("HUNT_MODE", "pair")
+PAIR_TIMEOUT = float(os.environ.get("HUNT_PAIR_TIMEOUT", "1200"))
+
+
+def _pair_eff(rec: dict) -> dict:
+    lo, hi = rec["lo"], rec["hi"]
+    eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
+    cpu_eff = (lo["cpu_sec"] / hi["cpu_sec"]) / 4.0
+    return {
+        "eff": round(eff, 3), "cpu_eff": round(cpu_eff, 3),
+        "norm": round(min(eff / cpu_eff, 1.0), 3) if cpu_eff > 0 else 0.0,
+        "lo": lo, "hi": hi,
+    }
+
+
 def fire_round() -> dict | None:
-    """One interleaved scaling round, identical to a bench.py --scaling
-    round: fresh-JVM child at local[2] then local[8], each warm +
-    best-of-3 timed flagship runs + pure-JVM xxhash calibration."""
+    """One scaling round. pair mode (default): ONE watchdogged subprocess
+    running bench.py --pairchild — one JVM alternating local[2]/local[8]
+    contexts for 3 pairs, each pair's two timed runs adjacent in time so
+    minute-scale host drift cancels within the pair. child mode: the
+    legacy fresh-JVM lo-child → hi-child round."""
+    import subprocess
+
     with open(LOCK, "w") as f:
         f.write(str(os.getpid()))
     try:
+        if HUNT_MODE == "pair":
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"),
+                     "--pairchild"],
+                    capture_output=True, text=True, timeout=PAIR_TIMEOUT)
+            except subprocess.TimeoutExpired:
+                return None
+            lines = [l for l in p.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if not lines:
+                return None
+            rec = json.loads(lines[-1])
+            pairs = [_pair_eff(r) for r in rec["pairs"]]
+            best = max(p_["eff"] for p_ in pairs)
+            return {
+                "type": "round", "mode": "pair",
+                "eff": best,
+                "effs": [p_["eff"] for p_ in pairs],
+                "cpu_effs": [p_["cpu_eff"] for p_ in pairs],
+                "norms": [p_["norm"] for p_ in pairs],
+                "pairs": pairs, "n_pages": rec["n_pages"],
+            }
         r_lo = bench._run_child(bench.SCALE_N)
         r_hi = bench._run_child(bench.SCALE_N * 4) if r_lo else None
     finally:
