@@ -298,15 +298,25 @@ def _pair_child() -> None:
     a full untimed warm run. Python workers are per-context and re-warmed
     via `warm_python_workers` before every timed run.
 
+    Each visit times best-of-3 runs (the sandbox's stall mode inflates a
+    single run by 10-100s often enough that one-sample visits are
+    dominated by it). $SPARK_GRAFT_PAIR_ABORT_CEIL > 0 aborts the round
+    after any pair whose pure-JVM calibration ceiling falls below it —
+    when the host is physically not delivering 4x the cycles, raw >=0.8
+    is impossible and the remaining pairs would just burn the window.
+
     Prints ONE JSON line {"pairs": [{"lo": {...}, "hi": {...}}, ...]}
-    with sec / pages_per_sec / cpu_sec (pure-JVM xxhash calibration) per
-    visit. No selection happens here — the caller sees every pair.
+    with sec / runs / pages_per_sec / cpu_sec (pure-JVM xxhash
+    calibration) per visit. No selection across pairs happens here — the
+    caller sees every pair, including aborted rounds' partial list.
     """
     from zen3geo_spark.session import get_spark
 
+    abort_ceil = float(os.environ.get("SPARK_GRAFT_PAIR_ABORT_CEIL", "0"))
     levels = (SCALE_N, SCALE_N * 4)
     warmed: set[int] = set()
     pairs = []
+    aborted = False
     for _ in range(SCALE_ROUNDS):
         rec = {}
         for cores in levels:
@@ -318,23 +328,32 @@ def _pair_child() -> None:
             if cores not in warmed:
                 flagship_pages_pipeline(spark, N_PAGES_BENCH)  # untimed
                 warmed.add(cores)
-            t0 = time.time()
-            n = flagship_pages_pipeline(spark, N_PAGES_BENCH)
-            dt = time.time() - t0
+            times = []
+            for _r in range(3):
+                t0 = time.time()
+                n = flagship_pages_pipeline(spark, N_PAGES_BENCH)
+                times.append(time.time() - t0)
             spark.sql("select max(xxhash64(id)) from "
                       f"range(0, 100000000, 1, {cores * 8})").collect()
             t0 = time.time()
             spark.sql("select max(xxhash64(id)) from "
                       f"range(0, 2000000000, 1, {cores * 8})").collect()
             cpu_sec = time.time() - t0
+            dt = min(times)
             rec["lo" if cores == SCALE_N else "hi"] = {
                 "cores": cores, "sec": round(dt, 3),
+                "runs": [round(t, 3) for t in times],
                 "pages_per_sec": round(n / dt, 1),
                 "cpu_sec": round(cpu_sec, 3),
             }
             spark.stop()
         pairs.append(rec)
-    print(json.dumps({"pairs": pairs, "n_pages": N_PAGES_BENCH}))
+        pair_ceil = (rec["lo"]["cpu_sec"] / rec["hi"]["cpu_sec"]) / 4.0
+        if abort_ceil and pair_ceil < abort_ceil:
+            aborted = True
+            break
+    print(json.dumps({"pairs": pairs, "n_pages": N_PAGES_BENCH,
+                      "aborted_low_ceiling": aborted}))
 
 
 CHILD_TIMEOUT = int(os.environ.get("SPARK_GRAFT_CHILD_TIMEOUT", "600"))

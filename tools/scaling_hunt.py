@@ -157,12 +157,19 @@ def main() -> None:
     passes = fires = 0
     _log({"type": "start", "fire_threshold": FIRE_THRESHOLD, "gate": GATE,
           "n_pages": int(os.environ["SPARK_GRAFT_BENCH_PAGES"])})
+    prev_probe = 0.0
     while time.time() - t_start < BUDGET_SEC:
         load1 = os.getloadavg()[0]
         p = probe()
         _log({"type": "probe", "probe_eff": round(p, 3),
               "load1": round(load1, 2)})
-        if p >= FIRE_THRESHOLD and load1 < 4.0 and fires < MAX_FIRES:
+        # double-probe gate: a single 5s probe routinely overreads the
+        # SUSTAINED ceiling (observed: probe 0.885 → in-round calib
+        # 0.71-0.81); require two consecutive hot probes before burning
+        # a 3-5 min fire on the window
+        two_hot = p >= FIRE_THRESHOLD and prev_probe >= FIRE_THRESHOLD
+        prev_probe = p
+        if two_hot and load1 < 4.0 and fires < MAX_FIRES:
             fires += 1
             r = fire_round()
             if r is None:
@@ -176,6 +183,7 @@ def main() -> None:
                     if passes >= MAX_PASSES:
                         break
             time.sleep(REFIRE_COOLDOWN)
+            prev_probe = 0.0  # the fire itself polluted the host window
         else:
             time.sleep(PROBE_INTERVAL)
     _log({"type": "done", "fires": fires, "passes": passes,
