@@ -163,13 +163,17 @@ def main() -> None:
         p = probe()
         _log({"type": "probe", "probe_eff": round(p, 3),
               "load1": round(load1, 2)})
-        # double-probe gate: a single 5s probe routinely overreads the
-        # SUSTAINED ceiling (observed: probe 0.885 → in-round calib
-        # 0.71-0.81); require two consecutive hot probes before burning
-        # a 3-5 min fire on the window
-        two_hot = p >= FIRE_THRESHOLD and prev_probe >= FIRE_THRESHOLD
+        # fire gate: consecutive probes oscillate +-0.15 at sub-minute
+        # scale (observed: 0.72, 0.93, 0.80, 0.69, 0.95, 0.81) — the host
+        # has no SUSTAINED quiet windows, only recurring quiet minutes.
+        # A single hot probe therefore fires: the round's best-of-3 per
+        # visit only needs each side's best run to land inside one quiet
+        # minute, and the abort-ceiling check kills rounds that fired
+        # into a dead window. A warm pair of near-hot probes also fires.
+        hot = p >= FIRE_THRESHOLD or (
+            p >= FIRE_THRESHOLD - 0.07 and prev_probe >= FIRE_THRESHOLD - 0.07)
         prev_probe = p
-        if two_hot and load1 < 4.0 and fires < MAX_FIRES:
+        if hot and load1 < 4.0 and fires < MAX_FIRES:
             fires += 1
             r = fire_round()
             if r is None:
