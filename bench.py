@@ -325,14 +325,38 @@ def _pair_child() -> None:
             spark.range(1000).count()
             warm_python_workers(spark)
             ensure_pages_parquet(spark, N_PAGES_BENCH)
+            # every run rides the job-group watchdog: the AQE stage-
+            # materialization hang (event lost after a Python worker
+            # death — collect blocks forever, cluster idle) would
+            # otherwise wedge the whole round until the caller's
+            # subprocess timeout throws the window away
+            run_timeout = int(os.environ.get(
+                "SPARK_GRAFT_PAIR_RUN_TIMEOUT", "180"))
+
+            def _guarded():
+                try:
+                    return _run_with_watchdog(
+                        spark,
+                        lambda: flagship_pages_pipeline(spark, N_PAGES_BENCH),
+                        run_timeout)
+                except Exception:
+                    return None
+
             if cores not in warmed:
-                flagship_pages_pipeline(spark, N_PAGES_BENCH)  # untimed
+                _guarded()  # untimed warm
                 warmed.add(cores)
             times = []
+            n = N_PAGES_BENCH
             for _r in range(3):
                 t0 = time.time()
-                n = flagship_pages_pipeline(spark, N_PAGES_BENCH)
-                times.append(time.time() - t0)
+                if _guarded() is not None:
+                    times.append(time.time() - t0)
+            if not times:
+                spark.stop()
+                print(json.dumps({"pairs": pairs, "n_pages": N_PAGES_BENCH,
+                                  "aborted_low_ceiling": False,
+                                  "visit_failed": cores}))
+                return
             spark.sql("select max(xxhash64(id)) from "
                       f"range(0, 100000000, 1, {cores * 8})").collect()
             t0 = time.time()

@@ -123,6 +123,8 @@ def fire_round() -> dict | None:
             if not lines:
                 return None
             rec = json.loads(lines[-1])
+            if not rec.get("pairs"):
+                return None
             pairs = [_pair_eff(r) for r in rec["pairs"]]
             best = max(p_["eff"] for p_ in pairs)
             return {
