@@ -48,7 +48,7 @@ from zen3geo_spark.operators.dedup import (
 )
 from zen3geo_spark.operators.mosaic import mosaic_first_valid
 from zen3geo_spark.operators.multimodal import (
-    decode_image, frame_sample, image_stats, synth_media,
+    decode_audio, decode_image, frame_sample, image_stats, synth_media,
 )
 from zen3geo_spark.operators.rasterize import rasterize
 from zen3geo_spark.operators.similarity import (
@@ -723,6 +723,16 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (RIFF/WAVE PCM16 chunk walker, NumPy-only) →
+    per-clip features: sample count, mean amplitude, RMS, peak, zero
+    crossings. All features are exact (int16 samples ⇒ integer sums
+    representable in float64), so the DuckDB oracle recomputes them
+    bit-identically from the deterministic sample formula."""
+    media = synth_media(spark, 300)
+    return decode_audio(media)
+
+
 def q_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     b = batcher(docs, batch_size=64, order=["doc_id"])
@@ -1264,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forked_stats": q_forked_stats,
         "image_stats": q_image_stats,
         "binary_assets": q_binary_assets,
+        # --- new this session (r5, late additions) ---
+        "audio_stats": q_audio_stats,
     }
 
 
@@ -1896,6 +1908,40 @@ def oracle_sql() -> dict[str, str]:
     from vals group by media_id
     """
 
+    # audio decode oracle: synth_media's WAV payload sample i is
+    # ((media_id·31 + i·57) mod 65536) − 32768 at 1 kHz, n = duration_ms
+    # (multimodal.py wav_bytes / decode_audio). int16 samples ⇒ Σv and Σv²
+    # are integers < 2^53, so avg/rms are bit-identical in both engines.
+    audio_stats_sql = """
+    with aud as (
+      select id as media_id, cast(1000 + id % 5000 as int) as n
+      from range(300) t(id) where id % 3 = 1
+    ),
+    s as (
+      select media_id, unnest(generate_series(0, n - 1)) as i
+      from aud
+    ),
+    v as (
+      select media_id, i,
+             cast((media_id * 31 + i * 57) % 65536 - 32768 as double) as val
+      from s
+    ),
+    lagged as (
+      select media_id, val,
+             lag(val) over (partition by media_id order by i) as prev
+      from v
+    )
+    select media_id,
+           count(*) as n_samples,
+           cast(1000 as int) as sample_rate,
+           sum(val) / count(*) as mean_amp,
+           sqrt(sum(val * val) / count(*)) as rms,
+           cast(max(abs(val)) as bigint) as peak,
+           sum(case when prev is not null and ((val < 0) <> (prev < 0))
+               then 1 else 0 end) as zero_crossings
+    from lagged group by media_id
+    """
+
     stack_bilinear_sql = """
     with src as (
       select cast(id % 16 as int) as sx, cast(id // 16 as int) as sy,
@@ -2373,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "frame_sample": frame_sample_sql,
         "image_stats": image_stats_sql,
+        "audio_stats": audio_stats_sql,
         "batcher": batcher_sql,
         "zipper": zipper_sql,
         "near_dup_verified": near_dup_verified_sql,

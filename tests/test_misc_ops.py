@@ -150,6 +150,70 @@ def test_multimodal_real_decode_and_bad_format(spark):
         decode_image(junk).collect()
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """parse_wav must invert wav_bytes exactly, skip unknown RIFF chunks
+    (word-aligned), and reject non-RIFF / non-PCM16 payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from zen3geo_spark.operators.multimodal import parse_wav, wav_bytes
+
+    pcm, rate, nch = parse_wav(wav_bytes(7, 100, sample_rate=8000))
+    assert (rate, nch, pcm.dtype.itemsize, len(pcm)) == (8000, 1, 2, 100)
+    idx = np.arange(100, dtype=np.int64)
+    assert (pcm.astype(np.int64) == (7 * 31 + idx * 57) % 65536 - 32768).all()
+
+    # inject an odd-sized LIST chunk before data: the walker must skip it
+    # with word-aligned padding and still find fmt/data
+    raw = wav_bytes(7, 10)
+    fmt_at = raw.index(b"fmt ")
+    listc = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = raw[:fmt_at] + listc + raw[fmt_at:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    pcm2, _, _ = parse_wav(patched)
+    assert (pcm2.astype(np.int64)
+            == (7 * 31 + np.arange(10) * 57) % 65536 - 32768).all()
+
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        parse_wav(b"OggS....junk")
+    # non-PCM encoding (format tag 3 = IEEE float)
+    bad = bytearray(wav_bytes(1, 4))
+    bad[bad.index(b"fmt ") + 8] = 3
+    with pytest.raises(ValueError, match="only PCM16"):
+        parse_wav(bytes(bad))
+    # stereo reshape path
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = np.arange(8, dtype="<i2").tobytes()
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    st, rate2, nch2 = parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (nch2, st.shape) == (2, (4, 2)) and rate2 == 44100
+
+
+def test_decode_audio_features(spark):
+    """Real WAV decode through mapInPandas: features match a NumPy
+    recompute from the deterministic sample formula."""
+    import numpy as np
+
+    from zen3geo_spark.operators.multimodal import decode_audio
+
+    media = synth_media(spark, 30)
+    rows = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert len(rows) == 10  # ids % 3 == 1
+    for mid, r in rows.items():
+        n = 1000 + mid % 5000
+        v = ((mid * 31 + np.arange(n, dtype=np.int64) * 57) % 65536
+             - 32768).astype(np.float64)
+        neg = v < 0
+        assert r["n_samples"] == n and r["sample_rate"] == 1000
+        assert r["mean_amp"] == v.sum() / n
+        assert r["rms"] == np.sqrt((v * v).sum() / n)
+        assert r["peak"] == int(np.abs(v).max())
+        assert r["zero_crossings"] == int(np.count_nonzero(neg[1:] != neg[:-1]))
+
+
 def test_pgm_codec_and_binary_asset_scan(spark, tmp_path):
     """PGM roundtrip + the binaryFile → Arrow decode ingestion path over
     real files on disk."""

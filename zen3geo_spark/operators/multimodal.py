@@ -14,6 +14,7 @@ per-file stats (only scalars cross the Arrow boundary back).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -103,6 +104,65 @@ def pgm_bytes(asset_id: int, w: int, h: int) -> bytes:
     return header + ((asset_id * 11 + idx * 17) % 256).astype(np.uint8).tobytes()
 
 
+def wav_bytes(media_id: int, n_samples: int, sample_rate: int = 1000) -> bytes:
+    """Deterministic PCM16 mono RIFF/WAVE clip: sample i =
+    ((media_id·31 + i·57) mod 65536) − 32768 (the formula the audio_stats
+    DuckDB oracle recomputes). Real container: RIFF header, ``fmt `` and
+    ``data`` chunks per the public WAVE spec.
+
+    Round-trips exactly through the real parser:
+
+    >>> pcm, rate, nch = parse_wav(wav_bytes(4, 5))
+    >>> (rate, nch, pcm.shape)
+    (1000, 1, (5,))
+    >>> [int(v) for v in pcm]        # (4*31 + i*57) % 65536 - 32768
+    [-32644, -32587, -32530, -32473, -32416]
+    """
+    i = np.arange(n_samples, dtype=np.int64)
+    pcm = (((media_id * 31 + i * 57) % 65536) - 32768).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Real RIFF/WAVE chunk walker (public spec; NumPy-only — no audio
+    libraries ship in this container). Walks word-aligned chunks, parses
+    the PCM ``fmt `` block, and returns ``(samples, sample_rate,
+    n_channels)`` — int16 ndarray, shape (n,) mono or (n, nch) multi.
+    Non-RIFF payloads and non-PCM16 encodings raise ValueError (the
+    decode error contract, mirroring the netpbm magic check)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(
+            f"unsupported audio format (magic {buf[:4]!r}); "
+            "this engine decodes RIFF/WAVE PCM16")
+    fmt_body = data_body = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("truncated WAVE: missing fmt/data chunk")
+    audio_fmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_body[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAVE encoding (format={audio_fmt}, bits={bits}); "
+            "only PCM16 is decoded")
+    pcm = np.frombuffer(data_body, dtype="<i2")
+    if nch > 1:
+        pcm = pcm[: (len(pcm) // nch) * nch].reshape(-1, nch)
+    return pcm, int(rate), int(nch)
+
+
 def write_pgm_assets(asset_dir, n: int) -> None:
     """Materialize ``n`` deterministic PGM files ``asset_####.pgm`` under
     ``asset_dir`` (idempotent — skipped when already present), sized
@@ -174,18 +234,24 @@ def synth_media(spark, n: int) -> DataFrame:
     )
 
     @F.pandas_udf("binary")
-    def payload(mid: pd.Series, kind: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    def payload(mid: pd.Series, kind: pd.Series, w: pd.Series, h: pd.Series,
+                dur: pd.Series) -> pd.Series:
         out = []
-        for m, k, wi, hi in zip(mid, kind, w, h):
+        for m, k, wi, hi, d in zip(mid, kind, w, h, dur):
             if k == "image":
                 out.append(ppm_bytes(int(m), int(wi), int(hi)))
+            elif k == "audio":
+                # 1 kHz sample rate: duration_ms == n_samples, so the
+                # metadata column and the decoded clip length agree
+                out.append(wav_bytes(int(m), int(d), sample_rate=1000))
             else:
                 out.append(f"payload-{int(m)}".encode())
         return pd.Series(out)
 
     return base.select(
         "media_id", "kind",
-        payload("media_id", "kind", "width", "height").alias("payload"),
+        payload("media_id", "kind", "width", "height",
+                "duration_ms").alias("payload"),
         "mime", "width", "height", "duration_ms",
     )
 
@@ -227,6 +293,45 @@ def decode_image(media: DataFrame, fake: bool = False,
             })
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = ("media_id long, n_samples long, sample_rate int, "
+                "mean_amp double, rms double, peak long, zero_crossings long")
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode audio clips (REAL RIFF/WAVE PCM16 parse) → per-clip
+    features via mapInPandas: sample count, mean amplitude, RMS, peak
+    |amplitude|, and zero-crossing count (sign flips between consecutive
+    samples, zero counted as non-negative). Only the seven scalars cross
+    the Arrow boundary back — a 1-hour clip shuffles ~56 bytes. Every
+    feature is exact: samples are int16, so all sums (Σv < 2⁴⁰, Σv² < 2⁴³)
+    are integers exactly representable in float64 regardless of summation
+    order — the DuckDB oracle reproduces them bit-identically."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate, _ = parse_wav(bytes(buf))
+                v = pcm.astype(np.float64).ravel()
+                neg = v < 0
+                recs.append((
+                    int(mid), len(v), rate,
+                    float(v.sum() / len(v)),
+                    float(np.sqrt((v * v).sum() / len(v))),
+                    int(np.abs(pcm.astype(np.int64)).max()),
+                    int(np.count_nonzero(neg[1:] != neg[:-1])),
+                ))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "n_samples", "sample_rate", "mean_amp",
+                "rms", "peak", "zero_crossings"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema=AUDIO_SCHEMA))
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
