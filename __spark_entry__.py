@@ -1126,6 +1126,61 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, rates={"en": 100, "es": 50}, default_rate=10)
 
 
+# PII injected deterministically into the synthetic corpus so the scrub
+# has ground truth; the SAME concat formula runs in Spark SQL and DuckDB
+# (documents.text contains no '@'/'-'/dotted-quad tokens of its own, but
+# both engines count with the same regex either way).
+_PII_INJECT_EXPR = (
+    "concat(text,"
+    " case when doc_id % 7 = 0 then concat(' contact user',"
+    "   cast(doc_id as string), '@mail.example.com now') else '' end,"
+    " case when doc_id % 11 = 0 then concat(' call 555-',"
+    "   lpad(cast(doc_id % 1000 as string), 3, '0'), '-',"
+    "   lpad(cast(doc_id % 10000 as string), 4, '0'), ' today') else '' end,"
+    " case when doc_id % 13 = 0 then concat(' from 10.',"
+    "   cast(doc_id % 256 as string), '.0.',"
+    "   cast((doc_id * 7) % 256 as string), ' logged') else '' end)"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email/phone/IPv4 → placeholder tokens) + per-source
+    redaction audit — the privacy pass every released webtext corpus
+    runs. Three regexp_count + three regexp_replace JVM expressions per
+    row, then one map-side-combinable aggregate; the DuckDB oracle runs
+    the same RE2-compatible patterns."""
+    from zen3geo_spark.operators.curation import pii_scrub
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "source",
+                        f"{_PII_INJECT_EXPR} as text"))
+    scrubbed = pii_scrub(docs, "text")
+    has_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    return (scrubbed.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count(F.when(has_pii, 1)).alias("docs_with_pii"),
+                 F.sum("n_email").alias("n_emails"),
+                 F.sum("n_phone").alias("n_phones"),
+                 F.sum("n_ipv4").alias("n_ips"),
+                 F.sum(F.length("clean_text")).alias("clean_len")))
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain-blocklist pass: broadcast hash join of the pages
+    scan against a (host, category) dimension — no shuffle of the corpus
+    side — then a per-(lang, category) audit rollup (category NULL =
+    page kept)."""
+    from zen3geo_spark.operators.curation import (
+        synth_blocklist, url_blocklist_filter,
+    )
+
+    pages = synth_pages(spark, N_PAGES)
+    tagged = url_blocklist_filter(pages, synth_blocklist(spark))
+    return (tagged.groupBy("lang", "block_category")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("host").alias("n_hosts")))
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 of a fixed term set over the corpus (training-data
     retrieval/filter scorer); df/corpus stats broadcast into the tf
@@ -1276,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_assets": q_binary_assets,
         # --- new this session (r5, late additions) ---
         "audio_stats": q_audio_stats,
+        "pii_redact": q_pii_redact,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -2214,6 +2271,44 @@ def oracle_sql() -> dict[str, str]:
     stratified_sample_sql = stratified_sample_sql_duckdb(
         "documents", rates={"en": 100, "es": 50}, default_rate=10)
 
+    from zen3geo_spark.operators.curation import (
+        pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
+    )
+
+    # same injection formula as q_pii_redact (cast spelled for DuckDB)
+    pii_inject = _PII_INJECT_EXPR.replace("as string", "as varchar")
+    pii_redact_sql = f"""
+    with injected as (
+      select doc_id, source, {pii_inject} as text
+      from documents
+    ),
+    scrubbed as ({pii_scrub_sql_duckdb("injected")})
+    select source,
+           count(*) as n_docs,
+           count(*) filter (where n_email + n_phone + n_ipv4 > 0)
+               as docs_with_pii,
+           sum(n_email) as n_emails,
+           sum(n_phone) as n_phones,
+           sum(n_ipv4) as n_ips,
+           sum(length(clean_text)) as clean_len
+    from scrubbed group by source
+    """
+
+    url_blocklist_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    blocklist as ({synth_blocklist_sql_duckdb()}),
+    tagged as (
+      select p.lang, b.category as block_category,
+             regexp_extract(p.url, '^https?://([^/]+)/', 1) as host
+      from pages p
+      left join blocklist b
+        on regexp_extract(p.url, '^https?://([^/]+)/', 1) = b.host
+    )
+    select lang, block_category, count(*) as n_pages,
+           count(distinct host) as n_hosts
+    from tagged group by lang, block_category
+    """
+
     # stac_asset_engines oracle: regenerate the deterministic sidecar
     # formulas in pure SQL (no file reads) — same pattern as
     # binary_assets below
@@ -2328,6 +2423,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": contamination_sql,
         "dup_spans": dup_spans_sql,
         "stratified_sample": stratified_sample_sql,
+        "pii_redact": pii_redact_sql,
+        "url_blocklist": url_blocklist_sql,
         "hashed_tfidf": hashed_tfidf_sql,
         "url_host_stats": url_host_stats_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,

@@ -100,3 +100,59 @@ def test_sample_hash_matches_duckdb(spark):
         "select id as doc_id, (id * 2654435761 + 12345) % 100 as h "
         "from range(1000) t(id)").fetchall())
     assert got == [(d, int(h)) for d, h in want]
+
+def test_pii_scrub_golden(spark):
+    from zen3geo_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.co.uk end"),
+         (2, "call 555-123-4567 or 12-34"),
+         (3, "host 192.168.0.1 and 1.2.3.4567"),
+         (4, "clean row")],
+        "id long, text string")
+    rows = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["clean_text"] == "mail [EMAIL] end"
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 0, 0)
+    assert rows[2]["clean_text"] == "call [PHONE] or 12-34"
+    # 1.2.3.4567 has no trailing word boundary after a 1-3 digit octet,
+    # so only the well-formed quad is redacted
+    assert rows[3]["clean_text"] == "host [IP] and 1.2.3.4567"
+    assert rows[4]["clean_text"] == "clean row"
+
+
+def test_pii_scrub_matches_duckdb(spark):
+    from zen3geo_spark.operators.curation import pii_scrub, pii_scrub_sql_duckdb
+
+    data = [(1, "a@b.io x 555-000-1111 y 10.0.0.1"),
+            (2, "no pii here"),
+            (3, "two a@b.co c@d.net mails")]
+    df = spark.createDataFrame(data, "id long, text string")
+    got = sorted(tuple(r) for r in pii_scrub(df)
+                 .select("id", "n_email", "n_phone", "n_ipv4", "clean_text")
+                 .collect())
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", data)
+    want = sorted(con.execute(
+        "select id, n_email, n_phone, n_ipv4, clean_text from ("
+        + pii_scrub_sql_duckdb("t") + ")").fetchall())
+    assert got == want
+
+
+def test_url_blocklist_broadcast_plan_and_counts(spark):
+    from zen3geo_spark.operators.curation import (
+        synth_blocklist, url_blocklist_filter,
+    )
+    from zen3geo_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 2000)
+    tagged = url_blocklist_filter(pages, synth_blocklist(spark))
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+    # hosts are id%1000; blocked hosts are k%17==3 -> 59 of 1000, and
+    # with 2000 pages every host carries exactly 2 pages
+    blocked = tagged.filter("block_category is not null")
+    assert blocked.count() == 59 * 2
+    assert tagged.count() == 2000  # left join keeps every page
+    cats = {r["block_category"] for r in blocked.select("block_category").distinct().collect()}
+    assert cats == {"adult", "malware", "gambling"}

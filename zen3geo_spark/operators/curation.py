@@ -247,3 +247,108 @@ select {cols},
 from {rel}
 group by {cols}
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns written to the Java-regex ∩ RE2 common subset (no lookaround,
+# no named groups, ASCII classes) so Spark's regexp_replace/regexp_count
+# and the DuckDB twin execute the SAME automaton. The phone pattern uses
+# '-' separators only, so it can never overlap the dotted-quad pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses in ``text_col`` —
+    the privacy pass every released webtext corpus runs (the C4 /
+    RefinedWeb scrub step). Adds ``n_<kind>`` match counts (taken BEFORE
+    scrubbing) and ``clean_text`` with every match replaced by its
+    placeholder token.
+
+    Whole-stage codegen end-to-end: three ``regexp_count`` + three
+    chained ``regexp_replace`` JVM expressions per row — no Python, no
+    shuffle, embarrassingly parallel at any corpus size, and the counts
+    fold into any downstream map-side aggregate."""
+    out = docs
+    clean = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col),
+                                                         F.lit(pat)))
+        clean = F.regexp_replace(clean, pat, token)
+    return out.withColumn("clean_text", clean)
+
+
+def pii_scrub_sql_duckdb(rel: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_scrub` (RE2 executes the same patterns;
+    counts via regexp_extract_all, scrub via global regexp_replace)."""
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}')) as n_{kind}"
+        for kind, pat, _ in PII_PATTERNS)
+    clean = text_col
+    for _, pat, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    return f"""
+select *,
+       {counts},
+       {clean} as clean_text
+from {rel}
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filter
+# ---------------------------------------------------------------------------
+
+def url_host(url: Column) -> Column:
+    """Host component of an http(s) URL (JVM regexp, shared with the
+    DuckDB twin via the same pattern string)."""
+    return F.regexp_extract(url, r"^https?://([^/]+)/", 1)
+
+
+def url_blocklist_filter(pages: DataFrame, blocklist: DataFrame,
+                         url_col: str = "url") -> DataFrame:
+    """Tag every page with the blocklist category of its URL host (NULL =
+    not blocked) — the UT1-style domain-blocklist pass crawl pipelines
+    run before any text processing. ``blocklist`` is a ``(host,
+    category)`` dimension; blocklists are small by construction (UT1 is
+    ~4M rows ≈ tens of MB), so the join is an explicit broadcast hash
+    join on the extracted host — no shuffle of the corpus side, which is
+    the only plan that survives a 100 TB scan. Filter with
+    ``.where("block_category is null")`` to keep the clean subset
+    (semi-join pushdown applies: the host extract + join key prune to a
+    single-column scan of the dimension)."""
+    return (pages
+            .withColumn("host", url_host(F.col(url_col)))
+            .join(F.broadcast(blocklist.withColumnRenamed(
+                "category", "block_category")),
+                on="host", how="left"))
+
+
+def synth_blocklist(spark, n_hosts: int = 1000, mod: int = 17,
+                    resid: int = 3):
+    """Deterministic blocklist dimension over the synthetic host universe
+    ``example-<k>.test``: every ``mod``-th host is blocked, categories
+    rotate adult/malware/gambling (formula shared with the DuckDB twin)."""
+    return (spark.range(n_hosts)
+            .filter(F.pmod(F.col("id"), F.lit(mod)) == resid)
+            .selectExpr(
+                "concat('example-', cast(id as string), '.test') as host",
+                "case cast(id % 3 as int) when 0 then 'adult' "
+                "when 1 then 'malware' else 'gambling' end as category"))
+
+
+def synth_blocklist_sql_duckdb(n_hosts: int = 1000, mod: int = 17,
+                               resid: int = 3) -> str:
+    """DuckDB twin of :func:`synth_blocklist` (same formulas)."""
+    return f"""
+select concat('example-', cast(id as varchar), '.test') as host,
+       case cast(id % 3 as int) when 0 then 'adult'
+            when 1 then 'malware' else 'gambling' end as category
+from range({n_hosts}) t(id) where id % {mod} = {resid}
+"""
