@@ -1165,6 +1165,53 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("clean_text")).alias("clean_len")))
 
 
+CM_PROBES = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
+             "part", "hash", "merge", "batch", "zzz_never_seen"]
+
+
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4×512, Kirsch–Mitzenmacher double hashing over
+    the shared 40-bit polynomial hashes) built over corpus tokens, then
+    point-queried for a watchlist with the exact count alongside — the
+    sketch cells AND the estimates hash-match the DuckDB twin."""
+    from zen3geo_spark.functions.sketch import (
+        corpus_tokens, count_min_build, count_min_estimate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sketch = count_min_build(docs, depth=4, width=512)
+    probes = spark.createDataFrame([(t,) for t in CM_PROBES],
+                                   "token string")
+    est = count_min_estimate(sketch, probes, depth=4, width=512)
+    exact = (corpus_tokens(docs).filter(F.col("token").isin(CM_PROBES))
+             .groupBy("token").agg(F.count("*").alias("true_cnt")))
+    return (est.join(exact, on="token", how="left")
+            .select("token", "est",
+                    F.coalesce("true_cnt", F.lit(0)).alias("true_cnt")))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (pandas merge_asof / DuckDB ASOF JOIN
+    semantics): every click event picks up the latest prior error event
+    of the same user. Spark has no native as-of; the union-tag +
+    running-last_value decomposition costs ONE shuffle on the key — no
+    range join, no per-key replication (operators/temporal.py). The
+    oracle runs DuckDB's native ASOF LEFT JOIN."""
+    from zen3geo_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value")
+    j = asof_join(clicks, errors, keys=["user_id"])
+    return j.select(
+        "user_id", "event_id", "ts",
+        F.col("event_id_r").alias("err_event_id"),
+        F.col("ts_r").alias("err_ts"),
+        F.col("value_r").alias("err_value"))
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain-blocklist pass: broadcast hash join of the pages
     scan against a (host, category) dimension — no shuffle of the corpus
@@ -1333,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "pii_redact": q_pii_redact,
         "url_blocklist": q_url_blocklist,
+        "count_min": q_count_min,
+        "asof_join": q_asof_join,
     }
 
 
@@ -2294,6 +2343,27 @@ def oracle_sql() -> dict[str, str]:
     from scrubbed group by source
     """
 
+    from zen3geo_spark.functions.sketch import count_min_sql_duckdb
+
+    count_min_sql = count_min_sql_duckdb(
+        "documents", CM_PROBES, depth=4, width=512)
+
+    asof_join_sql = """
+    with clicks as (
+      select user_id, ts, event_id, value from events
+      where event_type = 'click'
+    ),
+    errors as (
+      select user_id, ts, event_id, value from events
+      where event_type = 'error'
+    )
+    select c.user_id, c.event_id, c.ts,
+           e.event_id as err_event_id, e.ts as err_ts,
+           e.value as err_value
+    from clicks c asof left join errors e
+      on c.user_id = e.user_id and c.ts >= e.ts
+    """
+
     url_blocklist_sql = f"""
     with pages as ({pages_cte_sql(N_PAGES)}),
     blocklist as ({synth_blocklist_sql_duckdb()}),
@@ -2425,6 +2495,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
+        "count_min": count_min_sql,
+        "asof_join": asof_join_sql,
         "hashed_tfidf": hashed_tfidf_sql,
         "url_host_stats": url_host_stats_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,

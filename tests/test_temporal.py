@@ -1,0 +1,122 @@
+"""As-of join (operators/temporal.py) and count-min sketch
+(functions/sketch.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from zen3geo_spark.operators.temporal import asof_join
+
+
+def test_asof_join_golden(spark):
+    """Hand-checked backward as-of: equal-ts matches inclusively (>=),
+    no-prior-row → NULLs, per-key isolation."""
+    left = spark.createDataFrame(
+        [(1, 5, "l5"), (1, 10, "l10"), (1, 20, "l20"), (2, 7, "l7")],
+        "k long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 99, "r99")],
+        "k long, ts long, rv string")
+    got = {(r["k"], r["ts"]): (r["rv_r"], r["ts_r"])
+           for r in asof_join(left, right, keys=["k"]).collect()}
+    assert got == {
+        (1, 5): (None, None),        # nothing at or before 5
+        (1, 10): ("r10", 10),        # equal ts matches (>=)
+        (1, 20): ("r15", 15),        # latest prior, not first
+        (2, 7): (None, None),        # key isolation: r99 is later
+    }
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Randomized series vs DuckDB's native ASOF LEFT JOIN."""
+    left = [(i % 7, (i * 37) % 1000, i) for i in range(300)]
+    right = [(i % 7, (i * 53 + 11) % 1000, 1000 + i) for i in range(150)]
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, ts long, rid long")
+    got = sorted(
+        (r["k"], r["ts"], r["lid"], r["rid_r"])
+        for r in asof_join(ldf, rdf, keys=["k"]).collect())
+    con = duckdb.connect()
+    con.execute("create table l (k bigint, ts bigint, lid bigint)")
+    con.execute("create table r (k bigint, ts bigint, rid bigint)")
+    con.executemany("insert into l values (?,?,?)", left)
+    con.executemany("insert into r values (?,?,?)", right)
+    want = sorted(con.execute(
+        "select l.k, l.ts, l.lid, r.rid from l asof left join r "
+        "on l.k = r.k and l.ts >= r.ts").fetchall())
+    assert got == want
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The whole as-of is ONE exchange on the key (union is plan-level;
+    the window sorts in-partition) — no range join, no nested loop."""
+    ldf = spark.range(100).selectExpr("id % 5 as k", "id as ts", "id as lid")
+    rdf = spark.range(50).selectExpr("id % 5 as k", "id * 2 as ts",
+                                     "id as rid")
+    plan = (asof_join(ldf, rdf, keys=["k"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1
+
+
+def test_count_min_properties(spark):
+    """CM guarantees: est ≥ true for every present token, bounded size,
+    unseen tokens estimate 0 (width ≫ distinct vocab here, so the d
+    independent cells can't all collide)."""
+    from zen3geo_spark.functions.sketch import (
+        corpus_tokens, count_min_build, count_min_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(50)],
+        "doc_id long, text string")
+    sketch = count_min_build(docs, depth=4, width=256)
+    cells = sketch.collect()
+    assert len(cells) <= 4 * 256
+    # total per row j == total token count (sketch conserves mass)
+    tot = corpus_tokens(docs).count()
+    per_row = {r["j"]: r["s"] for r in
+               sketch.groupBy("j").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {j: tot for j in range(4)}
+
+    probes = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("zzz_unseen",)], "token string")
+    est = {r["token"]: r["est"] for r in
+           count_min_estimate(sketch, probes, depth=4, width=256).collect()}
+    true = {r["token"]: r["cnt"] for r in
+            corpus_tokens(docs).groupBy("token")
+            .agg(F.count("*").alias("cnt")).collect()}
+    assert est["alpha"] >= true["alpha"]
+    assert est["gamma"] >= true["gamma"]
+    assert est["zzz_unseen"] == 0
+    # 3 distinct tokens in 256 buckets: no collisions, estimates exact
+    assert est["alpha"] == true["alpha"]
+    assert est["gamma"] == true["gamma"]
+
+
+def test_count_min_cells_match_duckdb(spark):
+    """The sketch GRID itself (not just estimates) is engine-portable:
+    every (j, bucket, cnt) cell hash-matches the DuckDB build."""
+    from zen3geo_spark.functions.sketch import count_min_build
+
+    rows = [(i, f"tok{i % 11} tok{i % 7} shared") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 count_min_build(docs, depth=3, width=64).collect())
+    con = duckdb.connect()
+    con.execute("create table d (doc_id bigint, text varchar)")
+    con.executemany("insert into d values (?,?)", rows)
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb
+    h1, h2 = hash40_sql_duckdb("token", 1), hash40_sql_duckdb("token", 2)
+    want = sorted(con.execute(f"""
+        with toks as (select unnest(string_split(lower(text), ' ')) as token
+                      from d),
+        hashed as (select {h1} as h1, {h2} as h2 from toks
+                   where token <> ''),
+        cells as (select j, (h1 + j * h2) % 64 as bucket
+                  from hashed,
+                       (select unnest(generate_series(0, 2)) as j))
+        select j, bucket, count(*) from cells group by j, bucket
+    """).fetchall())
+    assert got == want

@@ -1,0 +1,140 @@
+"""Count-min sketch over corpus tokens — the streaming heavy-hitter /
+frequency-estimation sketch (Cormode & Muthukrishnan 2005).
+
+A 100 TB pipeline can't afford an exact per-token groupBy when it only
+needs approximate frequencies for a watchlist (spam markers, benchmark
+leak phrases, vocabulary pruning thresholds): the sketch is a fixed
+``d × w`` integer grid regardless of corpus size. Build = explode tokens
+× d rows → hash-bucket → one map-side-combinable groupBy producing at
+most d·w cells (the ONLY shuffle, bounded by the sketch size, not the
+data). Estimate = min over the d cells a token hashes to, upper-bounded
+by true_count + εN with ε = e/w at failure probability e^-d.
+
+Determinism: bucket hashes use Kirsch–Mitzenmacher double hashing
+``(h1 + j·h2) mod w`` over the two shared 40-bit polynomial hashes
+(``dedup.gram_hash40``), so DuckDB reproduces every cell exactly —
+the sketch itself value-hash-matches cross-engine, not just the
+estimates. All arithmetic stays < 2^42, int64-safe on every engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zen3geo_spark.operators.dedup import (
+    _POWS1_NP, _POWS2_NP, _poly_hash_batch, gram_hash40, hash40_sql_duckdb,
+)
+
+
+def corpus_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per token occurrence (lowercased, single-space split — the
+    corpus tokenization shared across text.py/dedup.py/curation.py)."""
+    return docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def cm_bucket(token: Column, j: Column | int, width: int) -> Column:
+    """Row-``j`` bucket of ``token``: (h1 + j·h2) mod width."""
+    jj = F.lit(j) if isinstance(j, int) else j
+    return F.pmod(gram_hash40(token, 1) + jj * gram_hash40(token, 2),
+                  F.lit(width))
+
+
+def count_min_build(docs: DataFrame, depth: int = 4, width: int = 512,
+                    text_col: str = "text") -> DataFrame:
+    """Build the sketch: DataFrame (j, bucket, cnt), ≤ depth·width rows.
+
+    Each partition accumulates its ENTIRE token stream into one local
+    d×w grid inside a single mapInPandas pass (vectorized
+    ``_poly_hash_batch`` over the batch-distinct tokens — token
+    vocabularies repeat heavily, so each distinct string hashes once per
+    batch), then emits only the nonzero cells. The final groupBy sums
+    per-partition grids, so the one shuffle moves O(partitions · d · w)
+    rows — independent of corpus size. This is the same partial-combine
+    shape a JVM TypedImperativeAggregate would produce, at Arrow speed."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            toks: list[str] = []
+            for t in pdf[text_col]:
+                if t:
+                    toks.extend(w for w in t.lower().split(" ") if w)
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object),
+                                     return_counts=True)
+            h1 = _poly_hash_batch(list(uniq), _POWS1_NP)
+            h2 = _poly_hash_batch(list(uniq), _POWS2_NP)
+            for j in range(depth):
+                np.add.at(grid[j], (h1 + j * h2) % width, counts)
+        jj, bb = np.nonzero(grid)
+        yield pd.DataFrame({"j": jj.astype(np.int32), "bucket": bb,
+                            "cnt": grid[jj, bb]})
+
+    partials = docs.select(text_col).mapInPandas(
+        partial, schema="j int, bucket long, cnt long")
+    return partials.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(sketch: DataFrame, probes: DataFrame,
+                       depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-query the sketch for every row of ``probes`` (column
+    ``token``): est = min_j sketch[j][bucket_j(token)]. The sketch is
+    ≤ d·w rows by construction, so it broadcasts into the probe side —
+    no corpus access at query time at all. An absent (j, bucket) cell
+    means zero hits there, hence the left join + coalesce(cnt, 0): a
+    never-seen token estimates 0 unless every one of its d cells
+    collides."""
+    keyed = probes.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).select("token", "j", cm_bucket(F.col("token"), F.col("j"), width)
+             .alias("bucket"))
+    return (keyed.join(F.broadcast(sketch), on=["j", "bucket"], how="left")
+            .groupBy("token")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+def count_min_sql_duckdb(rel: str, probe_tokens: list[str],
+                         depth: int = 4, width: int = 512,
+                         text_col: str = "text") -> str:
+    """DuckDB twin: same tokenization, same double-hash buckets, same
+    build + min-estimate, plus the exact count per probe so the query
+    doubles as its own accuracy audit."""
+    probes = ", ".join(f"('{t}')" for t in probe_tokens)
+    h1 = hash40_sql_duckdb("token", 1)
+    h2 = hash40_sql_duckdb("token", 2)
+    return f"""
+with toks as (
+  select unnest(string_split(lower({text_col}), ' ')) as token from {rel}
+),
+toks_nz as (select token from toks where token <> ''),
+hashed as (select token, {h1} as h1, {h2} as h2 from toks_nz),
+cells as (
+  select j, (h1 + j * h2) % {width} as bucket
+  from hashed, (select unnest(generate_series(0, {depth - 1})) as j)
+),
+sketch as (select j, bucket, count(*) as cnt from cells group by j, bucket),
+probes as (select token from (values {probes}) v(token)),
+probe_cells as (
+  select token, j, ({h1} + j * {h2}) % {width} as bucket
+  from probes, (select unnest(generate_series(0, {depth - 1})) as j)
+),
+est as (
+  select token, min(coalesce(cnt, 0)) as est
+  from probe_cells pc left join sketch s using (j, bucket)
+  group by token
+),
+exact as (
+  select token, count(*) as true_cnt from toks_nz group by token
+)
+select e.token, e.est, coalesce(x.true_cnt, 0) as true_cnt
+from est e left join exact x using (token)
+"""
