@@ -1212,6 +1212,20 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_r").alias("err_value"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the synthetic host link graph
+    (5 damped supersteps, 10^9 rank mass, floor division throughout) —
+    every sum is an exact int64, so the distributed partial aggregates
+    and the DuckDB unrolled-CTE twin agree bit-for-bit; per-round
+    localCheckpoint keeps the final plan O(1) like connected_components."""
+    from zen3geo_spark.operators.linkgraph import (
+        pagerank_fixed_point, synth_host_edges,
+    )
+
+    edges = synth_host_edges(spark, n_hosts=1000)
+    return pagerank_fixed_point(edges, n_nodes=1000, iters=5)
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain-blocklist pass: broadcast hash join of the pages
     scan against a (host, category) dimension — no shuffle of the corpus
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "count_min": q_count_min,
         "asof_join": q_asof_join,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2348,6 +2363,10 @@ def oracle_sql() -> dict[str, str]:
     count_min_sql = count_min_sql_duckdb(
         "documents", CM_PROBES, depth=4, width=512)
 
+    from zen3geo_spark.operators.linkgraph import pagerank_sql_duckdb
+
+    pagerank_sql = pagerank_sql_duckdb(n_hosts=1000, iters=5)
+
     asof_join_sql = """
     with clicks as (
       select user_id, ts, event_id, value from events
@@ -2497,6 +2516,7 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
         "asof_join": asof_join_sql,
+        "pagerank": pagerank_sql,
         "hashed_tfidf": hashed_tfidf_sql,
         "url_host_stats": url_host_stats_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
