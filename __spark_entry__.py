@@ -1212,6 +1212,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_r").alias("err_value"))
 
 
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget rollup with BOTH token estimators: the
+    whitespace count and the GPT-2-ish subword pre-tokenizer count
+    (contraction splits / letter runs / digit runs / single punctuation)
+    — pure JVM regexp_extract_all, one map-side-combinable aggregate."""
+    from zen3geo_spark.functions.text import subword_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select("lang",
+                        token_count(F.col("text")).alias("_ws"),
+                        subword_count(F.col("text")).alias("_sw"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_ws").alias("ws_tokens"),
+                 F.sum("_sw").alias("subword_tokens")))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier inference over hashing-trick
+    bag-of-words features (integer weights ⇒ exact margins in both
+    engines); the corpus-wide quality/spam gate."""
+    from zen3geo_spark.functions.text import linear_classifier_margin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return linear_classifier_margin(docs, dim=256)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank over the synthetic host link graph
     (5 damped supersteps, 10^9 rank mass, floor division throughout) —
@@ -1397,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min": q_count_min,
         "asof_join": q_asof_join,
         "pagerank": q_pagerank,
+        "subword_tokens": q_subword_tokens,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -2367,6 +2396,20 @@ def oracle_sql() -> dict[str, str]:
 
     pagerank_sql = pagerank_sql_duckdb(n_hosts=1000, iters=5)
 
+    from zen3geo_spark.functions.text import (
+        linear_classifier_sql_duckdb, subword_count_sql_duckdb,
+    )
+
+    subword_tokens_sql = f"""
+    select lang, count(*) as n_docs,
+           sum({token_count_sql('text', 'duckdb')}) as ws_tokens,
+           sum({subword_count_sql_duckdb('text')}) as subword_tokens
+    from documents group by lang
+    """
+
+    quality_classifier_sql = linear_classifier_sql_duckdb(
+        "documents", dim=256)
+
     asof_join_sql = """
     with clicks as (
       select user_id, ts, event_id, value from events
@@ -2517,6 +2560,8 @@ def oracle_sql() -> dict[str, str]:
         "count_min": count_min_sql,
         "asof_join": asof_join_sql,
         "pagerank": pagerank_sql,
+        "subword_tokens": subword_tokens_sql,
+        "quality_classifier": quality_classifier_sql,
         "hashed_tfidf": hashed_tfidf_sql,
         "url_host_stats": url_host_stats_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,

@@ -390,3 +390,63 @@ def test_hashed_tfidf_semantics(spark):
     for r in rows:
         per_doc[r["doc"]] = per_doc.get(r["doc"], 0.0) + r["w"]
     assert per_doc[2] > per_doc[0]  # 'unique' carries higher idf
+
+
+def test_subword_count_golden_and_cross_engine(spark):
+    """GPT-2-ish pre-tokenizer: contraction splits, letter/digit runs,
+    single punctuation; identical match stream in Java regex and RE2."""
+    import duckdb as _dd
+
+    from zen3geo_spark.functions.text import (
+        subword_count, subword_count_sql_duckdb,
+    )
+
+    cases = [
+        (1, "don't stop"),            # don + 't + stop = 3
+        (2, "it's 2024, v2!"),        # it + 's + 2024 + , + v + 2 + ! = 7
+        (3, "we'll we've we're"),     # 3 * 2 = 6
+        (4, ""),                      # 0
+        (5, "a'q"),                   # a + ' + q = 3 (not a contraction)
+    ]
+    df = spark.createDataFrame(cases, "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", subword_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 3, 2: 7, 3: 6, 4: 0, 5: 3}
+    con = _dd.connect()
+    con.execute("create table t (id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", cases)
+    want = dict(con.execute(
+        f"select id, {subword_count_sql_duckdb('text')} from t").fetchall())
+    assert got == want
+
+
+def test_linear_classifier_exact_margins(spark):
+    """Integer margins match a pure-Python recompute (same hash, same
+    weight formula) and the DuckDB twin."""
+    import duckdb as _dd
+
+    from zen3geo_spark.functions.text import (
+        _CLS_A, _CLS_B, _CLS_MOD, _CLS_OFF, linear_classifier_margin,
+        linear_classifier_sql_duckdb,
+    )
+    from zen3geo_spark.operators.dedup import _POWS1_NP, _poly_hash_batch
+
+    rows = [(i, f"alpha beta{i % 4} gamma gamma x{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: (r["margin"], r["label"])
+           for r in linear_classifier_margin(docs, dim=32).collect()}
+
+    def w(tok):
+        b = int(_poly_hash_batch([tok], _POWS1_NP)[0]) % 32
+        return (b * _CLS_A + _CLS_B) % _CLS_MOD - _CLS_OFF
+
+    for doc_id, text in rows:
+        m = sum(w(t) for t in text.lower().split())
+        assert got[doc_id] == (m, m > 0)
+
+    con = _dd.connect()
+    con.execute("create table d (doc_id bigint, text varchar)")
+    con.executemany("insert into d values (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        linear_classifier_sql_duckdb("d", dim=32)).fetchall()}
+    assert got == want

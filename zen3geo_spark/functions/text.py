@@ -27,6 +27,12 @@ STOPWORDS = {
 # single punctuation marks.
 TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
+# GPT-2-style pre-tokenizer approximation (contraction suffixes split
+# off, letter runs, digit runs, single punctuation) — written to the
+# Java-regex ∩ RE2 common subset; both engines use leftmost-first
+# alternation, so the token streams are identical.
+SUBWORD_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (0 for empty)."""
@@ -46,6 +52,21 @@ def token_count_sql(col: str, engine: str) -> str:
         f"case when length({t}) = 0 then 0 else "
         f"len(regexp_split_to_array({t}, '\\s+')) end"
     )
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish subword token count (``SUBWORD_PATTERN`` matches): the
+    cheap LLM-token estimator pipelines use for per-doc token budgeting
+    when the real tokenizer is too expensive to run corpus-wide. Pure
+    JVM ``regexp_extract_all`` — no Python."""
+    return F.size(F.regexp_extract_all(text, F.lit(SUBWORD_PATTERN), 0))
+
+
+def subword_count_sql_duckdb(col: str) -> str:
+    """DuckDB twin (RE2 runs the same pattern; inner quotes doubled for
+    the SQL literal)."""
+    pat = SUBWORD_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
 
 
 def quality_score(text: Column) -> Column:
@@ -369,4 +390,84 @@ def hashed_tfidf_sql_duckdb(rel: str, dim: int = 64, id_col: str = "doc_id",
            round(sum(tf.tf * (ln((nd.n_docs + 1.0) / (v.df + 1.0)) + 1.0)), 6) as w
     from tf join vocab v using (tok), nd
     group by tf.doc, v.bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick linear classifier (fastText-style inference)
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in for a trained weight vector: bucket b carries
+# integer weight ((b·1103515245 + 12345) mod 1001) − 500 ∈ [−500, 500].
+# A real deployment broadcasts trained weights from a model file; the
+# Spark-side plumbing (vocab-only hashing, weight lookup as a join,
+# integer margin accumulation) is identical either way.
+_CLS_A, _CLS_B, _CLS_MOD, _CLS_OFF = 1103515245, 12345, 1001, 500
+
+
+def classifier_weight_sql(bucket: str) -> str:
+    """Engine-neutral integer weight expression for a bucket column."""
+    return f"(({bucket} * {_CLS_A} + {_CLS_B}) % {_CLS_MOD} - {_CLS_OFF})"
+
+
+def linear_classifier_margin(docs, dim: int = 256, text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """fastText-style linear classifier inference over hashing-trick
+    bag-of-words features: margin(doc) = Σ_tok tf(doc, tok) ·
+    w[h(tok) mod dim], label = margin > 0 — the quality/spam gate
+    pipelines run corpus-wide before training.
+
+    Everything is INTEGER (tf counts × integer weights), so the margin
+    is exact in both engines regardless of aggregation order. Scale
+    shape mirrors ``hashed_tfidf``: tokens explode once in the JVM, the
+    Python hash kernel touches only the DISTINCT vocabulary, and the
+    weight "vector" needs no materialization at all — it is an
+    arithmetic expression over the bucket id."""
+
+    @F.pandas_udf("long")
+    def h40(tok: pd.Series) -> pd.Series:
+        from zen3geo_spark.operators.dedup import _POWS1_NP, _poly_hash_batch
+
+        return pd.Series(_poly_hash_batch(
+            [t if isinstance(t, str) else "" for t in tok], _POWS1_NP))
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("tok"))
+    tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("tf"))
+    vocab = (tf.select("tok").distinct()
+             .select("tok", F.pmod(h40(F.col("tok")), F.lit(dim))
+                     .alias("bucket")))
+    return (tf.join(vocab, "tok")
+            .select("doc", (F.col("tf")
+                            * F.expr(classifier_weight_sql("bucket")))
+                    .alias("_m"))
+            .groupBy("doc").agg(F.sum("_m").alias("margin"))
+            .select("doc", "margin",
+                    (F.col("margin") > 0).alias("label")))
+
+
+def linear_classifier_sql_duckdb(rel: str, dim: int = 256,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """DuckDB twin of :func:`linear_classifier_margin` (same hash, same
+    weight formula, same integer margin)."""
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb
+
+    return f"""
+    with toks as (
+      select {id_col} as doc,
+             unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) as tok
+      from {rel}
+    ),
+    tf as (select doc, tok, count(*) as tf from toks group by doc, tok),
+    vocab as (select tok, ({hash40_sql_duckdb('tok', 1)}) % {dim} as bucket
+              from (select distinct tok from tf)),
+    m as (
+      select tf.doc, sum(tf.tf * {classifier_weight_sql('v.bucket')}) as margin
+      from tf join vocab v using (tok)
+      group by tf.doc
+    )
+    select doc, margin, margin > 0 as label from m
     """
