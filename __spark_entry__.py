@@ -545,6 +545,20 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(q, emb, k=3).select("query_id", "target_id", "rk")
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized coarse ANN pass: scalar-quantize (floor(v·2^8),
+    clamped) then rank by exact integer dot product — 4× less scan/
+    shuffle than float32 at 100 TB, and bit-reproducible on any cluster
+    size because scores are int64, not floats."""
+    from zen3geo_spark.operators.similarity import int8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return int8_topk(q, emb, k=3)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(
@@ -1426,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "subword_tokens": q_subword_tokens,
         "quality_classifier": q_quality_classifier,
+        "ann_int8": q_ann_int8,
     }
 
 
@@ -1967,6 +1982,33 @@ def oracle_sql() -> dict[str, str]:
       from pairs
     )
     select query_id, target_id, rk from ranked where rk <= 3
+    """
+
+    # int8 quantization twin: q_i = clamp(floor(double(v_i)·256),−128,127);
+    # ×2^8 is FP-exact and floor is deterministic, so the integer dots
+    # match Spark bit-for-bit (similarity.py quantize_int8/int8_dot)
+    ann_int8_sql = """
+    with d as (
+      select vec_id,
+             list_transform(embedding,
+               v -> cast(greatest(-128, least(127,
+                    floor(cast(v as double) * 256))) as bigint)) as qv
+      from embeddings
+    ),
+    q as (select vec_id as query_id, qv from d where vec_id < 5),
+    pairs as (
+      select q.query_id, t.vec_id as target_id,
+             list_sum(list_transform(generate_series(1, len(q.qv)),
+                      i -> q.qv[i] * t.qv[i])) as dot_q
+      from q, d t
+    ),
+    ranked as (
+      select query_id, target_id, dot_q,
+             row_number() over (partition by query_id
+                                order by dot_q desc, target_id asc) as rk
+      from pairs
+    )
+    select query_id, target_id, dot_q, rk from ranked where rk <= 3
     """
 
     tq = (
@@ -2562,6 +2604,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_sql,
         "subword_tokens": subword_tokens_sql,
         "quality_classifier": quality_classifier_sql,
+        "ann_int8": ann_int8_sql,
         "hashed_tfidf": hashed_tfidf_sql,
         "url_host_stats": url_host_stats_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,

@@ -136,3 +136,59 @@ def test_ann_ivf_trained_centroids_recall_not_worse(spark):
     recall = len(exact & trained) / len(exact)
     assert recall >= 0.8
     assert run(2) == trained  # deterministic training
+
+
+def test_int8_quantization_golden(spark):
+    """Floor semantics (toward −inf for negatives), clamping at ±extremes,
+    and exact integer dots vs a NumPy recompute."""
+    import numpy as np
+
+    from zen3geo_spark.operators.similarity import int8_topk, quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.5, 0.999, -0.999, 0.0, 0.001953125])],
+        "vec_id long, embedding array<float>")
+    q = df.select(quantize_int8(F.col("embedding")).alias("q")).head()["q"]
+    # 0.5*256=128 clamps to 127; -0.5*256=-128 stays; floor(-255.744)=-256
+    # clamps to -128; 0.001953125 = 2^-9 -> floor(0.5) = 0
+    assert q == [127, -128, 127, -128, 0, 0]
+
+    rng = np.random.RandomState(7)
+    vecs = (rng.rand(40, 16).astype(np.float32) - 0.5)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r["query_id"], r["target_id"]): r["dot_q"]
+           for r in int8_topk(queries, emb, k=40).collect()}
+    qz = np.clip(np.floor(vecs.astype(np.float64) * 256), -128, 127
+                 ).astype(np.int64)
+    for qi in range(3):
+        for ti in range(40):
+            assert got[(qi, ti)] == int(qz[qi] @ qz[ti])
+
+
+def test_int8_topk_agrees_with_float_bruteforce(spark):
+    """Coarse-pass sanity: on unit-ish random vectors the int8 top-1 by
+    dot equals the float top-1 by cosine for most queries (quantization
+    at 1/256 resolution over 64 dims barely perturbs the ranking)."""
+    import numpy as np
+
+    from zen3geo_spark.operators.similarity import (
+        cosine_topk_bruteforce, int8_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 64).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs *= 0.4  # keep inside the no-clamp range, like the fixture table
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    i8 = {r["query_id"]: r["target_id"]
+          for r in int8_topk(queries, emb, k=1).collect()}
+    fl = {r["query_id"]: r["target_id"]
+          for r in cosine_topk_bruteforce(queries, emb, k=1).collect()}
+    agree = sum(i8[q] == fl[q] for q in i8)
+    assert agree >= 7  # at most one boundary flip in 8
