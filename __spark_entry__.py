@@ -1374,6 +1374,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "dup_spans": q_dup_spans,
         "stratified_sample": q_stratified_sample,
+        # --- new this round (r5, late additions — kept inside the
+        #     driver's correctness window so each gets a first check) ---
+        "audio_stats": q_audio_stats,
+        "pii_redact": q_pii_redact,
+        "url_blocklist": q_url_blocklist,
+        "count_min": q_count_min,
+        "asof_join": q_asof_join,
+        "pagerank": q_pagerank,
+        "subword_tokens": q_subword_tokens,
+        "quality_classifier": q_quality_classifier,
+        "ann_int8": q_ann_int8,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -1431,16 +1442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forked_stats": q_forked_stats,
         "image_stats": q_image_stats,
         "binary_assets": q_binary_assets,
-        # --- new this session (r5, late additions) ---
-        "audio_stats": q_audio_stats,
-        "pii_redact": q_pii_redact,
-        "url_blocklist": q_url_blocklist,
-        "count_min": q_count_min,
-        "asof_join": q_asof_join,
-        "pagerank": q_pagerank,
-        "subword_tokens": q_subword_tokens,
-        "quality_classifier": q_quality_classifier,
-        "ann_int8": q_ann_int8,
     }
 
 
