@@ -34,6 +34,26 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6400000"))
 
 
+# Quiet-window wall of the pure-JVM calibration sweep below, measured
+# best-of-4 on this sandbox (steady 0.56-0.63 s; the r5 flagship A/B's
+# per-child probe medians were 0.61-0.70 s).  host_probe.window_eff =
+# reference / observed is a dimensionless "how much CPU did the host
+# actually deliver during this bench window" — the r3/r4 driver-record
+# per-query walls were poisoned by exactly this (same-session ceilings
+# 0.38-0.78), so the bench JSON now carries its own evidence.
+REFERENCE_PROBE_SEC = 0.56
+
+
+def host_ceiling_probe(spark) -> float:
+    """Pure-JVM xxhash64 sweep (no Python, no shuffle, no disk): times
+    raw delivered CPU for this window. Same sweep the scaling harness
+    uses for its per-round calibration ceiling."""
+    t0 = time.time()
+    spark.sql("select max(xxhash64(id)) from "
+              f"range(0, 2000000000, 1, {CPUS * 8})").collect()
+    return round(time.time() - t0, 3)
+
+
 def warm_python_workers(spark) -> None:
     """Spawn the per-core Python UDF workers before timing: worker fork
     cost scales with core count and would otherwise bias short jobs
@@ -207,6 +227,8 @@ def main() -> None:
     # plan, not process startup
     spark.range(1000).count()
     warm_python_workers(spark)
+    host_ceiling_probe(spark)  # warm the sweep's codegen before timing it
+    probe_pre = host_ceiling_probe(spark)
 
     # headline queries first (fresh JVM, no flagship heap pressure) …
     qtimes = run_queries(spark, SF_DIR)
@@ -230,6 +252,7 @@ def main() -> None:
     pages_per_sec = n_pages / flagship_sec
 
     qtimes["flagship_pages_pipeline"] = round(flagship_sec, 3)
+    probe_post = host_ceiling_probe(spark)
     failed = sorted(n for n, t in qtimes.items() if t < 0)
     total = round(sum(t for t in qtimes.values() if t >= 0), 3)
     spark.stop()
@@ -244,6 +267,18 @@ def main() -> None:
         "flagship_runs": flagship_runs,
         "n_pages": n_pages,
         "cpus": CPUS,
+        # window-quality evidence: pure-JVM sweep wall before the query
+        # sweep and after the flagship, vs the documented quiet-window
+        # reference. window_eff << 1.0 means the host was contended and
+        # the per-query walls above overstate the engine's cost.
+        "host_probe": {
+            "pre_sec": probe_pre,
+            "post_sec": probe_post,
+            "reference_sec": REFERENCE_PROBE_SEC,
+            "window_eff": round(
+                REFERENCE_PROBE_SEC / max(min(probe_pre, probe_post), 1e-9),
+                3),
+        },
     }
     if failed:
         out["failed_queries"] = failed
