@@ -64,6 +64,10 @@ from zen3geo_spark.sources.fixtures import (
     GEOM_SCHEMA, canvas_rasterize, datacube_for_mosaic, geometries_datashader,
     raster_grid, scenes_meta, stac_items, with_bbox,
 )
+from zen3geo_spark.functions.web import (
+    canonical_url, canonical_url_sql, html_to_text, html_to_text_sql,
+    messy_url_sql,
+)
 from zen3geo_spark.sources.pages import pages_cte_sql, synth_pages
 from zen3geo_spark.streaming.windows import session_stats, tumbling_event_stats
 
@@ -175,6 +179,98 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("lang").alias("n_langs"),
                  F.min("warc_ts").alias("first_ts"),
                  F.max("warc_ts").alias("last_ts")))
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the ``html`` binary column, strip markup JVM-side, and pin
+    the input contract's per-row invariant (BASELINE.json ``input_hint``:
+    byte-identical extracted text per url): per lang, how many pages'
+    extracted text equals the ``text`` column byte-for-byte, plus the
+    summed extracted length. On the synthetic corpus every page must
+    match — the oracle hash locks that at 100%.
+
+    Scale shape: one scan, all whole-stage codegen (decode +
+    regexp_replace + comparison), one docs-sized map-side-combinable
+    aggregate on a 5-value key."""
+    pages = synth_pages(spark, N_PAGES)
+    extracted = html_to_text(F.col("html"))
+    return (pages
+            .select("lang",
+                    (extracted == F.col("text")).alias("_ok"),
+                    F.length(extracted).alias("_len"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.when(F.col("_ok"), 1).otherwise(0))
+                  .alias("n_byte_identical"),
+                 F.sum("_len").alias("sum_extracted_len")))
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization as crawl dedup uses it: two deterministic
+    re-spellings of every page URL (case/port/tracking-param/fragment/
+    param-order noise, built from the shared ``messy_url_sql`` template)
+    must collapse to ONE canonical URL each. Per host: canonical count,
+    total variants seen, and how many canonicals collapsed a full pair —
+    the invariant n_collapsed_pairs == n_canonical is visible in the
+    hash.
+
+    Scale shape: union of two projections of one scan → pure-JVM
+    canonicalize (string ops + a bounded array_sort of the per-URL param
+    list) → group-by canonical (unique-ish key, no skew) → host rollup
+    (map-side combinable, 1000 hosts)."""
+    base = synth_pages(spark, N_PAGES).selectExpr(
+        "url",
+        "cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as _pid")
+    messy = (
+        base.selectExpr(f"{messy_url_sql('url', '_pid', 0, 'spark')} as messy")
+        .unionAll(
+            base.selectExpr(f"{messy_url_sql('url', '_pid', 1, 'spark')} as messy"))
+    )
+    per_canon = (messy
+                 .select(canonical_url(F.col("messy")).alias("curl"))
+                 .groupBy("curl")
+                 .agg(F.count("*").alias("_nv")))
+    host = F.regexp_extract("curl", r"^https://([^/?#]+)", 1)
+    return (per_canon
+            .select(host.alias("host"), "_nv")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_canonical"),
+                 F.sum("_nv").alias("n_variants"),
+                 F.sum(F.when(F.col("_nv") == 2, 1).otherwise(0))
+                  .alias("n_collapsed_pairs")))
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff: two overlapping snapshots of the pages table
+    (snapshot A = ids [0, N), snapshot B = ids [N/5, 6N/5)) full-outer
+    joined on url → per host, how many URLs are new in B, gone from A,
+    and kept. The recrawl bookkeeping every snapshot-oriented crawl
+    pipeline runs.
+
+    Scale shape: url-keyed equi-join between two snapshot scans — urls
+    are unique per snapshot so the join key is skew-free and the join is
+    a plain shuffle-hash/sort-merge that AQE sizes; at 10^12 rows both
+    snapshot tables would be bucketed by url to make it co-located. The
+    host rollup is map-side combinable (1000 hosts)."""
+    n2 = N_PAGES * 6 // 5
+    lo = N_PAGES // 5
+    allp = synth_pages(spark, n2).selectExpr(
+        "url",
+        "regexp_extract(url, '^https?://([^/]+)/', 1) as host",
+        "cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as _pid")
+    snap_a = (allp.filter(F.col("_pid") < N_PAGES)
+              .select("url", F.col("host").alias("host_a")))
+    snap_b = (allp.filter(F.col("_pid") >= lo)
+              .select("url", F.col("host").alias("host_b")))
+    j = snap_a.join(snap_b, "url", "full_outer")
+    return (j.select(F.coalesce("host_a", "host_b").alias("host"),
+                     F.col("host_a").isNull().cast("int").alias("_new"),
+                     F.col("host_b").isNull().cast("int").alias("_gone"))
+            .groupBy("host")
+            .agg(F.sum("_new").alias("n_new"),
+                 F.sum("_gone").alias("n_gone"),
+                 F.sum(F.when((F.col("_new") == 0) & (F.col("_gone") == 0), 1)
+                       .otherwise(0)).alias("n_kept")))
 
 
 def q_pages_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,6 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_tokens": q_subword_tokens,
         "quality_classifier": q_quality_classifier,
         "ann_int8": q_ann_int8,
+        "html_extract": q_html_extract,
+        "url_canonical": q_url_canonical,
+        "crawl_delta": q_crawl_delta,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2392,6 +2491,55 @@ def oracle_sql() -> dict[str, str]:
            min(warc_ts) as first_ts, max(warc_ts) as last_ts
     from pages group by host
     """
+    _extract = html_to_text_sql("html", "duckdb")
+    html_extract_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)})
+    select lang, count(*) as n_pages,
+           sum(case when {_extract} = text then 1 else 0 end)
+               as n_byte_identical,
+           sum(length({_extract})) as sum_extracted_len
+    from pages group by lang
+    """
+
+    _canon = canonical_url_sql("messy", "duckdb")
+    url_canonical_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    base as (select url,
+                    cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint)
+                        as _pid
+             from pages),
+    messy as (
+      select {messy_url_sql('url', '_pid', 0, 'duckdb')} as messy from base
+      union all
+      select {messy_url_sql('url', '_pid', 1, 'duckdb')} as messy from base
+    ),
+    per_canon as (select {_canon} as curl, count(*) as _nv
+                  from messy group by 1)
+    select regexp_extract(curl, '^https://([^/?#]+)', 1) as host,
+           count(*) as n_canonical,
+           sum(_nv) as n_variants,
+           sum(case when _nv = 2 then 1 else 0 end) as n_collapsed_pairs
+    from per_canon group by host
+    """
+
+    crawl_delta_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES * 6 // 5)}),
+    allp as (select url,
+                    regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+                    cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint)
+                        as _pid
+             from pages),
+    a as (select url, host as host_a from allp where _pid < {N_PAGES}),
+    b as (select url, host as host_b from allp where _pid >= {N_PAGES // 5}),
+    j as (select coalesce(a.host_a, b.host_b) as host,
+                 case when a.host_a is null then 1 else 0 end as _new,
+                 case when b.host_b is null then 1 else 0 end as _gone
+          from a full outer join b on a.url = b.url)
+    select host, sum(_new) as n_new, sum(_gone) as n_gone,
+           sum(case when _new = 0 and _gone = 0 then 1 else 0 end) as n_kept
+    from j group by host
+    """
+
     gopher_repetition_sql = ngram_repetition_sql_duckdb("documents")
     bm25_scores_sql = bm25_sql_duckdb(
         "documents", ["spark", "table", "window"])
@@ -2608,6 +2756,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8": ann_int8_sql,
         "hashed_tfidf": hashed_tfidf_sql,
         "url_host_stats": url_host_stats_sql,
+        "html_extract": html_extract_sql,
+        "url_canonical": url_canonical_sql,
+        "crawl_delta": crawl_delta_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,

@@ -1,0 +1,65 @@
+"""Web-pipeline functions: HTML→text byte identity, URL canonicalization,
+crawl-snapshot deltas."""
+
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.web import canonical_url, html_to_text
+from zen3geo_spark.sources.pages import synth_pages
+
+
+def test_html_extract_byte_identical_for_every_page(spark):
+    # the input contract's per-row invariant: tag-stripped html == text,
+    # byte for byte, per url (BASELINE.json input_hint)
+    pages = synth_pages(spark, 2000)
+    bad = pages.filter(html_to_text(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+
+
+def test_html_extract_is_not_vacuous(spark):
+    # the wrapper really is present in the binary column — raw decode
+    # must NOT equal text, only the stripped form may
+    pages = synth_pages(spark, 100)
+    raw_eq = pages.filter(
+        F.decode(F.col("html"), "UTF-8") == F.col("text")).count()
+    assert raw_eq == 0
+
+
+CANON_CASES = [
+    # (input, canonical)
+    ("https://Example.COM:443/a/b?utm_source=x&b=2&a=1#frag",
+     "https://example.com/a/b?a=1&b=2"),
+    ("http://h.test:80/p", "http://h.test/p"),
+    ("https://h.test:8443/p", "https://h.test:8443/p"),  # non-default port kept
+    ("http://h.test:443/p", "http://h.test:443/p"),      # 443 not http's default
+    ("https://h.test/p?utm_campaign=c&utm_medium=m", "https://h.test/p"),
+    ("https://h.test/p?z=1&a=2", "https://h.test/p?a=2&z=1"),
+    ("https://h.test/p#only-frag", "https://h.test/p"),
+    ("https://h.test/CaseInPath?Q=V", "https://h.test/CaseInPath?Q=V"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in CANON_CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    df = spark.createDataFrame([(c,) for _, c in CANON_CASES], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in CANON_CASES]
+
+
+def test_crawl_delta_counts(spark):
+    import __spark_entry__ as E
+
+    rows = {r.host: r for r in
+            E.q_crawl_delta(spark, "/root/testdata/sf0.001").collect()}
+    n, lo = E.N_PAGES, E.N_PAGES // 5
+    # global invariants: every host sees the same uniform id stripes
+    assert sum(r.n_new for r in rows.values()) == (n * 6 // 5) - n
+    assert sum(r.n_gone for r in rows.values()) == lo
+    assert sum(r.n_kept for r in rows.values()) == n - lo
+    assert len(rows) == 1000

@@ -1,0 +1,159 @@
+"""Web-pipeline column functions: HTML text extraction, URL
+canonicalization, crawl-snapshot deltas.
+
+These cover the crawl-side of the input contract (BASELINE.json
+``input_hint``: pages table ``(url, warc_ts, html:binary, text, lang)``
+with a per-row "byte-identical extracted text per url" invariant): the
+``html`` binary column is decoded and tag-stripped JVM-side and the
+result is compared byte-for-byte against the ``text`` column; URLs are
+canonicalized the way crawl dedup does (case, default ports, fragments,
+tracking params, query-param order); snapshot diffs are a url-keyed
+equi-join.
+
+Everything here is a Spark Column helper that stays inside whole-stage
+codegen (no Python) plus a DuckDB SQL twin built from the same logic, in
+the same style as :mod:`zen3geo_spark.functions.text`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tags are stripped with a non-greedy element match. Written to the
+# Java-regex / DuckDB-RE2 common subset (no backrefs, no lookarounds) so
+# both engines produce identical output on identical bytes.
+TAG_PATTERN = r"<[^>]*>"
+
+# query parameters dropped by canonicalization (tracking noise that
+# changes per referral but not per resource)
+TRACKING_PREFIX = "utm_"
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (byte-identity invariant)
+# ---------------------------------------------------------------------------
+
+def html_to_text(html: Column) -> Column:
+    """Decode an ``html`` binary column (UTF-8) and strip markup tags.
+
+    The extractor is intentionally the simplest thing that is
+    well-defined on arbitrary bytes — decode, remove ``<...>`` runs —
+    because the contract it serves is *byte identity*: on the pages
+    table the stripped html must equal the ``text`` column exactly,
+    per url (BASELINE.json ``input_hint``). Richer extraction (entity
+    decode, script/style elision) would belong behind the same
+    signature.
+
+    Scale shape: one pass of JVM ``decode`` + ``regexp_replace`` inside
+    whole-stage codegen — no Python, no shuffle; cost is linear in html
+    bytes and embarrassingly partition-parallel.
+    """
+    return F.regexp_replace(F.decode(html, "UTF-8"), TAG_PATTERN, "")
+
+
+def html_to_text_sql(col: str, engine: str) -> str:
+    """DuckDB/Spark SQL twin of :func:`html_to_text`."""
+    if engine == "spark":
+        return f"regexp_replace(decode({col}, 'UTF-8'), '{TAG_PATTERN}', '')"
+    return f"regexp_replace(decode({col}), '{TAG_PATTERN}', '', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-grade URL canonicalization, all JVM:
+
+    1. scheme + host lowercased;
+    2. default ports stripped (``https://h:443`` → ``https://h``,
+       ``http://h:80`` → ``http://h``);
+    3. fragment dropped;
+    4. ``utm_*`` tracking params dropped;
+    5. remaining query params sorted (stable total order), ``?`` dropped
+       when nothing survives.
+
+    The path and param bytes are preserved exactly otherwise — crawl
+    dedup must never conflate genuinely distinct resources, only
+    re-spellings of the same one.
+
+    Scale shape: pure string expressions + one bounded ``array_sort``
+    over the (tiny) per-URL param list; whole-stage codegen, no shuffle.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith(TRACKING_PREFIX),
+    )
+    sorted_qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(sorted_qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_qs)),
+    )
+
+
+def canonical_url_sql(col: str, engine: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (same five steps)."""
+    if engine == "spark":
+        raise NotImplementedError("use canonical_url() Column helper on Spark")
+    scheme = f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    host = (
+        f"case when {scheme} = 'https' then regexp_replace({hostport}, ':443$', '') "
+        f"when {scheme} = 'http' then regexp_replace({hostport}, ':80$', '') "
+        f"else {hostport} end"
+    )
+    path = f"regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    qs = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_filter(string_split({qs}, '&'), "
+        f"p -> p <> '' and p not like '{TRACKING_PREFIX}%')"
+    )
+    sorted_qs = f"array_to_string(list_sort({params}), '&')"
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"case when {sorted_qs} = '' then '' else concat('?', {sorted_qs}) end)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Messy-URL synthesis (deterministic re-spellings for the canon test)
+# ---------------------------------------------------------------------------
+
+def messy_url_sql(url: str, page_id: str, variant: int, engine: str) -> str:
+    """Deterministic re-spelling #``variant`` (0 or 1) of a clean
+    ``https://host/path`` URL, as an engine-neutral SQL template over a
+    url column and a bigint page id.
+
+    Variant 0 upper-cases the host on ids ≡0 (mod 3), appends ``:443``
+    on ids ≡0 (mod 4), and carries ``?utm_source=feed&b=2&a=1``;
+    variant 1 keeps the host clean, carries the same real params
+    pre-sorted (``?a=1&b=2``) with no tracking noise, and appends a
+    fragment on ids ≡0 (mod 5). Both re-spellings canonicalize to the
+    identical URL, which is what the ``url_canonical`` query pins.
+    """
+    s = "string" if engine == "spark" else "varchar"
+    hostexpr = f"regexp_extract({url}, '^https://([^/]+)/', 1)"
+    pathexpr = f"regexp_extract({url}, '^https://[^/]+(/.*)$', 1)"
+    if variant == 0:
+        host = (
+            f"case when {page_id} % 3 = 0 then upper({hostexpr}) "
+            f"else {hostexpr} end"
+        )
+        port = f"case when {page_id} % 4 = 0 then ':443' else '' end"
+        tail = "'?utm_source=feed&b=2&a=1'"
+        return f"concat('https://', {host}, {port}, {pathexpr}, {tail})"
+    frag = (
+        f"case when {page_id} % 5 = 0 then concat('#s', cast({page_id} % 7 as {s})) "
+        f"else '' end"
+    )
+    return f"concat('https://', {hostexpr}, {pathexpr}, '?a=1&b=2', {frag})"
