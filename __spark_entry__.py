@@ -273,6 +273,46 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).alias("n_kept")))
 
 
+def q_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier membership via a cross-engine-exact Bloom filter:
+    was this incoming URL already crawled in the previous snapshot? The
+    filter (2^15 bits, k=4, Kirsch–Mitzenmacher over the shared 40-bit
+    polynomial hashes) broadcasts at any corpus scale; only its passes
+    need the exact seen-table re-check, so the common case (a genuinely
+    new URL) never touches the 10^12-row seen set. Per host: incoming
+    count, filter passes, exact seen count, false positives, and missed
+    seen — the no-false-negatives guarantee pins n_missed_seen = 0 in
+    the value hash.
+
+    Scale shape: build = Arrow hash pass + bit_or groupBy bounded by the
+    FILTER size; probe = Arrow hash pass + broadcast join on word + one
+    per-key map-side-combinable reduction; the exact re-check join runs
+    on the full incoming side here so the oracle can pin the
+    false-positive count — production filters first and re-checks only
+    the passes."""
+    from zen3geo_spark.functions.sketch import bloom_build, bloom_probe
+
+    n2 = N_PAGES * 6 // 5
+    lo = N_PAGES // 5
+    allp = synth_pages(spark, n2).selectExpr(
+        "url",
+        "regexp_extract(url, '^https?://([^/]+)/', 1) as host",
+        "cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as _pid")
+    seen = allp.filter(F.col("_pid") < N_PAGES).select("url")
+    incoming = allp.filter(F.col("_pid") >= lo).select("url", "host")
+    bloom = bloom_build(seen, "url")
+    passed = bloom_probe(incoming, bloom, "url", carry=("host",))
+    flagged = passed.join(seen.withColumn("_s", F.lit(1)), "url", "left")
+    bp = F.col("bloom_pass")
+    ts = F.col("_s").isNotNull()
+    return (flagged.groupBy("host")
+            .agg(F.count("*").alias("n_incoming"),
+                 F.sum(bp.cast("int")).alias("n_bloom_pass"),
+                 F.sum(ts.cast("int")).alias("n_true_seen"),
+                 F.sum((bp & ~ts).cast("int")).alias("n_false_pos"),
+                 F.sum((ts & ~bp).cast("int")).alias("n_missed_seen")))
+
+
 def q_pages_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_df(spark).withColumn(
         "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 12)
@@ -1484,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "url_canonical": q_url_canonical,
         "crawl_delta": q_crawl_delta,
+        "bloom_frontier": q_bloom_frontier,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2540,6 +2581,33 @@ def oracle_sql() -> dict[str, str]:
     from j group by host
     """
 
+    from zen3geo_spark.functions.sketch import (
+        bloom_cte_sql_duckdb, bloom_pass_sql_duckdb,
+    )
+
+    bloom_frontier_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES * 6 // 5)}),
+    allp as (select url,
+                    regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+                    cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint)
+                        as _pid
+             from pages),
+    seen as (select url from allp where _pid < {N_PAGES}),
+    incoming as (select url, host from allp where _pid >= {N_PAGES // 5}),
+    bloom as ({bloom_cte_sql_duckdb("seen", "url")}),
+    passed as ({bloom_pass_sql_duckdb("incoming", "bloom", "url",
+                                      carry=("host",))})
+    select host, count(*) as n_incoming,
+           sum(case when bloom_pass then 1 else 0 end) as n_bloom_pass,
+           sum(case when s.url is not null then 1 else 0 end) as n_true_seen,
+           sum(case when bloom_pass and s.url is null then 1 else 0 end)
+               as n_false_pos,
+           sum(case when s.url is not null and not bloom_pass then 1 else 0 end)
+               as n_missed_seen
+    from passed p left join seen s on p.url = s.url
+    group by host
+    """
+
     gopher_repetition_sql = ngram_repetition_sql_duckdb("documents")
     bm25_scores_sql = bm25_sql_duckdb(
         "documents", ["spark", "table", "window"])
@@ -2759,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": html_extract_sql,
         "url_canonical": url_canonical_sql,
         "crawl_delta": crawl_delta_sql,
+        "bloom_frontier": bloom_frontier_sql,
         "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,

@@ -63,3 +63,46 @@ def test_crawl_delta_counts(spark):
     assert sum(r.n_gone for r in rows.values()) == lo
     assert sum(r.n_kept for r in rows.values()) == n - lo
     assert len(rows) == 1000
+
+
+# --- Bloom filter (crawl-frontier membership) ---
+
+def _bloom_keys(spark, n=800, prefix="k"):
+    return spark.range(n).selectExpr(
+        f"concat('{prefix}', cast(id as string)) as url")
+
+
+def test_bloom_no_false_negatives(spark):
+    from zen3geo_spark.functions.sketch import bloom_build, bloom_probe
+
+    keys = _bloom_keys(spark)
+    bloom = bloom_build(keys, "url")
+    missed = (bloom_probe(keys, bloom, "url")
+              .filter(~F.col("bloom_pass")).count())
+    assert missed == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from zen3geo_spark.functions.sketch import bloom_build, bloom_probe
+
+    bloom = bloom_build(_bloom_keys(spark, 800, "in"), "url")
+    out = bloom_probe(_bloom_keys(spark, 800, "out"), bloom, "url")
+    fp = out.filter(F.col("bloom_pass")).count()
+    # n=800, m=2^15, k=4 -> theoretical fpr ~0.0003; allow slack
+    assert fp / 800 < 0.05
+
+
+def test_bloom_words_match_duckdb_exactly(spark):
+    import duckdb
+
+    from zen3geo_spark.functions.sketch import (
+        bloom_build, bloom_cte_sql_duckdb,
+    )
+
+    keys = _bloom_keys(spark, 300)
+    got = {(r.word, r.bits) for r in bloom_build(keys, "url").collect()}
+    sql = ("with seen as (select concat('k', cast(t.id as varchar)) as url "
+           "from range(300) t(id)) "
+           + bloom_cte_sql_duckdb("seen", "url"))
+    want = {(int(w), int(b)) for w, b in duckdb.sql(sql).fetchall()}
+    assert got == want

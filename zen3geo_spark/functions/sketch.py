@@ -138,3 +138,124 @@ exact as (
 select e.token, e.est, coalesce(x.true_cnt, 0) as true_cnt
 from est e left join exact x using (token)
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (crawl-frontier membership: "seen in the previous snapshot?")
+# ---------------------------------------------------------------------------
+#
+# At 10^12 URLs the seen-set cannot broadcast and an exact anti-join
+# shuffles both snapshots; a Bloom filter of m bits is orders smaller
+# (the classic Bloom 1970 trade: no false negatives, tunable false-
+# positive rate (1 - e^{-kn/m})^k), so the common case — a URL the
+# filter rejects — never touches the seen table at all, and only the
+# filter's passes need the exact re-check. Bit positions use the same
+# Kirsch–Mitzenmacher double hashing over the shared 40-bit polynomials
+# as the count-min sketch, so DuckDB reproduces every word exactly and
+# the filter itself (not just the decisions) is cross-engine
+# deterministic. Words are 32-bit (mask < 2^32) so shift/OR semantics
+# are identical on both engines with no sign-bit edge.
+
+def _with_key_hashes(df: DataFrame, key_col: str):
+    """Append h1/h2 (the two 40-bit polynomial hashes of ``key_col``)
+    via one Arrow-vectorized pass — the hot-path twin of the
+    ``gram_hash40`` Column helper, value-identical (pytest-pinned
+    through the count-min/bloom parity suites)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("h1", LongType()),
+                           StructField("h2", LongType())])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = [k if k is not None else "" for k in pdf[key_col]]
+            pdf = pdf.copy()
+            pdf["h1"] = _poly_hash_batch(keys, _POWS1_NP)
+            pdf["h2"] = _poly_hash_batch(keys, _POWS2_NP)
+            yield pdf
+
+    return df.mapInPandas(partial, schema=schema)
+
+
+def bloom_build(keys: DataFrame, key_col: str, n_bits: int = 1 << 15,
+                n_hashes: int = 4) -> DataFrame:
+    """Build the filter over ``keys``: DataFrame (word, bits) with at
+    most n_bits/32 rows. One Arrow hash pass, one explode to k bit
+    positions, one map-side-combinable ``bit_or`` groupBy — the only
+    shuffle is bounded by the filter size, not the key count."""
+    hashed = _with_key_hashes(keys.select(key_col), key_col)
+    return (hashed
+            .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+            .selectExpr(f"pmod(h1 + j * h2, {n_bits}) as bitpos")
+            .selectExpr("bitpos div 32 as word",
+                        "shiftleft(cast(1 as bigint), cast(bitpos % 32 as int)) as mask")
+            .groupBy("word")
+            .agg(F.expr("bit_or(mask)").alias("bits")))
+
+
+def bloom_probe(probes: DataFrame, bloom: DataFrame, key_col: str,
+                n_bits: int = 1 << 15, n_hashes: int = 4,
+                carry: tuple[str, ...] = ()) -> DataFrame:
+    """Membership-test every probe row: (key, *carry, bloom_pass).
+
+    The filter broadcasts (≤ n_bits/32 rows); the probe side explodes to
+    its k (word, mask) lookups, broadcast-left-joins, and a per-key
+    all-k-bits-set reduction decides. No shuffle touches the probe data
+    except the final per-key groupBy (map-side combinable, k rows per
+    key)."""
+    hashed = _with_key_hashes(probes.select(key_col, *carry), key_col)
+    expanded = (hashed
+                .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+                .selectExpr(key_col, *carry,
+                            f"pmod(h1 + j * h2, {n_bits}) as bitpos")
+                .selectExpr(key_col, *carry,
+                            "bitpos div 32 as word",
+                            "shiftleft(cast(1 as bigint), cast(bitpos % 32 as int)) as mask"))
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+           == F.col("mask"))
+    return (expanded.join(F.broadcast(bloom), "word", "left")
+            .groupBy(key_col, *carry)
+            .agg((F.sum(F.when(hit, 1).otherwise(0)) == n_hashes)
+                 .alias("bloom_pass")))
+
+
+def bloom_cte_sql_duckdb(keys_sel: str, key_col: str,
+                         n_bits: int = 1 << 15, n_hashes: int = 4) -> str:
+    """DuckDB SELECT producing the identical (word, bits) filter over
+    ``keys_sel`` (a relation/CTE name or parenthesized subquery)."""
+    h1 = hash40_sql_duckdb(key_col, 1)
+    h2 = hash40_sql_duckdb(key_col, 2)
+    return f"""
+select bitpos // 32 as word, bit_or((1::bigint << (bitpos % 32)::int)) as bits
+from (
+  select ({h1} + j * {h2}) % {n_bits} as bitpos
+  from {keys_sel},
+       (select unnest(generate_series(0, {n_hashes - 1})) as j)
+)
+group by word"""
+
+
+def bloom_pass_sql_duckdb(probe_sel: str, bloom_rel: str, key_col: str,
+                          carry: tuple[str, ...] = (),
+                          n_bits: int = 1 << 15, n_hashes: int = 4) -> str:
+    """DuckDB SELECT producing (key, *carry, bloom_pass) matching
+    :func:`bloom_probe` exactly."""
+    h1 = hash40_sql_duckdb(key_col, 1)
+    h2 = hash40_sql_duckdb(key_col, 2)
+    carry_cols = "".join(f", {c}" for c in carry)
+    return f"""
+select {key_col}{carry_cols},
+       sum(case when (coalesce(b.bits, 0) & pc.mask) = pc.mask
+                then 1 else 0 end) = {n_hashes} as bloom_pass
+from (
+  select {key_col}{carry_cols}, bitpos // 32 as word,
+         (1::bigint << (bitpos % 32)::int) as mask
+  from (
+    select {key_col}{carry_cols},
+           ({h1} + j * {h2}) % {n_bits} as bitpos
+    from {probe_sel},
+         (select unnest(generate_series(0, {n_hashes - 1})) as j)
+  )
+) pc left join {bloom_rel} b using (word)
+group by {key_col}{carry_cols}"""
