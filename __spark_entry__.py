@@ -33,7 +33,7 @@ from zen3geo_spark.functions.zorder import (
 from zen3geo_spark.functions.text import (
     fingerprint, fingerprint_sql, lang_id, lang_id_sql, quality_score,
     quality_score_sql, token_count, token_count_sql,
-    unigram_logppl_sql_duckdb,
+    dsir_sql_duckdb, unigram_logppl_sql_duckdb,
 )
 from zen3geo_spark.operators.canvas import canvas_from_grid
 from zen3geo_spark.operators.chipper import chip_grid, assign_chips, chip_stats
@@ -748,6 +748,22 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = unigram_logppl(docs)
     return out.select("doc", F.round("logppl", 6).alias("logppl"))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per doc, the mean
+    log ratio of a Laplace-smoothed target unigram LM (target slice =
+    sources src0-src3) over the corpus source LM — resampling
+    proportional to the weight concentrates the corpus on the target's
+    token mix. One explode feeds both LMs; scalars ride constant-key
+    broadcasts; all JVM."""
+    from zen3geo_spark.functions.text import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_importance(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3"))
+    return out.select("doc", "n_toks",
+                      F.round("log_importance", 6).alias("log_importance"))
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "crawl_delta": q_crawl_delta,
         "bloom_frontier": q_bloom_frontier,
+        "dsir_weights": q_dsir_weights,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2828,6 +2845,12 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": url_canonical_sql,
         "crawl_delta": crawl_delta_sql,
         "bloom_frontier": bloom_frontier_sql,
+        "dsir_weights": (
+            "select doc, n_toks, round(log_importance, 6) as log_importance "
+            "from (" + dsir_sql_duckdb(
+                "documents",
+                "source in ('src0', 'src1', 'src2', 'src3')") + ") t"
+        ),
         "embed_dedup_clusters": embed_dedup_clusters_sql,
         "word_jaccard_exact": word_jaccard_exact_sql,
         "chip_grid": chip_grid_sql,

@@ -450,3 +450,43 @@ def test_linear_classifier_exact_margins(spark):
     want = {r[0]: (r[1], r[2]) for r in con.execute(
         linear_classifier_sql_duckdb("d", dim=32)).fetchall()}
     assert got == want
+
+
+def test_dsir_importance_prefers_target_token_mix(spark):
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.functions.text import dsir_importance
+
+    rows = [
+        # target slice: token mix {aa, bb}
+        (0, "aa bb aa bb", True),
+        (1, "bb aa aa", True),
+        # matches the target mix without being in the slice -> high w
+        (2, "aa bb bb aa", False),
+        # alien token mix -> low w
+        (3, "zz zz qq qq zz", False),
+        (4, "qq zz qq", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r.doc: r.log_importance
+           for r in dsir_importance(docs, F.col("tgt")).collect()}
+    assert got[2] > got[3] and got[2] > got[4]
+    # target-slice docs themselves score at least as high as the aliens
+    assert min(got[0], got[1]) > max(got[3], got[4])
+
+
+def test_dsir_importance_smoothing_keeps_unseen_tokens_finite(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.functions.text import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa", True), (1, "zz zz", False)],
+        "doc_id long, text string, tgt boolean")
+    got = {r.doc: r.log_importance
+           for r in dsir_importance(docs, F.col("tgt")).collect()}
+    # 'zz' never appears in the target; Laplace smoothing keeps it finite
+    assert all(math.isfinite(v) for v in got.values())
+    assert got[0] > got[1]

@@ -471,3 +471,83 @@ def linear_classifier_sql_duckdb(rel: str, dim: int = 256,
     )
     select doc, margin, margin > 0 as label from m
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+def dsir_importance(docs, target_pred, text_col: str = "text",
+                    id_col: str = "doc_id", smoothing: float = 0.5):
+    """Per-doc importance weight of the corpus against a target slice:
+    log w(x) = mean over x's tokens of ln p_target(tok) − ln p_source(tok),
+    with unigram LMs (whitespace tokens, repeats counted), the corpus
+    itself as the source distribution, and Laplace-``smoothing`` on the
+    target model (tokens the target never saw must not zero the weight).
+    Resampling the corpus proportional to w concentrates it on the
+    target's token mix — the DSIR selection step.
+
+    ``target_pred`` is a boolean Column over ``docs`` marking the target
+    slice. Returns (doc, n_toks, log_importance).
+
+    Plan: ONE token explode feeds both LMs (conditional aggregates in a
+    single groupBy), the three scalars (source total, target total,
+    vocab size) ride constant-key broadcasts, and the per-token log
+    ratio joins back on tok — broadcast or shuffle equi-join as stats
+    dictate, then one map-side-combinable per-doc aggregate. All JVM.
+    """
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.operators._util import pair_all
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        target_pred.alias("_tgt"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt_src"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    scalars = tf.agg(
+        F.sum("cnt_src").alias("total_src"),
+        F.sum("cnt_tgt").alias("total_tgt"),
+        F.count("*").alias("vocab"),
+    )
+    ratio = pair_all(tf, scalars).select(
+        "tok",
+        (F.log((F.col("cnt_tgt") + F.lit(smoothing))
+               / (F.col("total_tgt") + F.lit(smoothing) * F.col("vocab")))
+         - F.log(F.col("cnt_src") / F.col("total_src"))).alias("log_ratio"),
+    )
+    return (toks.join(ratio, "tok")
+            .groupBy("doc")
+            .agg(F.count("*").alias("n_toks"),
+                 F.avg("log_ratio").alias("log_importance")))
+
+
+def dsir_sql_duckdb(rel: str, target_pred_sql: str, text_col: str = "text",
+                    id_col: str = "doc_id", smoothing: float = 0.5) -> str:
+    """DuckDB twin of :func:`dsir_importance` (same LMs, same smoothing)."""
+    return f"""
+    with toks as (
+      select {id_col} as doc, ({target_pred_sql}) as _tgt,
+             unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) as tok
+      from {rel}
+    ),
+    tf as (select tok, count(*) as cnt_src,
+                  sum(case when _tgt then 1 else 0 end) as cnt_tgt
+           from toks group by tok),
+    scalars as (select sum(cnt_src) as total_src, sum(cnt_tgt) as total_tgt,
+                       count(*) as vocab
+                from tf),
+    ratio as (select tok,
+                     ln((cnt_tgt + {smoothing}) /
+                        (total_tgt + {smoothing} * vocab))
+                     - ln(cast(cnt_src as double) / total_src) as log_ratio
+              from tf, scalars)
+    select doc, count(*) as n_toks, avg(log_ratio) as log_importance
+    from toks join ratio using (tok)
+    group by doc
+    """
