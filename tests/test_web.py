@@ -106,3 +106,13 @@ def test_bloom_words_match_duckdb_exactly(spark):
            + bloom_cte_sql_duckdb("seen", "url"))
     want = {(int(w), int(b)) for w, b in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_bloom_probe_handles_duplicate_keys(spark):
+    from zen3geo_spark.functions.sketch import bloom_build, bloom_probe
+
+    bloom = bloom_build(_bloom_keys(spark, 100), "url")
+    dup = _bloom_keys(spark, 100).unionAll(_bloom_keys(spark, 100))
+    got = bloom_probe(dup, bloom, "url")
+    assert got.count() == 100  # grouped, not doubled
+    assert got.filter(~F.col("bloom_pass")).count() == 0

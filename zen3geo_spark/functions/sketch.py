@@ -214,9 +214,12 @@ def bloom_probe(probes: DataFrame, bloom: DataFrame, key_col: str,
                             "shiftleft(cast(1 as bigint), cast(bitpos % 32 as int)) as mask"))
     hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
            == F.col("mask"))
+    # min-reduction ("every lookup hit"), not sum == k: it stays correct
+    # even when the probe side carries duplicate keys (k rows per
+    # occurrence would make the sum a multiple of k)
     return (expanded.join(F.broadcast(bloom), "word", "left")
             .groupBy(key_col, *carry)
-            .agg((F.sum(F.when(hit, 1).otherwise(0)) == n_hashes)
+            .agg((F.min(F.when(hit, 1).otherwise(0)) == 1)
                  .alias("bloom_pass")))
 
 
@@ -246,8 +249,8 @@ def bloom_pass_sql_duckdb(probe_sel: str, bloom_rel: str, key_col: str,
     carry_cols = "".join(f", {c}" for c in carry)
     return f"""
 select {key_col}{carry_cols},
-       sum(case when (coalesce(b.bits, 0) & pc.mask) = pc.mask
-                then 1 else 0 end) = {n_hashes} as bloom_pass
+       min(case when (coalesce(b.bits, 0) & pc.mask) = pc.mask
+                then 1 else 0 end) = 1 as bloom_pass
 from (
   select {key_col}{carry_cols}, bitpos // 32 as word,
          (1::bigint << (bitpos % 32)::int) as mask
