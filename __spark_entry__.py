@@ -766,6 +766,29 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("log_importance", 6).alias("log_importance"))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source (Flajolet et al.
+    2007) audited against the exact count. The register table (1024
+    max-rank cells per group, merged with max — map-side combinable at
+    any corpus size) is cross-engine exact, and the harmonic sum is a
+    sum of dyadic rationals that IEEE doubles represent exactly, so only
+    the linear-counting ln() touches libm (round-6 both sides)."""
+    from zen3geo_spark.functions.sketch import hll_estimate, hll_registers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != ""))
+    est = hll_estimate(hll_registers(toks, "tok", ("source",)), ("source",))
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("true_distinct"))
+    return (est.join(exact, "source")
+            .select("source",
+                    F.round("est_distinct", 6).alias("est_distinct"),
+                    "true_distinct", "registers_hit"))
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a spherical-kmeans-trained codebook (2 Lloyd rounds)
     — hash-checked against a driver-built per-round SQL twin of the
@@ -1542,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "bloom_frontier": q_bloom_frontier,
         "dsir_weights": q_dsir_weights,
+        "hll_distinct": q_hll_distinct,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2599,8 +2623,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from zen3geo_spark.functions.sketch import (
-        bloom_cte_sql_duckdb, bloom_pass_sql_duckdb,
+        bloom_cte_sql_duckdb, bloom_pass_sql_duckdb, hll_sql_duckdb,
     )
+
+    hll_distinct_sql = f"""
+    with toks_nz as (
+      select source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+      from documents
+    ),
+    toks as (select * from toks_nz where tok <> ''),
+    hll as ({hll_sql_duckdb("toks", "tok", ("source",))}),
+    exact as (select source, count(distinct tok) as true_distinct
+              from toks group by source)
+    select h.source, round(est_distinct, 6) as est_distinct,
+           true_distinct, registers_hit
+    from hll h join exact using (source)
+    """
 
     bloom_frontier_sql = f"""
     with pages as ({pages_cte_sql(N_PAGES * 6 // 5)}),
@@ -2845,6 +2884,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": url_canonical_sql,
         "crawl_delta": crawl_delta_sql,
         "bloom_frontier": bloom_frontier_sql,
+        "hll_distinct": hll_distinct_sql,
         "dsir_weights": (
             "select doc, n_toks, round(log_importance, 6) as log_importance "
             "from (" + dsir_sql_duckdb(

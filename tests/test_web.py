@@ -116,3 +116,47 @@ def test_bloom_probe_handles_duplicate_keys(spark):
     got = bloom_probe(dup, bloom, "url")
     assert got.count() == 100  # grouped, not doubled
     assert got.filter(~F.col("bloom_pass")).count() == 0
+
+
+# --- HyperLogLog ---
+
+def test_hll_estimate_accuracy(spark):
+    from zen3geo_spark.functions.sketch import hll_estimate, hll_registers
+
+    keys = spark.range(5000).selectExpr(
+        "concat('key-', cast(id as string)) as k")
+    est = hll_estimate(hll_registers(keys, "k")).collect()[0].est_distinct
+    # m=1024 -> standard error ~3.3%; allow 4 sigma
+    assert abs(est - 5000) / 5000 < 0.14
+
+
+def test_hll_linear_counting_small_range(spark):
+    from zen3geo_spark.functions.sketch import hll_estimate, hll_registers
+
+    keys = spark.range(50).selectExpr(
+        "concat('key-', cast(id as string)) as k")
+    est = hll_estimate(hll_registers(keys, "k")).collect()[0].est_distinct
+    assert abs(est - 50) / 50 < 0.10
+
+
+def test_hll_arrow_and_hof_hash_paths_identical(spark):
+    from zen3geo_spark.functions.sketch import hll_registers
+
+    keys = spark.range(400).selectExpr(
+        "concat('key-', cast(id as string)) as k")
+    a = {(r.idx, r.reg) for r in
+         hll_registers(keys, "k", use_arrow=True).collect()}
+    b = {(r.idx, r.reg) for r in
+         hll_registers(keys, "k", use_arrow=False).collect()}
+    assert a == b
+
+
+def test_hll_duplicates_do_not_change_registers(spark):
+    from zen3geo_spark.functions.sketch import hll_registers
+
+    keys = spark.range(300).selectExpr(
+        "concat('key-', cast(id as string)) as k")
+    dup = keys.unionAll(keys).unionAll(keys)
+    a = {(r.idx, r.reg) for r in hll_registers(keys, "k").collect()}
+    b = {(r.idx, r.reg) for r in hll_registers(dup, "k").collect()}
+    assert a == b

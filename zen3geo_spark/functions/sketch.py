@@ -262,3 +262,111 @@ from (
   )
 ) pc left join {bloom_rel} b using (word)
 group by {key_col}{carry_cols}"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — cardinality estimation
+# ---------------------------------------------------------------------------
+#
+# Completes the sketch family (count-min = frequencies, KMV = distinct
+# via order statistics, Bloom = membership): HLL is the production
+# standard for distinct counts at 10^12 scale because its state is m
+# fixed registers regardless of cardinality and registers merge with
+# max() — exactly the map-side-combinable shape Spark aggregates want.
+#
+# Cross-engine exactness: register index = h mod m, remainder
+# w = h div m < 2^30; rho = (30 - bitlength(w) + 1) uses length(bin(w)),
+# identical on Spark and DuckDB. The harmonic sum Σ 2^-reg is a sum of
+# dyadic rationals (reg ∈ [0, 31]) whose every partial sum fits a
+# 53-bit mantissa, so it is EXACT and order-independent in IEEE double —
+# the one FP reduction in the estimator costs no determinism. The final
+# alpha·m²/S is a single correctly-rounded division of a shared decimal
+# literal; only the small-range linear-counting branch (m·ln(m/V))
+# touches libm, and both engines agree to well past the 6 decimals the
+# oracle rounds to.
+
+HLL_P = 10
+HLL_M = 1 << HLL_P                # 1024 registers
+HLL_W = 30                        # bits left in h div m (h < 2^40)
+# 0.7213 / (1 + 1.079/m) * m^2, evaluated once and shared as a literal
+HLL_ALPHA_M2 = 755541.746198293
+
+
+def hll_registers(keys: DataFrame, key_col: str,
+                  group_cols: tuple[str, ...] = (),
+                  use_arrow: bool = True) -> DataFrame:
+    """(group..., idx, reg): max leading-zero rank per register. The
+    groupBy is bounded by groups × m, not by key count. ``use_arrow``
+    hashes through the vectorized ``_poly_hash_batch`` pass (the hot
+    path for corpus-scale keys); False uses the interpreted
+    ``gram_hash40`` Column (value-identical, pytest-pinned)."""
+    if use_arrow:
+        hashed = _with_key_hashes(keys.select(*group_cols, key_col), key_col)
+        h = F.col("h1")
+    else:
+        hashed = keys
+        h = gram_hash40(F.col(key_col), 1)
+    # h/1024 is exact in double (h < 2^40 ≪ 2^53); the long cast floors
+    base = hashed.select(*group_cols,
+                         F.pmod(h, F.lit(HLL_M)).alias("idx"),
+                         (h / HLL_M).cast("long").alias("_w"))
+    rho = F.when(F.col("_w") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.length(F.expr("bin(_w)")) + 1)
+    return (base.select(*group_cols, "idx", rho.alias("rho"))
+            .groupBy(*group_cols, "idx")
+            .agg(F.max("rho").alias("reg")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group..., est_distinct, registers_hit) from the register table.
+    Empty registers contribute 2^0 = 1 to the harmonic sum; the
+    linear-counting branch corrects the small range."""
+    term = F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), cast(reg as int))")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("v_hit"),
+        F.sum(term).alias("s_hit"),
+    )
+    harmonic = (F.lit(HLL_M) - F.col("v_hit")).cast("double") + F.col("s_hit")
+    raw = F.lit(HLL_ALPHA_M2) / harmonic
+    v_zero = F.lit(HLL_M) - F.col("v_hit")
+    est = F.when((raw <= 2.5 * HLL_M) & (v_zero > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero)
+                 ).otherwise(raw)
+    return agg.select(*group_cols,
+                      est.alias("est_distinct"),
+                      F.col("v_hit").alias("registers_hit"))
+
+
+def hll_sql_duckdb(keys_sel: str, key_col: str,
+                   group_cols: tuple[str, ...] = ()) -> str:
+    """DuckDB SELECT of (group..., est_distinct, registers_hit) matching
+    hll_registers → hll_estimate exactly."""
+    h = hash40_sql_duckdb(key_col, 1)
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = ", ".join(group_cols) if group_cols else ""
+    gby_idx = (gby + ", idx") if gby else "idx"
+    return f"""
+select {gsel}
+       case when {HLL_ALPHA_M2} / harmonic <= {2.5 * HLL_M}
+                 and ({HLL_M} - v_hit) > 0
+            then {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - v_hit))
+            else {HLL_ALPHA_M2} / harmonic end as est_distinct,
+       v_hit as registers_hit
+from (
+  select {gsel}count(*) as v_hit,
+         (({HLL_M} - count(*)) * 1.0
+          + sum(1.0 / (1::bigint << reg::int))) as harmonic
+  from (
+    select {gsel}idx, max(rho) as reg
+    from (
+      select {gsel}h % {HLL_M} as idx,
+             case when h // {HLL_M} = 0 then {HLL_W + 1}
+                  else {HLL_W} - length(bin(h // {HLL_M})) + 1 end as rho
+      from (select {gsel}{h} as h from {keys_sel})
+    )
+    group by {gby_idx}
+  )
+  {"group by " + gby if gby else ""}
+)
+"""
