@@ -68,7 +68,9 @@ from zen3geo_spark.functions.web import (
     canonical_url, canonical_url_sql, html_to_text, html_to_text_sql,
     messy_url_sql,
 )
-from zen3geo_spark.sources.pages import pages_cte_sql, synth_pages
+from zen3geo_spark.sources.pages import (
+    URL_HOST_SQL, URL_PID_SQL, pages_cte_sql, synth_pages,
+)
 from zen3geo_spark.streaming.windows import session_stats, tumbling_event_stats
 
 N_PAGES = 5000  # fixed-size synthetic pages table for geo queries
@@ -220,7 +222,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable, 1000 hosts)."""
     base = synth_pages(spark, N_PAGES).selectExpr(
         "url",
-        "cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as _pid")
+        f"{URL_PID_SQL} as _pid")
     messy = (
         base.selectExpr(f"{messy_url_sql('url', '_pid', 0, 'spark')} as messy")
         .unionAll(
@@ -256,8 +258,8 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = N_PAGES // 5
     allp = synth_pages(spark, n2).selectExpr(
         "url",
-        "regexp_extract(url, '^https?://([^/]+)/', 1) as host",
-        "cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as _pid")
+        f"{URL_HOST_SQL} as host",
+        f"{URL_PID_SQL} as _pid")
     snap_a = (allp.filter(F.col("_pid") < N_PAGES)
               .select("url", F.col("host").alias("host_a")))
     snap_b = (allp.filter(F.col("_pid") >= lo)
@@ -296,8 +298,8 @@ def q_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = N_PAGES // 5
     allp = synth_pages(spark, n2).selectExpr(
         "url",
-        "regexp_extract(url, '^https?://([^/]+)/', 1) as host",
-        "cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as _pid")
+        f"{URL_HOST_SQL} as host",
+        f"{URL_PID_SQL} as _pid")
     seen = allp.filter(F.col("_pid") < N_PAGES).select("url")
     incoming = allp.filter(F.col("_pid") >= lo).select("url", "host")
     bloom = bloom_build(seen, "url")
@@ -2586,9 +2588,7 @@ def oracle_sql() -> dict[str, str]:
     _canon = canonical_url_sql("messy", "duckdb")
     url_canonical_sql = f"""
     with pages as ({pages_cte_sql(N_PAGES)}),
-    base as (select url,
-                    cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint)
-                        as _pid
+    base as (select url, {URL_PID_SQL} as _pid
              from pages),
     messy as (
       select {messy_url_sql('url', '_pid', 0, 'duckdb')} as messy from base
@@ -2606,10 +2606,7 @@ def oracle_sql() -> dict[str, str]:
 
     crawl_delta_sql = f"""
     with pages as ({pages_cte_sql(N_PAGES * 6 // 5)}),
-    allp as (select url,
-                    regexp_extract(url, '^https?://([^/]+)/', 1) as host,
-                    cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint)
-                        as _pid
+    allp as (select url, {URL_HOST_SQL} as host, {URL_PID_SQL} as _pid
              from pages),
     a as (select url, host as host_a from allp where _pid < {N_PAGES}),
     b as (select url, host as host_b from allp where _pid >= {N_PAGES // 5}),
@@ -2643,10 +2640,7 @@ def oracle_sql() -> dict[str, str]:
 
     bloom_frontier_sql = f"""
     with pages as ({pages_cte_sql(N_PAGES * 6 // 5)}),
-    allp as (select url,
-                    regexp_extract(url, '^https?://([^/]+)/', 1) as host,
-                    cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint)
-                        as _pid
+    allp as (select url, {URL_HOST_SQL} as host, {URL_PID_SQL} as _pid
              from pages),
     seen as (select url from allp where _pid < {N_PAGES}),
     incoming as (select url, host from allp where _pid >= {N_PAGES // 5}),

@@ -271,12 +271,14 @@ def main() -> None:
         # sweep and after the flagship, vs the documented quiet-window
         # reference. window_eff << 1.0 means the host was contended and
         # the per-query walls above overstate the engine's cost.
+        # Conservative: the WORST of the two probes, so one quiet probe
+        # can't mask contention the other observed.
         "host_probe": {
             "pre_sec": probe_pre,
             "post_sec": probe_post,
             "reference_sec": REFERENCE_PROBE_SEC,
             "window_eff": round(
-                REFERENCE_PROBE_SEC / max(min(probe_pre, probe_post), 1e-9),
+                REFERENCE_PROBE_SEC / max(probe_pre, probe_post, 1e-9),
                 3),
         },
     }

@@ -35,7 +35,24 @@ CANON_CASES = [
     ("https://h.test/p?z=1&a=2", "https://h.test/p?a=2&z=1"),
     ("https://h.test/p#only-frag", "https://h.test/p"),
     ("https://h.test/CaseInPath?Q=V", "https://h.test/CaseInPath?Q=V"),
+    # RFC 3986 edges: '?' inside the fragment is NOT a query marker,
+    # and a query that loses all params must not leave a trailing '?'
+    ("https://h.test/p#sec?tab=2", "https://h.test/p"),
+    ("https://h.test/p?utm_x=1#frag?y=2", "https://h.test/p"),
+    ("https://h.test/p", "https://h.test/p"),
 ]
+
+
+def test_canonical_url_sql_duckdb_twin_parity(spark):
+    import duckdb
+
+    from zen3geo_spark.functions.web import canonical_url_sql
+
+    vals = ", ".join(f"('{u}')" for u, _ in CANON_CASES)
+    sql = (f"select {canonical_url_sql('u', 'duckdb')} as c "
+           f"from (values {vals}) v(u)")
+    got = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert got == [c for _, c in CANON_CASES]
 
 
 def test_canonical_url_cases(spark):

@@ -156,23 +156,27 @@ from est e left join exact x using (token)
 # deterministic. Words are 32-bit (mask < 2^32) so shift/OR semantics
 # are identical on both engines with no sign-bit edge.
 
-def _with_key_hashes(df: DataFrame, key_col: str):
-    """Append h1/h2 (the two 40-bit polynomial hashes of ``key_col``)
-    via one Arrow-vectorized pass — the hot-path twin of the
-    ``gram_hash40`` Column helper, value-identical (pytest-pinned
-    through the count-min/bloom parity suites)."""
+def _with_key_hashes(df: DataFrame, key_col: str,
+                     with_h2: bool = True) -> DataFrame:
+    """Append h1 (and h2 unless ``with_h2=False`` — HLL needs one hash,
+    the double-hashing sketches need both) via one Arrow-vectorized
+    pass — the hot-path twin of the ``gram_hash40`` Column helper,
+    value-identical (pytest-pinned through the count-min/bloom parity
+    suites)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    schema = StructType(list(df.schema.fields)
-                        + [StructField("h1", LongType()),
-                           StructField("h2", LongType())])
+    new_fields = [StructField("h1", LongType())]
+    if with_h2:
+        new_fields.append(StructField("h2", LongType()))
+    schema = StructType(list(df.schema.fields) + new_fields)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keys = [k if k is not None else "" for k in pdf[key_col]]
             pdf = pdf.copy()
             pdf["h1"] = _poly_hash_batch(keys, _POWS1_NP)
-            pdf["h2"] = _poly_hash_batch(keys, _POWS2_NP)
+            if with_h2:
+                pdf["h2"] = _poly_hash_batch(keys, _POWS2_NP)
             yield pdf
 
     return df.mapInPandas(partial, schema=schema)
@@ -301,7 +305,8 @@ def hll_registers(keys: DataFrame, key_col: str,
     path for corpus-scale keys); False uses the interpreted
     ``gram_hash40`` Column (value-identical, pytest-pinned)."""
     if use_arrow:
-        hashed = _with_key_hashes(keys.select(*group_cols, key_col), key_col)
+        hashed = _with_key_hashes(keys.select(*group_cols, key_col), key_col,
+                                  with_h2=False)
         h = F.col("h1")
     else:
         hashed = keys

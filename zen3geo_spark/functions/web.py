@@ -89,7 +89,9 @@ def canonical_url(url: Column) -> Column:
         .otherwise(hostport)
     )
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # query = after the first '?' of the PRE-fragment substring — a '?'
+    # inside the fragment (legal per RFC 3986) is not a query marker
+    qs = F.regexp_extract(F.regexp_extract(url, r"^([^#]*)", 1), r"\?(.*)", 1)
     params = F.filter(
         F.split(qs, "&"),
         lambda p: (p != "") & ~p.startswith(TRACKING_PREFIX),
@@ -113,12 +115,15 @@ def canonical_url_sql(col: str, engine: str) -> str:
         f"else {hostport} end"
     )
     path = f"regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
-    qs = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    # same pre-fragment query extraction as the Spark helper
+    qs = f"regexp_extract(regexp_extract({col}, '^([^#]*)', 1), '\\?(.*)', 1)"
     params = (
         f"list_filter(string_split({qs}, '&'), "
         f"p -> p <> '' and p not like '{TRACKING_PREFIX}%')"
     )
-    sorted_qs = f"array_to_string(list_sort({params}), '&')"
+    # array_to_string of an empty list is NULL in DuckDB — coalesce to ''
+    # so the no-surviving-params case matches Spark's array_join
+    sorted_qs = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
     return (
         f"concat({scheme}, '://', {host}, {path}, "
         f"case when {sorted_qs} = '' then '' else concat('?', {sorted_qs}) end)"
