@@ -791,6 +791,23 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "true_distinct", "registers_hit"))
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length p50/p90/p99 per language from the HDR-style log-linear
+    quantile sketch — the percentile-threshold derivation a quality
+    filter runs at corpus scale where sorting is impossible. Bucketing
+    and rank walk are all-integer (length(bin), shifts, ceil-div), so
+    the returned [est_lo, est_hi] bucket is cross-engine exact; the
+    windows run over the bounded sketch, never the data."""
+    from zen3geo_spark.functions.sketch import (
+        qsketch_build, qsketch_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = qsketch_build(docs, "n_chars", ("lang",))
+    return (qsketch_quantiles(sk, (50, 90, 99), ("lang",))
+            .select("lang", "q_pct", "n", "est_lo", "est_hi"))
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a spherical-kmeans-trained codebook (2 Lloyd rounds)
     — hash-checked against a driver-built per-round SQL twin of the
@@ -1470,6 +1487,19 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["spark", "table", "window"])
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build (delta-encoded postings) with a
+    doc-frequency band filter standing in for stopword pruning — the
+    search-index construction stage over the corpus."""
+    from zen3geo_spark.functions.text import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the synthetic corpus has a ~31-token vocabulary that nearly all
+    # appears in >60% of docs, so the stopword band is opened up here;
+    # production would keep the default tight band
+    return inverted_index(docs, min_df=2, max_df=1_000_000)
+
+
 def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup CLUSTERING end-to-end: exact block-matmul
     cosine pairs (>= 0.4) → connected components → (vec, component) keep
@@ -1568,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_frontier": q_bloom_frontier,
         "dsir_weights": q_dsir_weights,
         "hll_distinct": q_hll_distinct,
+        "quantile_sketch": q_quantile_sketch,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -1603,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "gopher_repetition": q_gopher_repetition,
         "bm25_scores": q_bm25_scores,
+        "inverted_index": q_inverted_index,
         "hashed_tfidf": q_hashed_tfidf,
         "url_host_stats": q_url_host_stats,
         "stac_asset_engines": q_stac_asset_engines,
@@ -2621,7 +2653,11 @@ def oracle_sql() -> dict[str, str]:
 
     from zen3geo_spark.functions.sketch import (
         bloom_cte_sql_duckdb, bloom_pass_sql_duckdb, hll_sql_duckdb,
+        qsketch_sql_duckdb,
     )
+
+    quantile_sketch_sql = qsketch_sql_duckdb(
+        "documents", "n_chars", (50, 90, 99), ("lang",))
 
     hll_distinct_sql = f"""
     with toks_nz as (
@@ -2661,6 +2697,10 @@ def oracle_sql() -> dict[str, str]:
     gopher_repetition_sql = ngram_repetition_sql_duckdb("documents")
     bm25_scores_sql = bm25_sql_duckdb(
         "documents", ["spark", "table", "window"])
+
+    from zen3geo_spark.functions.text import inverted_index_sql_duckdb
+    inverted_index_sql = inverted_index_sql_duckdb(
+        "documents", max_df=1_000_000)
 
     from zen3geo_spark.operators.curation import (
         contamination_sql_duckdb, duplicate_span_sql_duckdb,
@@ -2861,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         "stac_asset_engines": stac_asset_engines_sql,
         "gopher_repetition": gopher_repetition_sql,
         "bm25_scores": bm25_scores_sql,
+        "inverted_index": inverted_index_sql,
         "contamination": contamination_sql,
         "dup_spans": dup_spans_sql,
         "stratified_sample": stratified_sample_sql,
@@ -2879,6 +2920,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": crawl_delta_sql,
         "bloom_frontier": bloom_frontier_sql,
         "hll_distinct": hll_distinct_sql,
+        "quantile_sketch": quantile_sketch_sql,
         "dsir_weights": (
             "select doc, n_toks, round(log_importance, 6) as log_importance "
             "from (" + dsir_sql_duckdb(

@@ -490,3 +490,29 @@ def test_dsir_importance_smoothing_keeps_unseen_tokens_finite(spark):
     # 'zz' never appears in the target; Laplace smoothing keeps it finite
     assert all(math.isfinite(v) for v in got.values())
     assert got[0] > got[1]
+
+
+def test_inverted_index_hand_corpus(spark):
+    """Delta-encoded positional postings against a hand computation."""
+    from zen3geo_spark.functions.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(10, "b a b"), (13, "a c  b"), (20, "c a")],
+        "doc_id bigint, text string")
+    got = {r.token: (r.df, r.postings) for r in
+           inverted_index(docs, min_df=1, max_df=10).collect()}
+    # positions index the \s+ split — whitespace RUNS collapse to one
+    # delimiter on both engines, so "a c  b" tokenizes to a@0 c@1 b@2
+    assert got["a"] == (3, "10:1|3:0|7:1")
+    assert got["b"] == (2, "10:0,2|3:2")
+    assert got["c"] == (2, "13:1|7:0")
+
+
+def test_inverted_index_df_band_filters(spark):
+    from zen3geo_spark.functions.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x")], "doc_id bigint, text string")
+    toks = {r.token for r in
+            inverted_index(docs, min_df=2, max_df=2).collect()}
+    assert toks == {"y"}  # x has df=3 (pruned high), y df=2 (kept)

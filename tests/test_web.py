@@ -177,3 +177,47 @@ def test_hll_duplicates_do_not_change_registers(spark):
     a = {(r.idx, r.reg) for r in hll_registers(keys, "k").collect()}
     b = {(r.idx, r.reg) for r in hll_registers(dup, "k").collect()}
     assert a == b
+
+
+def test_qsketch_bucket_contains_exact_rank_value(spark):
+    """The sketch's [est_lo, est_hi] bucket must CONTAIN the exact
+    rank-ceil(pct·n/100) order statistic (guaranteed by construction:
+    buckets partition the positive ints and idx is monotone in v)."""
+    from zen3geo_spark.functions.sketch import (
+        qsketch_build, qsketch_quantiles,
+    )
+
+    # deterministic skewed values: quadratic growth spans many octaves
+    vals = spark.range(1, 1001).selectExpr("id * id div 7 + 1 as v",
+                                           "'g' as g")
+    pcts = (10, 50, 90, 99, 100)
+    got = {r.q_pct: (r.est_lo, r.est_hi, r.n) for r in
+           qsketch_quantiles(qsketch_build(vals, "v", ("g",)), pcts,
+                             ("g",)).collect()}
+    exact = sorted(r.v for r in vals.collect())
+    n = len(exact)
+    for p in pcts:
+        rank = (p * n + 99) // 100
+        true_val = exact[rank - 1]
+        lo, hi, n_got = got[p]
+        assert n_got == n
+        assert lo <= true_val <= hi, (p, lo, true_val, hi)
+        # log-linear width bound: hi/lo ≤ 1 + 2^-5 once past the
+        # exact-small-value range
+        if lo >= 64:
+            assert hi - lo + 1 <= max(lo >> 5, 1)
+
+
+def test_qsketch_small_values_are_exact(spark):
+    """Values below 2^(p+1) = 64 land in singleton buckets — the sketch
+    is EXACT there (est_lo == est_hi == the true order statistic)."""
+    from zen3geo_spark.functions.sketch import (
+        qsketch_build, qsketch_quantiles,
+    )
+
+    vals = spark.range(1, 64).selectExpr("id as v", "'g' as g")
+    got = {r.q_pct: (r.est_lo, r.est_hi) for r in
+           qsketch_quantiles(qsketch_build(vals, "v", ("g",)),
+                             (50, 100), ("g",)).collect()}
+    assert got[50] == (32, 32)   # ceil(0.5·63) = 32
+    assert got[100] == (63, 63)

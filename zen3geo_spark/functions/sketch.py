@@ -343,6 +343,114 @@ def hll_estimate(registers: DataFrame,
                       F.col("v_hit").alias("registers_hit"))
 
 
+# ---------------------------------------------------------------------------
+# Quantile sketch (HDR-histogram-style log-linear buckets)
+# ---------------------------------------------------------------------------
+#
+# Completes the sketch family's last axis (count-min = frequencies,
+# Bloom = membership, KMV/HLL = distinct, this = quantiles): percentile
+# thresholds (doc-length cutoffs for quality filters, latency p99s) over
+# 10^12 rows can't sort, and Spark's approx_percentile isn't
+# reproducible outside Spark. This sketch is: positive integers bucket
+# into log-linear bins — ``shift = max(msb - p, 0)``, ``top = v >>
+# shift``, ``idx = shift·2^(p+1) + top`` — using ONLY integer ops
+# (length(bin(v)), shifts), so Spark and DuckDB produce the identical
+# histogram, cell for cell. idx is monotone in v, buckets merge by
+# summing counts (map-side combinable; the one shuffle is bounded by
+# the ≤ 64·shifts bucket count, not the data), and a rank-q query walks
+# the cumulative histogram with integer ranks ceil(pct·n/100) =
+# (pct·n + 99) div 100 — no FP anywhere, so the q-th value's bucket
+# [lo, hi] is cross-engine exact with relative width ≤ 2^-p.
+
+QS_P = 5                      # sub-bucket bits: relative error ≤ 1/32
+QS_STRIDE = 1 << (QS_P + 1)   # 64: idx stride per shift level
+
+
+def qsketch_build(vals: DataFrame, val_col: str,
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group..., idx, cnt) log-linear histogram of positive ints."""
+    filtered = vals.select(*group_cols, val_col).filter(F.col(val_col) >= 1)
+    shift = F.greatest(F.length(F.expr(f"bin({val_col})")) - 1 - QS_P,
+                       F.lit(0))
+    b = (filtered
+         .withColumn("_shift", shift)
+         .withColumn("_top", F.expr(
+             f"{val_col} div shiftleft(cast(1 as bigint), "
+             "cast(_shift as int))")))
+    return (b.select(*group_cols,
+                     (F.col("_shift") * QS_STRIDE + F.col("_top"))
+                     .alias("idx"))
+            .groupBy(*group_cols, "idx")
+            .agg(F.count("*").alias("cnt")))
+
+
+def qsketch_quantiles(sketch: DataFrame, pcts: tuple[int, ...],
+                      group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group..., q_pct, n, est_lo, est_hi): the bucket holding the
+    rank-ceil(pct·n/100) value per group. The two windows run over the
+    SKETCH (bounded by bucket count by construction), never the data —
+    the same size argument that lets the other sketches broadcast."""
+    from pyspark.sql.window import Window
+
+    w_ord = (Window.partitionBy(*group_cols).orderBy("idx")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.partitionBy(*group_cols)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = (sketch
+           .withColumn("cum", F.sum("cnt").over(w_ord))
+           .withColumn("n", F.sum("cnt").over(w_all)))
+    e = cum.select(*group_cols, "idx", "cum", "n",
+                   F.explode(F.array(*[F.lit(p) for p in pcts]))
+                   .alias("q_pct"))
+    hit = (e.filter(F.col("cum") >= F.expr("(q_pct * n + 99) div 100"))
+           .groupBy(*group_cols, "q_pct", "n")
+           .agg(F.min("idx").alias("idx")))
+    lo = F.expr(f"shiftleft(idx % {QS_STRIDE}, cast(idx div {QS_STRIDE} "
+                "as int))")
+    hi = F.expr(f"shiftleft(idx % {QS_STRIDE} + 1, cast(idx div "
+                f"{QS_STRIDE} as int)) - 1")
+    return hit.select(*group_cols, "q_pct", "n",
+                      lo.alias("est_lo"), hi.alias("est_hi"))
+
+
+def qsketch_sql_duckdb(vals_sel: str, val_col: str, pcts: tuple[int, ...],
+                       group_cols: tuple[str, ...] = ()) -> str:
+    """DuckDB SELECT of (group..., q_pct, n, est_lo, est_hi) matching
+    qsketch_build → qsketch_quantiles exactly (all-integer bucketing
+    and ranks — no FP to diverge)."""
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = ", ".join(group_cols)
+    part = f"partition by {gby} " if group_cols else ""
+    shift = f"greatest(length(bin({val_col})) - 1 - {QS_P}, 0)"
+    return f"""
+select {gsel}q_pct, n,
+       (idx % {QS_STRIDE}) << (idx // {QS_STRIDE})::int as est_lo,
+       ((idx % {QS_STRIDE} + 1) << (idx // {QS_STRIDE})::int) - 1 as est_hi
+from (
+  select {gsel}q_pct, n, min(idx) as idx
+  from (
+    select {gsel}idx, cum, n, q_pct
+    from (
+      select {gsel}idx, cnt,
+             (sum(cnt) over ({part}order by idx))::bigint as cum,
+             (sum(cnt) over ({part}))::bigint as n
+      from (
+        select {gsel}{shift} * {QS_STRIDE}
+                 + ({val_col} >> {shift}) as idx,
+               count(*) as cnt
+        from (select {gsel}{val_col} from {vals_sel}
+              where {val_col} >= 1)
+        group by {(gby + ", idx") if group_cols else "idx"}
+      )
+    ), (select unnest([{", ".join(str(p) for p in pcts)}]) as q_pct)
+  )
+  where cum >= (q_pct * n + 99) // 100
+  group by {(gby + ", q_pct, n") if group_cols else "q_pct, n"}
+)
+"""
+
+
 def hll_sql_duckdb(keys_sel: str, key_col: str,
                    group_cols: tuple[str, ...] = ()) -> str:
     """DuckDB SELECT of (group..., est_distinct, registers_hit) matching

@@ -551,3 +551,84 @@ def dsir_sql_duckdb(rel: str, target_pred_sql: str, text_col: str = "text",
     from toks join ratio using (tok)
     group by doc
     """
+
+
+def inverted_index(docs, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 2, max_df: int = 40):
+    """Positional inverted-index build — the index-construction stage of
+    a web-scale search pipeline, as pure DataFrame ops.
+
+    (token, df, postings) where postings is the classic delta-encoded
+    form ``gap:pos,pos|gap:pos,...``: doc ids ascending, each stored as
+    the gap from the previous (first absolute), with the 0-based token
+    positions within the doc. Scale shape: the posexplode is map-side;
+    the (token, doc) groupBy partial-aggregates; the doc-frequency band
+    filter [min_df, max_df] prunes stopword-class tokens BEFORE any
+    per-token list materializes (at 10^12 docs the hot tokens would
+    otherwise concentrate on single reducers — production systems
+    impact-sort/block those lists; here they are out of band), so both
+    the lag window and the final per-token groupBy see lists bounded by
+    max_df. Positions are 0-based indices into the \\s+ split (runs of
+    whitespace collapse to one delimiter on both engines), matching the
+    DuckDB twin's generate_subscripts exactly.
+    """
+    toks = (docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("pos", "tok"))
+        .filter(F.col("tok") != ""))
+    perdoc = (toks.groupBy("tok", "doc")
+              .agg(F.expr("array_join(transform(sort_array(collect_list("
+                          "pos)), x -> cast(x as string)), ',')")
+                   .alias("positions_csv")))
+    dfc = perdoc.groupBy("tok").agg(F.count("*").alias("df"))
+    band = (perdoc.join(dfc, "tok")
+            .filter(F.col("df").between(min_df, max_df)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("tok").orderBy("doc")
+    gapped = band.withColumn(
+        "gap", F.col("doc") - F.coalesce(F.lag("doc").over(w), F.lit(0)))
+    entry = F.concat_ws(":", F.col("gap").cast("string"),
+                        F.col("positions_csv"))
+    return (gapped.select("tok", "df",
+                          F.struct("doc", entry.alias("e")).alias("de"))
+            .groupBy("tok", "df")
+            .agg(F.expr("array_join(transform(sort_array(collect_list(de)),"
+                        " x -> x.e), '|')").alias("postings"))
+            .select(F.col("tok").alias("token"), "df", "postings"))
+
+
+def inverted_index_sql_duckdb(rel: str, text_col: str = "text",
+                              id_col: str = "doc_id", min_df: int = 2,
+                              max_df: int = 40) -> str:
+    """DuckDB twin of :func:`inverted_index` (same tokenization, same
+    0-based raw-split positions, same delta encoding)."""
+    arr = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    return f"""
+    with toks as (
+      select doc, tok, pos from (
+        select {id_col} as doc, unnest({arr}) as tok,
+               generate_subscripts({arr}, 1) - 1 as pos
+        from {rel}
+      ) where tok <> ''
+    ),
+    perdoc as (
+      select tok, doc, string_agg(pos::varchar, ',' order by pos)
+                         as positions_csv
+      from toks group by tok, doc
+    ),
+    dfc as (select tok, count(*) as df from perdoc group by tok),
+    band as (select * from perdoc join dfc using (tok)
+             where df between {min_df} and {max_df}),
+    gapped as (
+      select tok, df, doc,
+             doc - coalesce(lag(doc) over (partition by tok order by doc),
+                            0) as gap,
+             positions_csv
+      from band
+    )
+    select tok as token, df,
+           string_agg(gap::varchar || ':' || positions_csv, '|'
+                      order by doc) as postings
+    from gapped group by tok, df
+    """
