@@ -156,3 +156,53 @@ def test_url_blocklist_broadcast_plan_and_counts(spark):
     assert tagged.count() == 2000  # left join keeps every page
     cats = {r["block_category"] for r in blocked.select("block_category").distinct().collect()}
     assert cats == {"adult", "malware", "gambling"}
+
+
+def test_exploded_word_ngrams_matches_array_form(spark):
+    """The index-explode fast path must be row-identical to
+    explode(word_ngrams(...)) — including the short-doc (< n words)
+    drop and positional duplicates."""
+    from zen3geo_spark.operators.curation import (
+        exploded_word_ngrams, word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "x x x x"), (4, "solo"),
+         (5, "Tok tok TOK tok")],
+        "doc_id bigint, text string")
+    fast = [(r.doc_id, r.n_grams, r.gram) for r in
+            exploded_word_ngrams(docs, 3, ("doc_id",)).collect()]
+    slow = [(r.doc_id, r.n, r.gram) for r in
+            docs.select("doc_id",
+                        word_ngrams(F.col("text"), 3).alias("_g"))
+            .filter(F.size("_g") > 0)
+            .select("doc_id", F.size("_g").alias("n"),
+                    F.explode("_g").alias("gram")).collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) > 0
+
+
+def test_gopher_gram_fast_path_matches_gram_expr(spark):
+    """ngram_repetition_stats' inline index-explode must be
+    row-identical to explode(_gram_expr(...)) — including the
+    whole-doc gram that short docs produce under the greatest() guard."""
+    from zen3geo_spark.functions.text import _gram_expr
+
+    docs = spark.createDataFrame(
+        [(1, " pad  a b c "), (2, "xy"), (3, "a a a")],
+        "doc_id bigint, text string")
+    n = 2
+    slow = [(r.doc_id, r.g) for r in docs.select(
+        "doc_id", F.explode(_gram_expr(F.col("text"), n)).alias("g")
+    ).collect()]
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fast = [(r.doc_id, r.g) for r in
+            docs.select("doc_id", words.alias("_w"))
+            .select("doc_id", "_w",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("_w") - n, F.lit(0))))
+                    .alias("_i"))
+            .select("doc_id", F.array_join(
+                F.slice(F.col("_w"), F.col("_i") + 1, n), " ").alias("g"))
+            .collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) > 0

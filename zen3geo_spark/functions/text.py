@@ -218,8 +218,20 @@ def ngram_repetition_stats(docs, text_col: str = "text",
     build runs once per doc, not per gram pair).
     """
     def stats(n: int, top_out: str, dup_out: str):
-        g = docs.select(F.col(id_col).alias("doc"),
-                        F.explode(_gram_expr(F.col(text_col), n)).alias("g"))
+        # index-explode, gram built once per row AFTER the Generate —
+        # value-identical to explode(_gram_expr(...)) but the words
+        # array materializes once per doc instead of filter/project
+        # pushdown re-evaluating the interpreted transform() HOF
+        # (same rationale as curation.exploded_word_ngrams)
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        e = (docs.select(F.col(id_col).alias("doc"), words.alias("_w"))
+             .select("doc", "_w",
+                     F.explode(F.sequence(
+                         F.lit(0),
+                         F.greatest(F.size("_w") - n, F.lit(0))))
+                     .alias("_i")))
+        g = e.select("doc", F.array_join(
+            F.slice(F.col("_w"), F.col("_i") + 1, n), " ").alias("g"))
         per_gram = g.groupBy("doc", "g").agg(F.count("*").alias("c"))
         return per_gram.groupBy("doc").agg(
             (F.max("c") / F.sum("c")).alias(top_out),

@@ -63,6 +63,37 @@ def word_ngrams(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_word_ngrams(docs: DataFrame, n: int,
+                         carry_cols: tuple[str, ...],
+                         text_col: str = "text") -> DataFrame:
+    """(carry..., n_grams, gram): one row per positional word n-gram.
+
+    Value-identical to ``explode(word_ngrams(...))`` but an order of
+    magnitude cheaper in-plan: exploding the START INDEX and building
+    each gram AFTER the Generate means the words array materializes
+    once per doc and each gram string is assembled exactly once per
+    output row. The array-building form pays 3-4 evaluations of the
+    interpreted transform() HOF per doc, because filter pushdown
+    substitutes the whole gram-array expression into the pre-Generate
+    Filter (size > 0, isnotnull) and Project — visible as the repeated
+    CASE WHEN transform(...) blocks in its physical plan. Here the only
+    pre-Generate expressions are split/size (cheap), and the slice +
+    concat_ws above the Generate bind to the materialized array column.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = (docs.select(*carry_cols, words.alias("_w"))
+            .filter(F.size("_w") >= n)
+            .select(*carry_cols, "_w",
+                    (F.size("_w") - (n - 1)).alias("n_grams")))
+    e = base.select(*carry_cols, "n_grams", "_w",
+                    F.explode(F.sequence(F.lit(1), F.col("n_grams")))
+                    .alias("_i"))
+    return e.select(
+        *carry_cols, "n_grams",
+        F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), n))
+        .alias("gram"))
+
+
 def _ngrams_cte_duckdb(rel: str, n: int, id_col: str = "doc_id",
                        text_col: str = "text",
                        extra_cols: str = "") -> str:
@@ -101,19 +132,15 @@ def contamination_check(docs: DataFrame, n: int = 5, bench_mod: int = 97,
     except the final per-doc agg, and the scan prunes to (id, text).
     """
     is_bench = F.pmod(F.col(id_col), F.lit(bench_mod)) == 0
-    base = (docs.select(F.col(id_col), is_bench.alias("_is_bench"),
-                        word_ngrams(F.col(text_col), n).alias("_grams"))
-            .filter(F.size("_grams") > 0))
-    bench_vocab = (base.filter(F.col("_is_bench"))
-                   .select(F.explode("_grams").alias("gram"))
-                   .distinct()
+    bench_vocab = (exploded_word_ngrams(docs.filter(is_bench), n,
+                                        (id_col,), text_col)
+                   .select("gram").distinct()
                    .withColumn("_hit", F.lit(1)))
-    corpus = base.filter(~F.col("_is_bench"))
-    exploded = corpus.select(
-        id_col, F.size("_grams").alias("_n"), F.explode("_grams").alias("gram"))
+    exploded = exploded_word_ngrams(docs.filter(~is_bench), n,
+                                    (id_col,), text_col)
     return (exploded.join(F.broadcast(bench_vocab), "gram", "left")
             .groupBy(id_col)
-            .agg(F.max("_n").alias("n_grams"),
+            .agg(F.max("n_grams").alias("n_grams"),
                  F.count("_hit").alias("n_contaminated")))
 
 
@@ -151,8 +178,7 @@ def duplicate_span_inventory(docs: DataFrame, n: int = 8, top_k: int = 20,
     for — before the shuffle) → TakeOrdered top-k (per-partition heaps +
     a top_k-sized driver merge, never a global sort materialization).
     """
-    ex = (docs.select(F.col(id_col), F.col(source_col),
-                      F.explode(word_ngrams(F.col(text_col), n)).alias("gram")))
+    ex = exploded_word_ngrams(docs, n, (id_col, source_col), text_col)
     return (ex.groupBy("gram")
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct(id_col).alias("n_docs"),
