@@ -1334,6 +1334,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, rates={"en": 100, "es": 50}, default_rate=10)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate chunk dedup (CCNet/RefinedWeb paragraph-dedup
+    analogue): tile each doc into non-overlapping 8-word chunks, drop
+    chunks shared by >2 distinct docs, reassemble in order. Hot set is
+    boilerplate-sized -> broadcast join back; all codegen."""
+    from zen3geo_spark.operators.curation import chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dedup(docs, chunk_words=8, max_docs=2)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: shard by id hash, hash-order within
+    shard, contiguous fill at a 256-token budget — per-doc (shard,
+    seq_id, n_tokens) assignment, one partitioned-window shuffle."""
+    from zen3geo_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep the top-10 docs per source by
+    (n_chars desc, doc_id) via the salted two-phase top-k (exact; no
+    single-host window-partition meltdown at 10^12 rows)."""
+    from zen3geo_spark.operators.curation import source_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_cap(docs, k=10, n_salts=4)
+
+
 # PII injected deterministically into the synthetic corpus so the scrub
 # has ground truth; the SAME concat formula runs in Spark SQL and DuckDB
 # (documents.text contains no '@'/'-'/dotted-quad tokens of its own, but
@@ -1599,13 +1630,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
+        "inverted_index": q_inverted_index,
+        "chunk_dedup": q_chunk_dedup,
+        "pack_sequences": q_pack_sequences,
+        "source_cap": q_source_cap,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
         "ann_ivf_trained": q_ann_ivf_trained,  # stable probe tie-break
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
-        "ann_cosine": q_ann_cosine,
         "dedup_clusters": q_dedup_clusters,        # CC eager unpersist
         "embed_dedup_clusters": q_embed_dedup_clusters,
         "zorder_range_scan": q_zorder_range_scan,  # post-split clamp
@@ -1629,12 +1663,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- kmv_distinct demoted to make room for the three new
         # --- curation queries; their dedup.py edits this round were
         # --- docstring-only) ---
+        "ann_cosine": q_ann_cosine,
         "simhash": q_simhash,
         "winnow": q_winnow,
         "kmv_distinct": q_kmv_distinct,
         "gopher_repetition": q_gopher_repetition,
         "bm25_scores": q_bm25_scores,
-        "inverted_index": q_inverted_index,
         "hashed_tfidf": q_hashed_tfidf,
         "url_host_stats": q_url_host_stats,
         "stac_asset_engines": q_stac_asset_engines,
@@ -2714,6 +2748,17 @@ def oracle_sql() -> dict[str, str]:
         "documents", rates={"en": 100, "es": 50}, default_rate=10)
 
     from zen3geo_spark.operators.curation import (
+        chunk_dedup_sql_duckdb, pack_sequences_sql_duckdb,
+        source_cap_sql_duckdb,
+    )
+
+    chunk_dedup_sql = chunk_dedup_sql_duckdb("documents", chunk_words=8,
+                                             max_docs=2)
+    pack_sequences_sql = pack_sequences_sql_duckdb("documents", budget=256,
+                                                   n_shards=8)
+    source_cap_sql = source_cap_sql_duckdb("documents", k=10)
+
+    from zen3geo_spark.operators.curation import (
         pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
     )
 
@@ -2905,6 +2950,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination": contamination_sql,
         "dup_spans": dup_spans_sql,
         "stratified_sample": stratified_sample_sql,
+        "chunk_dedup": chunk_dedup_sql,
+        "pack_sequences": pack_sequences_sql,
+        "source_cap": source_cap_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

@@ -206,3 +206,111 @@ def test_gopher_gram_fast_path_matches_gram_expr(spark):
                 F.slice(F.col("_w"), F.col("_i") + 1, n), " ").alias("g"))
             .collect()]
     assert sorted(fast) == sorted(slow) and len(fast) > 0
+
+
+# ---------------------------------------------------------------------------
+# chunk dedup / sequence packing / source cap (late r5)
+# ---------------------------------------------------------------------------
+
+def test_chunk_dedup_golden(spark):
+    from zen3geo_spark.operators.curation import chunk_dedup
+
+    # 2-word chunks; "nav bar" appears in all 3 docs -> hot at max_docs=2;
+    # "foo baz" appears in 2 docs -> NOT hot; trailing partial chunk kept.
+    df = spark.createDataFrame(
+        [(1, "nav bar foo baz alpha"),
+         (2, "nav bar foo baz"),
+         (3, "nav bar gamma")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           chunk_dedup(df, chunk_words=2, max_docs=2).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_dropped"]) == (3, 1)
+    assert out[1]["clean_text"] == "foo baz alpha"
+    assert (out[2]["n_chunks"], out[2]["n_dropped"]) == (2, 1)
+    assert out[2]["clean_text"] == "foo baz"
+    # doc 3: both chunks survive ("gamma" tail chunk unique)
+    assert (out[3]["n_chunks"], out[3]["n_dropped"]) == (2, 1)
+    assert out[3]["clean_text"] == "gamma"
+
+
+def test_chunk_dedup_all_dropped_empty_text(spark):
+    from zen3geo_spark.operators.curation import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "nav bar"), (2, "nav bar"), (3, "nav bar")],
+        "doc_id long, text string")
+    out = chunk_dedup(df, chunk_words=2, max_docs=2).collect()
+    assert all(r["clean_text"] == "" and r["n_dropped"] == 1 for r in out)
+
+
+def test_chunk_dedup_oracle(spark, docs):
+    from zen3geo_spark.operators.curation import (
+        chunk_dedup, chunk_dedup_sql_duckdb)
+
+    got = sorted(
+        tuple(r) for r in chunk_dedup(docs, chunk_words=8,
+                                      max_docs=2).collect())
+    want = sorted(tuple(r) for r in
+                  _duck(chunk_dedup_sql_duckdb("documents", chunk_words=8,
+                                               max_docs=2)))
+    assert got == want
+
+
+def test_pack_sequences_budget_and_order(spark):
+    from zen3geo_spark.operators.curation import pack_sequences
+
+    # one shard so the packing order is fully determined by the hash
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 40)) for i in range(10)],
+        "doc_id long, text string")
+    rows = pack_sequences(df, budget=100, n_shards=1).collect()
+    assert {r["n_tokens"] for r in rows} == {40}
+    # contiguous fill at 40 tokens/doc, budget 100: cum_before of the
+    # j-th doc in hash order is 40*j -> seq_id = (40*j) div 100
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += 1
+    # 10 docs * 40 tokens = 400 tokens -> seq ids 0..3 with 3/2/3/2 docs
+    assert by_seq == {0: 3, 1: 2, 2: 3, 3: 2}
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark):
+    from zen3geo_spark.operators.curation import pack_sequences
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(tuple(r) for r in
+               pack_sequences(df, budget=256, n_shards=8).collect())
+    b = sorted(tuple(r) for r in
+               pack_sequences(df.repartition(13), budget=256,
+                              n_shards=8).collect())
+    assert a == b
+
+
+def test_source_cap_equals_single_window(spark, docs):
+    from zen3geo_spark.operators.curation import (
+        source_cap, source_cap_sql_duckdb)
+
+    got = sorted(tuple(r) for r in source_cap(docs, k=10,
+                                              n_salts=4).collect())
+    want = sorted(tuple(r) for r in _duck(source_cap_sql_duckdb(
+        "documents", k=10)))
+    assert got == want
+    # cap actually binds: no source exceeds k rows
+    per_src = {}
+    for _, src, _, _ in got:
+        per_src[src] = per_src.get(src, 0) + 1
+    assert max(per_src.values()) <= 10
+
+
+def test_source_cap_skewed_source_exact(spark):
+    from zen3geo_spark.operators.curation import source_cap
+
+    # one giant source + one small one; ties in order_col broken by id
+    rows = [(i, "big", 5) for i in range(200)] + [(1000, "small", 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long")
+    out = source_cap(df, k=3, n_salts=5).collect()
+    big = sorted(r["doc_id"] for r in out if r["source"] == "big")
+    assert big == [0, 1, 2]  # all n_chars tie -> lowest ids win
+    assert [r["doc_id"] for r in out if r["source"] == "small"] == [1000]

@@ -378,3 +378,222 @@ select concat('example-', cast(id as varchar), '.test') as host,
             when 1 then 'malware' else 'gambling' end as category
 from range({n_hosts}) t(id) where id % {mod} = {resid}
 """
+
+
+# ---------------------------------------------------------------------------
+# 6. boilerplate chunk dedup (CCNet/RefinedWeb paragraph-dedup analogue)
+# ---------------------------------------------------------------------------
+
+def chunk_dedup(docs: DataFrame, chunk_words: int = 8, max_docs: int = 2,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Remove corpus-wide repeated spans from every document: tile each
+    text into non-overlapping ``chunk_words``-word chunks, find chunks
+    that occur in more than ``max_docs`` distinct documents (navigation
+    bars, cookie banners, license footers — the boilerplate CCNet drops
+    at paragraph granularity; the deterministic tile stands in for the
+    paragraph boundary on corpora whose texts carry no newlines), and
+    reassemble each document from its surviving chunks in order.
+
+    Returns ``(id, n_chunks, n_dropped, clean_text)`` for every document.
+
+    Scale shape: one scan → tile explode → group-by chunk with map-side
+    partial aggregation (the repeated chunks ARE the heavy groups, so
+    the combine absorbs them before the shuffle) → the hot set is
+    boilerplate-sized, not corpus-sized → broadcast left join back →
+    one per-doc aggregate for reassembly. At 100 TB, group on the
+    40-bit chunk hash (``dedup.hash40_sql_duckdb`` has the cross-engine
+    twin) instead of the string to bound shuffle width; the string form
+    here keeps the oracle byte-exact. All whole-stage codegen — no
+    Python nodes.
+    """
+    k = chunk_words
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = docs.select(F.col(id_col), words.alias("_w"))
+    # integer ceil-div: every doc has >= 1 word after split, so the
+    # sequence below never runs descending.
+    n_chunks = F.expr(f"(size(_w) + {k - 1}) div {k}")
+    chunks = (base
+              .withColumn("_i", F.explode(F.sequence(F.lit(1), n_chunks)))
+              .select(id_col, "_i",
+                      F.concat_ws(" ",
+                                  F.slice(F.col("_w"),
+                                          (F.col("_i") - 1) * k + 1, k))
+                      .alias("chunk")))
+    hot = (chunks.groupBy("chunk")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") > max_docs)
+           .select("chunk", F.lit(1).alias("_hot")))
+    j = chunks.join(F.broadcast(hot), "chunk", "left")
+    keep = F.when(F.col("_hot").isNull(),
+                  F.struct(F.col("_i").alias("i"), F.col("chunk").alias("c")))
+    return (j.groupBy(id_col)
+            .agg(F.count("*").alias("n_chunks"),
+                 F.count("_hot").alias("n_dropped"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(keep)),
+                                 lambda x: x["c"]), " ").alias("clean_text")))
+
+
+def chunk_dedup_sql_duckdb(rel: str, chunk_words: int = 8, max_docs: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`chunk_dedup` (same tiling, same hot rule,
+    same in-order reassembly)."""
+    k = chunk_words
+    return f"""
+with w as (
+  select {id_col},
+         string_split(lower(coalesce({text_col}, '')), ' ') as w
+  from {rel}
+),
+c as (
+  select {id_col}, i,
+         array_to_string(w[(i-1)*{k}+1:(i-1)*{k}+{k}], ' ') as chunk
+  from w, unnest(generate_series(1, (len(w) + {k - 1}) // {k})) t(i)
+),
+hot as (
+  select chunk from c group by chunk
+  having count(distinct {id_col}) > {max_docs}
+)
+select {id_col},
+       count(*) as n_chunks,
+       count(*) filter (where chunk in (select chunk from hot))
+           as n_dropped,
+       coalesce(string_agg(chunk, ' ' order by i)
+                filter (where chunk not in (select chunk from hot)), '')
+           as clean_text
+from c
+group by {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. training-sequence packing
+# ---------------------------------------------------------------------------
+
+# Ordering hash for packing (distinct constants from the sampling hash so
+# shard assignment and intra-shard order are independent). Same int64
+# domain bound as _HASH_A above.
+_ORD_A = 1103515245
+_ORD_B = 54321
+_ORD_MOD = 100000007
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256, n_shards: int = 8,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Assign every document to a training sequence of at most ~``budget``
+    whitespace tokens: documents are sharded by an arithmetic id hash,
+    deterministically ordered within the shard (hash order — a cheap
+    shuffle of the corpus order, so sequences don't inherit crawl
+    locality), and packed contiguously — a document starts a new
+    sequence when the running token total crosses the budget. This is
+    the deterministic contiguous-fill packing used to build fixed-length
+    LM training batches; greedy best-fit packs ~1-2% tighter but is
+    order-dependent and unreproducible under retries.
+
+    Returns ``(id, shard, seq_id, n_tokens)`` per document.
+
+    Scale shape: one scan → integer hash + token count (codegen) → ONE
+    shuffle on ``shard`` with an in-partition sort (the window is
+    partitioned by shard, never global — set ``n_shards`` to the target
+    output-shard count, which scales with the cluster). The running sum
+    is a streaming frame, so memory per partition is O(1) beyond the
+    sort.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    shard = F.pmod(F.col(id_col) * _HASH_A + _HASH_B, F.lit(n_shards))
+    ord_h = F.pmod(F.col(id_col) * _ORD_A + _ORD_B, F.lit(_ORD_MOD))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("shard")
+         .orderBy("ord_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (docs
+            .select(F.col(id_col), shard.alias("shard"),
+                    ord_h.alias("ord_h"), toks.alias("n_tokens"))
+            .withColumn("_cum_before",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .select(id_col, "shard",
+                    F.expr(f"_cum_before div {budget}").alias("seq_id"),
+                    "n_tokens"))
+
+
+def pack_sequences_sql_duckdb(rel: str, budget: int = 256, n_shards: int = 8,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pack_sequences` (same hashes, same window)."""
+    return f"""
+with d as (
+  select {id_col},
+         ({id_col} * {_HASH_A} + {_HASH_B}) % {n_shards} as shard,
+         ({id_col} * {_ORD_A} + {_ORD_B}) % {_ORD_MOD} as ord_h,
+         len(regexp_split_to_array(trim({text_col}), '\\s+')) as n_tokens
+  from {rel}
+)
+select {id_col}, shard,
+       coalesce(sum(n_tokens) over (
+           partition by shard order by ord_h, {id_col}
+           rows between unbounded preceding and 1 preceding), 0)
+           // {budget} as seq_id,
+       n_tokens
+from d
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. per-source document cap (host-level crawl rebalancing)
+# ---------------------------------------------------------------------------
+
+def source_cap(docs: DataFrame, k: int = 10, n_salts: int = 4,
+               id_col: str = "doc_id", source_col: str = "source",
+               order_col: str = "n_chars") -> DataFrame:
+    """Keep at most ``k`` documents per source (host/domain), preferring
+    the highest ``order_col`` with the id as a total-order tie-break —
+    the per-host cap crawl pipelines apply so that one giant forum
+    doesn't dominate the corpus.
+
+    Returns the kept rows as ``(id, source, order_col, rk)`` with
+    ``rk`` the 1-based within-source rank.
+
+    Scale shape: a one-window top-k per host melts down when one host
+    holds 10^9 pages (that single window partition becomes one task's
+    sort). This runs the exact two-phase form instead: a salted local
+    top-k per ``(source, salt)`` — correct because every global top-k
+    member is also in its own salt group's top-k — cuts each source to
+    at most ``k * n_salts`` rows before the per-source window ranks the
+    survivors. Both windows are partitioned (never global); the second
+    one sorts at most ``k * n_salts`` rows per source.
+    """
+    from pyspark.sql import Window
+    salt = F.pmod(F.col(id_col) * _HASH_A + _HASH_B, F.lit(n_salts))
+    w1 = (Window.partitionBy(source_col, "_salt")
+          .orderBy(F.col(order_col).desc(), F.col(id_col).asc()))
+    w2 = (Window.partitionBy(source_col)
+          .orderBy(F.col(order_col).desc(), F.col(id_col).asc()))
+    local = (docs
+             .select(id_col, source_col, order_col)
+             .withColumn("_salt", salt)
+             .withColumn("_r1", F.row_number().over(w1))
+             .filter(F.col("_r1") <= k))
+    return (local
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select(id_col, source_col, order_col, "rk"))
+
+
+def source_cap_sql_duckdb(rel: str, k: int = 10, id_col: str = "doc_id",
+                          source_col: str = "source",
+                          order_col: str = "n_chars") -> str:
+    """DuckDB twin of :func:`source_cap` — the plain one-window top-k,
+    which the salted two-phase form is exactly equal to."""
+    return f"""
+select {id_col}, {source_col}, {order_col}, rk
+from (
+  select {id_col}, {source_col}, {order_col},
+         row_number() over (partition by {source_col}
+                            order by {order_col} desc, {id_col} asc) as rk
+  from {rel}
+)
+where rk <= {k}
+"""
