@@ -1143,6 +1143,18 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_event_stats(ev, window="6 hours")
 
 
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows through the REAL streaming engine: readStream →
+    complete-mode memory sink, availableNow trigger. On a bounded input
+    complete mode must emit exactly the batch aggregate, so this query
+    value-hash-checks the micro-batch execution path itself against the
+    same SQL oracle as `tumbling_window`."""
+    from zen3geo_spark.streaming.windows import stream_tumbling_to_memory
+
+    return stream_tumbling_to_memory(
+        spark, f"{sf_dir}/events.parquet", window="6 hours")
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap-merged session windows (F.session_window; oracle is
     the lag/cumsum gaps-and-islands rewrite)."""
@@ -1634,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "pack_sequences": q_pack_sequences,
         "source_cap": q_source_cap,
+        "stream_tumbling": q_stream_tumbling,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3135,6 +3148,15 @@ def oracle_sql() -> dict[str, str]:
             "from pages"
         ),
         "tumbling_window": (
+            "select TIMESTAMP '1970-01-01 00:00:00' "
+            "+ to_seconds(cast(floor(epoch(ts) / 21600) * 21600 as bigint)) as window_start, "
+            "event_type, count(*) as n, round(sum(value), 4) as sum_value, "
+            "round(avg(cast(json_extract_string(props, '$.k') as int)), 6) as avg_k "
+            "from events group by 1, 2"
+        ),
+        # the streaming complete-mode run must equal the batch aggregate
+        # on a bounded input — same oracle as tumbling_window
+        "stream_tumbling": (
             "select TIMESTAMP '1970-01-01 00:00:00' "
             "+ to_seconds(cast(floor(epoch(ts) / 21600) * 21600 as bigint)) as window_start, "
             "event_type, count(*) as n, round(sum(value), 4) as sum_value, "

@@ -95,3 +95,25 @@ def test_streaming_windowed_available_now(spark, tmp_path):
 def test_watermark_marker_batch_noop(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert with_watermark_ts(ev) is ev
+
+
+def test_stream_tumbling_complete_equals_batch(spark):
+    from zen3geo_spark.streaming.windows import stream_tumbling_to_memory
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    got = stream_tumbling_to_memory(spark, src, window="6 hours",
+                                    name="t_stream_eq")
+    batch = tumbling_event_stats(spark.read.parquet(src), window="6 hours")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(a) > 0 and a == b
+
+
+def test_stream_tumbling_rerun_same_name(spark):
+    from zen3geo_spark.streaming.windows import stream_tumbling_to_memory
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    n1 = stream_tumbling_to_memory(spark, src, name="t_stream_rr").count()
+    # second run with the same sink name must not clash with the first
+    n2 = stream_tumbling_to_memory(spark, src, name="t_stream_rr").count()
+    assert n1 == n2 > 0

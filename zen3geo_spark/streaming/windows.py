@@ -91,3 +91,51 @@ def run_windowed_stream(spark, events_dir: str, out_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_tumbling_to_memory(spark, events_path: str,
+                              window: str = "6 hours",
+                              name: str = "stream_tumbling_out"):
+    """Run :func:`tumbling_event_stats` through the REAL streaming engine
+    (``readStream`` → complete-mode memory sink, ``availableNow``) over a
+    bounded input and return the emitted result table — so the streaming
+    micro-batch path itself (not just the shared transform) can be
+    value-hash-checked against the batch SQL oracle: on a bounded input,
+    complete mode must emit exactly the batch aggregate.
+
+    Complete mode keeps all window state (no watermark eviction), which
+    is what makes the comparison exact; the append-mode + watermark
+    production path is exercised by :func:`run_windowed_stream` and its
+    resume tests. Memory sink is driver-sized: the OUTPUT here is
+    windows × event_types (tiny), never the event stream.
+
+    ``FileStreamSource`` lists a DIRECTORY; when ``events_path`` is a
+    single parquet file (the driver's testdata layout), a per-path
+    symlink directory under /tmp stands in — the file itself is never
+    copied.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = spark.read.parquet(events_path).schema
+    src_dir = events_path
+    if os.path.isfile(events_path):
+        tag = hashlib.md5(events_path.encode()).hexdigest()[:12]
+        src_dir = f"/tmp/zen3geo_stream_src_{tag}"
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, "part-0.parquet")
+        if not os.path.lexists(link):
+            os.symlink(events_path, link)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (tumbling_event_stats(stream, window)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="zst_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
