@@ -183,6 +183,35 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("warc_ts").alias("last_ts")))
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt longest-prefix-match evaluation (RFC 9309: longest
+    match wins, Allow wins ties, no match = allowed) over the pages
+    table, rolled up per host. Per-host rule arrays broadcast; the match
+    is a higher-order aggregate in codegen — the corpus never shuffles
+    and never fans out by matching-rule count."""
+    from zen3geo_spark.functions.web import (robots_decisions,
+                                             robots_rules_synth)
+
+    pages = synth_pages(spark, N_PAGES)
+    rules = robots_rules_synth(spark, n_hosts=1000)
+    return (robots_decisions(pages, rules)
+            .groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("allowed").alias("n_allowed"),
+                 (F.count("*") - F.sum("allowed")).alias("n_blocked")))
+
+
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch mixture planner: per-language token totals + the sampling
+    weight reshaping the corpus toward a target token mixture (the
+    DoReMi/Llama-recipe data-mixing table). Lang-keyed partial agg +
+    constant-key broadcast of the one-row total."""
+    from zen3geo_spark.operators.curation import epoch_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_mix(docs, targets={"en": 30, "zh": 25}, default_pct=15)
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode the ``html`` binary column, strip markup JVM-side, and pin
     the input contract's per-row invariant (BASELINE.json ``input_hint``:
@@ -1647,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "source_cap": q_source_cap,
         "stream_tumbling": q_stream_tumbling,
+        "robots_filter": q_robots_filter,
+        "epoch_mix": q_epoch_mix,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2771,6 +2802,13 @@ def oracle_sql() -> dict[str, str]:
                                                    n_shards=8)
     source_cap_sql = source_cap_sql_duckdb("documents", k=10)
 
+    from zen3geo_spark.functions.web import robots_audit_sql_duckdb
+    from zen3geo_spark.operators.curation import epoch_mix_sql_duckdb
+    robots_filter_sql = robots_audit_sql_duckdb(
+        pages_cte_sql(N_PAGES), n_hosts=1000)
+    epoch_mix_sql = epoch_mix_sql_duckdb(
+        "documents", targets={"en": 30, "zh": 25}, default_pct=15)
+
     from zen3geo_spark.operators.curation import (
         pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
     )
@@ -2966,6 +3004,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": chunk_dedup_sql,
         "pack_sequences": pack_sequences_sql,
         "source_cap": source_cap_sql,
+        "robots_filter": robots_filter_sql,
+        "epoch_mix": epoch_mix_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

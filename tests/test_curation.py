@@ -314,3 +314,20 @@ def test_source_cap_skewed_source_exact(spark):
     big = sorted(r["doc_id"] for r in out if r["source"] == "big")
     assert big == [0, 1, 2]  # all n_chars tie -> lowest ids win
     assert [r["doc_id"] for r in out if r["source"] == "small"] == [1000]
+
+
+def test_epoch_mix_weights(spark, docs):
+    from zen3geo_spark.operators.curation import (
+        epoch_mix, epoch_mix_sql_duckdb)
+
+    got = sorted(tuple(r) for r in epoch_mix(
+        docs, targets={"en": 30, "zh": 25}, default_pct=15).collect())
+    want = sorted(tuple(r) for r in _duck(epoch_mix_sql_duckdb(
+        "documents", targets={"en": 30, "zh": 25}, default_pct=15)))
+    assert got == want
+    # weight direction: a language holding share s of tokens with target
+    # t gets weight ~ t/s — check en's sign against its actual share
+    rows = {r[0]: r for r in got}
+    total = sum(r[2] for r in got)
+    en_share = rows["en"][2] / total
+    assert (rows["en"][4] > 1) == (0.30 > en_share)

@@ -162,3 +162,114 @@ def messy_url_sql(url: str, page_id: str, variant: int, engine: str) -> str:
         f"else '' end"
     )
     return f"concat('https://', {hostexpr}, {pathexpr}, '?a=1&b=2', {frag})"
+
+
+# ---------------------------------------------------------------------------
+# robots.txt longest-prefix-match evaluation
+# ---------------------------------------------------------------------------
+
+def robots_decisions(pages, rules, url_col: str = "url"):
+    """Evaluate robots.txt-style prefix rules against every page URL:
+    ``rules`` is a flat ``(host, prefix, allow: int)`` dimension; the
+    REP rule is longest-matching-prefix wins, Allow wins ties, and a URL
+    with no matching rule is allowed (RFC 9309 §2.2.2).
+
+    Adds ``host`` and ``allowed`` (int 0/1) columns to ``pages``.
+
+    Scale shape: robots dimensions are host-count-sized (small by
+    construction), so the per-host rule ARRAYS broadcast and the
+    longest-match scan runs as a higher-order ``aggregate`` over each
+    URL's host rules inside whole-stage codegen — the corpus side never
+    shuffles, and there is no per-URL row explosion (a plain
+    prefix-match join would fan each URL out by its matching-rule count
+    and need a corpus-wide re-group to pick the winner).
+    """
+    from pyspark.sql import functions as F
+    from zen3geo_spark.operators.curation import url_host
+
+    rlist = (rules.groupBy("host")
+             .agg(F.collect_list(F.struct("prefix", "allow")).alias("rlist")))
+    j = (pages
+         .withColumn("host", url_host(F.col(url_col)))
+         .withColumn("_path",
+                     F.regexp_extract(F.col(url_col),
+                                      r"^https?://[^/]+(/.*)$", 1))
+         .join(F.broadcast(rlist), "host", "left"))
+    # max over matched rules of (prefix length, allow): order-independent,
+    # so collect_list's nondeterministic order cannot change the result.
+    best = F.expr(
+        "aggregate("
+        "  filter(rlist, r -> startswith(_path, r.prefix)),"
+        "  named_struct('l', -1, 'a', 1),"
+        "  (acc, r) -> if(length(r.prefix) > acc.l"
+        "               or (length(r.prefix) = acc.l and r.allow > acc.a),"
+        "              named_struct('l', length(r.prefix), 'a', r.allow),"
+        "              acc))")
+    return (j.withColumn(
+        "allowed",
+        F.when(F.col("rlist").isNull(), F.lit(1)).otherwise(best["a"]))
+        .drop("rlist", "_path"))
+
+
+def robots_rules_synth(spark, n_hosts: int = 1000):
+    """Deterministic robots dimension over the synthetic host universe
+    (formulas shared with :func:`robots_rules_sql_duckdb`): every host
+    disallows ``/page/1``; even hosts re-allow ``/page/12`` (longer
+    prefix — the allow must win); every host with k % 13 == 7 disallows
+    ``/`` (blanket, but SHORTER than both page rules, so it only decides
+    URLs the page rules don't reach)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_hosts).selectExpr(
+        "concat('example-', cast(id as string), '.test') as host", "id")
+    r1 = base.selectExpr("host", "'/page/1' as prefix", "0 as allow")
+    r2 = (base.filter(F.col("id") % 2 == 0)
+          .selectExpr("host", "'/page/12' as prefix", "1 as allow"))
+    r3 = (base.filter(F.col("id") % 13 == 7)
+          .selectExpr("host", "'/' as prefix", "0 as allow"))
+    return r1.unionAll(r2).unionAll(r3)
+
+
+def robots_rules_sql_duckdb(n_hosts: int = 1000) -> str:
+    """DuckDB twin of :func:`robots_rules_synth`."""
+    return f"""
+select concat('example-', cast(id as varchar), '.test') as host,
+       '/page/1' as prefix, 0 as allow from range({n_hosts}) t(id)
+union all
+select concat('example-', cast(id as varchar), '.test'),
+       '/page/12', 1 from range({n_hosts}) t(id) where id % 2 = 0
+union all
+select concat('example-', cast(id as varchar), '.test'),
+       '/', 0 from range({n_hosts}) t(id) where id % 13 = 7
+"""
+
+
+def robots_audit_sql_duckdb(pages_cte: str, n_hosts: int = 1000) -> str:
+    """DuckDB twin of the per-host robots audit: longest-prefix match as
+    a prefix join + QUALIFY argmax (relationally identical to the
+    higher-order aggregate on the Spark side)."""
+    return f"""
+with pages as ({pages_cte}),
+rules as ({robots_rules_sql_duckdb(n_hosts)}),
+p as (
+  select url,
+         regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+         regexp_extract(url, '^https?://[^/]+(/.*)$', 1) as path
+  from pages
+),
+decided as (
+  select p.url, p.host,
+         coalesce(r.allow, 1) as allow,
+         row_number() over (
+             partition by p.url
+             order by len(r.prefix) desc nulls last, r.allow desc) as rn
+  from p left join rules r
+    on r.host = p.host and starts_with(p.path, r.prefix)
+)
+select host,
+       count(*) as n_pages,
+       sum(allow) as n_allowed,
+       count(*) - sum(allow) as n_blocked
+from decided where rn = 1
+group by host
+"""

@@ -597,3 +597,64 @@ from (
 )
 where rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# 9. epoch mixture planner (per-language sampling weights)
+# ---------------------------------------------------------------------------
+
+def epoch_mix(docs: DataFrame, targets: dict[str, int],
+              default_pct: int = 0, lang_col: str = "lang",
+              text_col: str = "text") -> DataFrame:
+    """Per-language token totals and the sampling weight that reshapes
+    the corpus toward a target token mixture: ``weight = target_pct *
+    total_tokens / (100 * lang_tokens)`` — weight > 1 means the language
+    is under-represented vs the target and gets repeated/upsampled,
+    < 1 means downsampled (the data-mixing planning step of an LLM
+    pipeline; DoReMi and the Llama recipes publish exactly this table).
+
+    Returns ``(lang, n_docs, n_tokens, target_pct, mix_weight)``.
+
+    Scale shape: one scan → token count in codegen → lang-keyed partial
+    aggregate (bounded key space) → constant-key broadcast of the
+    one-row total. Nothing here is corpus-sized after the first
+    aggregate.
+    """
+    from zen3geo_spark.operators._util import pair_all
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (docs.select(F.col(lang_col).alias("lang"), toks.alias("_t"))
+           .groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_t").alias("n_tokens")))
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    tgt = _rate_case(targets, default_pct, "lang")
+    return (pair_all(per, total)
+            .withColumn("target_pct", tgt)
+            .select("lang", "n_docs", "n_tokens", "target_pct",
+                    F.round(F.col("target_pct") * F.col("_total") /
+                            (F.lit(100.0) * F.col("n_tokens")), 6)
+                    .alias("mix_weight")))
+
+
+def epoch_mix_sql_duckdb(rel: str, targets: dict[str, int],
+                         default_pct: int = 0, lang_col: str = "lang",
+                         text_col: str = "text") -> str:
+    """DuckDB twin of :func:`epoch_mix` (same token split, same CASE,
+    same arithmetic order)."""
+    case = "case " + " ".join(
+        f"when lang = '{k}' then {targets[k]}" for k in sorted(targets)
+    ) + f" else {default_pct} end"
+    return f"""
+with per as (
+  select {lang_col} as lang, count(*) as n_docs,
+         sum(len(regexp_split_to_array(trim({text_col}), '\\s+')))
+             as n_tokens
+  from {rel} group by {lang_col}
+),
+tot as (select sum(n_tokens) as total from per)
+select lang, n_docs, n_tokens,
+       ({case}) as target_pct,
+       round(({case}) * tot.total / (100.0 * n_tokens), 6) as mix_weight
+from per, tot
+"""
