@@ -1375,6 +1375,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, rates={"en": 100, "es": 50}, default_rate=10)
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental near-dup screen: docs split into an
+    OLD corpus (even ids) and a NEW snapshot (odd ids); every new doc is
+    flagged iff it shares an LSH band-bucket with any old doc. Left-semi
+    probe of the new banded table against distinct old buckets — the old
+    corpus is never self-paired."""
+    from zen3geo_spark.operators.dedup import incremental_neardup_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return incremental_neardup_flags(old, new, num_hashes=8, bands=4,
+                                     shingle_n=2)
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate chunk dedup (CCNet/RefinedWeb paragraph-dedup
     analogue): tile each doc into non-overlapping 8-word chunks, drop
@@ -1678,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling": q_stream_tumbling,
         "robots_filter": q_robots_filter,
         "epoch_mix": q_epoch_mix,
+        "incremental_neardup": q_incremental_neardup,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2509,6 +2525,29 @@ def oracle_sql() -> dict[str, str]:
       on l.band = r.band and l.bucket = r.bucket and l.doc_id < r.doc_id
     """
 
+    # incremental cross-snapshot screen: same banded CTE, old = even ids,
+    # new = odd ids; collided = shares any (band, bucket) with the old side
+    incremental_neardup_sql = f"""
+    with sh as (select doc_id, {mh_grams} as grams from documents),
+    hashed as (select doc_id, {mh_hashes} as hs from sh),
+    sig as (select doc_id, {mh_sig} as sig from hashed),
+    banded as (
+      select doc_id, band,
+             md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) as bucket
+      from sig, (select unnest(generate_series(0, 3)) as band) b
+    ),
+    oldb as (select distinct band, bucket from banded where doc_id % 2 = 0),
+    hits as (
+      select distinct n.doc_id
+      from banded n join oldb o using (band, bucket)
+      where n.doc_id % 2 = 1
+    )
+    select d.doc_id,
+           case when h.doc_id is not null then 1 else 0 end as collided
+    from documents d left join hits h on h.doc_id = d.doc_id
+    where d.doc_id % 2 = 1
+    """
+
     near_dup_verified_sql = f"""
     with sh0 as (select doc_id, {mh_grams} as grams from documents),
     hashed as (select doc_id, grams, {mh_hashes} as hs from sh0),
@@ -3076,6 +3115,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": kmv_sql,
         "word_jaccard": word_jaccard_sql,
         "minhash_lsh": minhash_sql,
+        "incremental_neardup": incremental_neardup_sql,
         "simhash": simhash_sql,
         "ann_cosine": ann_cosine_sql,
         "ann_lsh": ann_lsh_sql,

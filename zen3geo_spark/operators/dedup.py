@@ -482,6 +482,44 @@ def winnow_fingerprints_sql_duckdb(rel: str, id_col: str, col: str,
     """
 
 
+def banded_buckets(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_hashes: int = 16,
+                   bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """(doc, band, bucket): one LSH band-bucket row per document per band
+    (bucket = md5 of that band's signature slice). The shared candidate
+    generator for the self-join (``minhash_lsh_candidates``) and the
+    cross-snapshot probe (``incremental_neardup_flags``).
+
+    localCheckpoint-ed because every caller references this table at
+    least twice (both sides of a self-join, or probe + audit): the
+    signature kernel — the dominant CPU cost — must evaluate once, and
+    the plan tree is cut at the stage boundary so references don't
+    multiply the MapInPandas subtree into the physical plan; blocks are
+    GC-freed instead of leaking in the CacheManager.
+    """
+    rows_per_band = num_hashes // bands
+    d = minhash_table_pd(_ensure_parallelism(docs), text_col=text_col,
+                         id_col=id_col, num_hashes=num_hashes,
+                         shingle_n=shingle_n)
+    return d.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ), "|"
+                    )).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket").localCheckpoint(eager=False)
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            bands: int = 4, shingle_n: int = 3,
@@ -501,34 +539,9 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     still surface through their other bands or the verify stage. Default
     None keeps exact all-bucket semantics (the oracle's).
     """
-    rows_per_band = num_hashes // bands
-    d = minhash_table_pd(_ensure_parallelism(docs), text_col=text_col,
-                         id_col=id_col, num_hashes=num_hashes,
-                         shingle_n=shingle_n)
-    banded = d.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ), "|"
-                    )).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket").localCheckpoint(eager=False)
-    # ^ localCheckpoint: the self-join below references the banded table
-    # on BOTH sides (plus the skew-guard aggregate) — without it the plan
-    # carries one signature-kernel MapInPandas node per reference and the
-    # dominant CPU cost of the pipeline (the minhash pass) runs 2-3x;
-    # unlike persist it also cuts the plan tree (no per-reference subtree
-    # duplication) and its blocks are GC-freed instead of leaking in the
-    # CacheManager
+    banded = banded_buckets(docs, text_col=text_col, id_col=id_col,
+                            num_hashes=num_hashes, bands=bands,
+                            shingle_n=shingle_n)
     if max_bucket is not None:
         ok = (banded.groupBy("band", "bucket")
               .agg(F.count("*").alias("_n"))
@@ -543,6 +556,45 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
     return pairs
+
+
+def incremental_neardup_flags(old_docs: DataFrame, new_docs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", num_hashes: int = 16,
+                              bands: int = 4,
+                              shingle_n: int = 3) -> DataFrame:
+    """Cross-snapshot near-dup screen: flag every NEW-snapshot document
+    that shares any LSH band-bucket with any OLD-snapshot document — the
+    incremental dedup pass a recurring crawl pipeline runs so each new
+    snapshot is deduplicated against the corpus already ingested,
+    without ever re-pairing the old corpus with itself.
+
+    Returns ``(id, collided: int)`` for every new document (1 = has an
+    old-corpus candidate; feed collided docs to the exact-verify stage,
+    keep the rest).
+
+    Scale shape: both sides reduce to band-bucket tables (bands × docs
+    rows); the probe is a left-semi equi-join of the NEW side against
+    the distinct OLD buckets — old-corpus pairs are never generated, so
+    the cost is linear in the new snapshot plus one distinct over old
+    buckets (at 10^12 old docs, that distinct is the band-bucket
+    universe, amortizable as a maintained table across snapshots).
+    """
+    old_b = banded_buckets(old_docs, text_col=text_col, id_col=id_col,
+                           num_hashes=num_hashes, bands=bands,
+                           shingle_n=shingle_n)
+    new_b = banded_buckets(new_docs, text_col=text_col, id_col=id_col,
+                           num_hashes=num_hashes, bands=bands,
+                           shingle_n=shingle_n)
+    hit = (new_b
+           .join(old_b.select("band", "bucket").distinct(),
+                 ["band", "bucket"], "left_semi")
+           .select("doc").distinct()
+           .withColumn("_hit", F.lit(1)))
+    return (new_docs.select(F.col(id_col))
+            .join(hit, new_docs[id_col] == hit["doc"], "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("_hit"), F.lit(0)).alias("collided")))
 
 
 def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
