@@ -1692,8 +1692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "stream_tumbling": q_stream_tumbling,
         "robots_filter": q_robots_filter,
-        "epoch_mix": q_epoch_mix,
         "incremental_neardup": q_incremental_neardup,
+        # epoch_mix is position 51 — one past the driver's 50-query
+        # window; it is the least novel of the unchecked batch (plain
+        # aggregates, 5 rows) and stays locally oracle-checked
+        "epoch_mix": q_epoch_mix,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
