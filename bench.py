@@ -563,10 +563,44 @@ delivers ~4x the cycles, the job scales accordingly.
     return summary
 
 
+
+
+def _jvm_ceil_probe() -> None:
+    """Measure the pure-JVM parallel-speedup ceiling RIGHT NOW: one JVM,
+    SparkContexts at local[N] then local[4N], timed max(xxhash64) sweep
+    per level (no Python, no shuffle, no I/O). Prints ONE JSON line
+    {"ceil": eff, "lo_sec": s, "hi_sec": s}.
+
+    Exists because the cheap Python multiprocessing probe systematically
+    over-reads the speedup available to a sustained JVM workload on this
+    host (0.9 probe windows with 0.7 JVM ceilings — see
+    BENCH/BASELINE.md third-hunt section); gating the scaling fire on
+    the JVM ceiling itself removes that gap.
+    """
+    from zen3geo_spark.session import get_spark
+
+    out = {}
+    for cores in (SCALE_N, SCALE_N * 4):
+        spark = get_spark(app_name=f"ceil{cores}", cores=cores,
+                          shuffle_partitions=max(cores * 2, 8))
+        spark.range(1000).count()
+        spark.sql("select max(xxhash64(id)) from "
+                  f"range(0, 100000000, 1, {cores * 8})").collect()
+        t0 = time.time()
+        spark.sql("select max(xxhash64(id)) from "
+                  f"range(0, 2000000000, 1, {cores * 8})").collect()
+        out["lo" if cores == SCALE_N else "hi"] = time.time() - t0
+        spark.stop()
+    print(json.dumps({
+        "ceil": round((out["lo"] / out["hi"]) / 4.0, 3),
+        "lo_sec": round(out["lo"], 3), "hi_sec": round(out["hi"], 3)}))
+
 if __name__ == "__main__":
     if "--child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--child") + 1]))
     elif "--pairchild" in sys.argv:
         _pair_child()
+    elif "--jvmceil" in sys.argv:
+        _jvm_ceil_probe()
     else:
         main()
