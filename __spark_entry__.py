@@ -1390,6 +1390,30 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      shingle_n=2)
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (LASER/CCMatrix-style, simplified):
+    mutual-best cosine pairs between two embedding groups (labels 0/1)
+    where the forward best beats the second-best by a 1.01 ratio margin.
+    Ids only in the output — hash-stable like the ANN queries."""
+    from zen3geo_spark.operators.similarity import bitext_mine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
+    tgt = emb.filter(F.col("label") == 1).select("vec_id", "embedding")
+    return bitext_mine(src, tgt, margin=1.01)
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike detection per event type: tumbling 6h counts vs the
+    mean of the previous 4 observed windows, flagged at >=2x with an
+    integer compare (cross-engine exact). The ordered frame runs over
+    the window-count aggregate, never the event stream."""
+    from zen3geo_spark.streaming.windows import windowed_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_anomaly(ev, window="6 hours", trail=4, factor=2)
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate chunk dedup (CCNet/RefinedWeb paragraph-dedup
     analogue): tile each doc into non-overlapping 8-word chunks, drop
@@ -1693,10 +1717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling": q_stream_tumbling,
         "robots_filter": q_robots_filter,
         "incremental_neardup": q_incremental_neardup,
-        # epoch_mix is position 51 — one past the driver's 50-query
-        # window; it is the least novel of the unchecked batch (plain
-        # aggregates, 5 rows) and stays locally oracle-checked
+        # positions 51+ — past the driver's 50-query window (it is full:
+        # 28 never-checked + the 22 rotation queries the r4 verdict
+        # mandates). These stay locally oracle-checked (tools/
+        # check_oracle.py) with pytest goldens; least-novel first
         "epoch_mix": q_epoch_mix,
+        "bitext_mine": q_bitext_mine,
+        "event_anomaly": q_event_anomaly,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2851,6 +2878,12 @@ def oracle_sql() -> dict[str, str]:
     epoch_mix_sql = epoch_mix_sql_duckdb(
         "documents", targets={"en": 30, "zh": 25}, default_pct=15)
 
+    from zen3geo_spark.operators.similarity import bitext_mine_sql_duckdb
+    from zen3geo_spark.streaming.windows import windowed_anomaly_sql_duckdb
+    bitext_mine_sql = bitext_mine_sql_duckdb("embeddings", 0, 1, margin=1.01)
+    event_anomaly_sql = windowed_anomaly_sql_duckdb(
+        "events", window_sec=21600, trail=4, factor=2)
+
     from zen3geo_spark.operators.curation import (
         pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
     )
@@ -3048,6 +3081,8 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": source_cap_sql,
         "robots_filter": robots_filter_sql,
         "epoch_mix": epoch_mix_sql,
+        "bitext_mine": bitext_mine_sql,
+        "event_anomaly": event_anomaly_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

@@ -192,3 +192,45 @@ def test_int8_topk_agrees_with_float_bruteforce(spark):
           for r in cosine_topk_bruteforce(queries, emb, k=1).collect()}
     agree = sum(i8[q] == fl[q] for q in i8)
     assert agree >= 7  # at most one boundary flip in 8
+
+
+# ---------------------------------------------------------------------------
+# bitext mining (late r5)
+# ---------------------------------------------------------------------------
+
+def test_bitext_mine_mutual_margin(spark):
+    from zen3geo_spark.operators.similarity import bitext_mine
+
+    # src 0 <-> tgt 10 mutual, well-separated (margin passes)
+    # src 1's best (tgt 11) prefers src 2 back -> not mutual, dropped
+    # src 3 is a hub: cos to tgt 13/14 nearly equal -> margin kills it
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.6, 0.8, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 0.7, 0.7])],
+        "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        [(10, [0.99, 0.1, 0.0, 0.0]),
+         (11, [0.05, 1.0, 0.0, 0.0]),
+         (13, [0.0, 0.0, 1.0, 0.0]),
+         (14, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {(r["src_id"], r["tgt_id"])
+           for r in bitext_mine(src, tgt, margin=1.05).collect()}
+    assert (0, 10) in got
+    assert (2, 11) in got          # mutual: 11's best back is 2
+    assert not any(s == 1 for s, _ in got)   # lost tgt 11 to src 2
+    assert not any(s == 3 for s, _ in got)   # hub killed by margin
+
+
+def test_bitext_single_target_no_second(spark):
+    from zen3geo_spark.operators.similarity import bitext_mine
+
+    src = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame([(10, [1.0, 0.1])],
+                                "vec_id long, embedding array<double>")
+    # one target: no second-best -> margin vacuously passes, mutual holds
+    assert {(r["src_id"], r["tgt_id"]) for r in
+            bitext_mine(src, tgt, margin=2.0).collect()} == {(0, 10)}

@@ -117,3 +117,27 @@ def test_stream_tumbling_rerun_same_name(spark):
     # second run with the same sink name must not clash with the first
     n2 = stream_tumbling_to_memory(spark, src, name="t_stream_rr").count()
     assert n1 == n2 > 0
+
+
+def test_windowed_anomaly_planted_spike(spark):
+    import datetime as dt
+
+    from zen3geo_spark.streaming.windows import windowed_anomaly
+
+    # key "a": 4 quiet hours (2 events each) then one 10-event spike hour
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(4):
+        rows += [(base + dt.timedelta(hours=h, minutes=m), "a")
+                 for m in (5, 25)]
+    rows += [(base + dt.timedelta(hours=4, minutes=m), "a")
+             for m in range(0, 50, 5)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["window_start"].hour: r for r in
+           windowed_anomaly(ev, window="1 hour", trail=4,
+                            factor=2).collect()}
+    assert out[4]["is_spike"] == 1 and out[4]["n"] == 10
+    assert out[4]["trail_avg"] == 2.0
+    # baseline-less first window: NULL trail, never flagged
+    assert out[0]["trail_avg"] is None and out[0]["is_spike"] == 0
+    assert all(out[h]["is_spike"] == 0 for h in (0, 1, 2, 3))

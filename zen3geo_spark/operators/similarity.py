@@ -432,3 +432,80 @@ def int8_topk(queries: DataFrame, targets: DataFrame, k: int,
     return (pairs.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("query_id", "target_id", "dot_q", "rk"))
+
+
+def bitext_mine(src: DataFrame, tgt: DataFrame, margin: float = 1.01,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Margin-based bitext mining between two embedding groups (the
+    LASER/CCMatrix parallel-corpus miner, simplified to forward ratio
+    margin + mutual-best): a (src, tgt) pair is emitted iff tgt is src's
+    best cosine match, src is tgt's best match back, and src's best
+    score beats its SECOND-best by the ratio ``margin`` (filters hubs —
+    vectors near everything — which mutual-best alone lets through).
+
+    Returns ``(src_id, tgt_id)`` — ids only, no float scores, so the
+    output is hash-stable cross-engine (ranking comparisons are the only
+    FP dependence, as in the ANN queries).
+
+    Scale shape: two brute-force top-k passes (each a broadcast of the
+    smaller side — swap in ``cosine_topk_ivf`` for the forward pass when
+    both sides are corpus-sized) + one broadcast semi-join for
+    mutuality. No nested-loop plan nodes (pair_all constant-key join).
+    """
+    fwd = cosine_topk_bruteforce(src, tgt, 2, q_id=id_col, t_id=id_col,
+                                 q_vec=vec_col, t_vec=vec_col)
+    best = (fwd.filter(F.col("rk") == 1)
+            .select(F.col("query_id").alias("src_id"),
+                    F.col("target_id").alias("tgt_id"),
+                    F.col("cos").alias("cos1")))
+    second = (fwd.filter(F.col("rk") == 2)
+              .select(F.col("query_id").alias("src_id"),
+                      F.col("cos").alias("cos2")))
+    # both rank tables are query-count-sized -> broadcast, no SMJ sort
+    ok = (best.join(F.broadcast(second), "src_id", "left")
+          .filter(F.col("cos2").isNull()
+                  | (F.col("cos1") >= F.lit(margin) * F.col("cos2"))))
+    bwd = (cosine_topk_bruteforce(tgt, src, 1, q_id=id_col, t_id=id_col,
+                                  q_vec=vec_col, t_vec=vec_col)
+           .filter(F.col("rk") == 1)
+           .select(F.col("target_id").alias("src_id"),
+                   F.col("query_id").alias("tgt_id")))
+    return (ok.join(F.broadcast(bwd), ["src_id", "tgt_id"], "left_semi")
+            .select("src_id", "tgt_id"))
+
+
+def bitext_mine_sql_duckdb(emb_rel: str, src_label: int, tgt_label: int,
+                           margin: float = 1.01) -> str:
+    """DuckDB twin of :func:`bitext_mine` over a labeled embedding table
+    (same ranking tie-breaks, same margin arithmetic)."""
+    return f"""
+with s as (select vec_id, embedding from {emb_rel} where label = {src_label}),
+t as (select vec_id, embedding from {emb_rel} where label = {tgt_label}),
+fwd as (
+  select s.vec_id as src_id, t.vec_id as tgt_id,
+         list_cosine_similarity(s.embedding, t.embedding) as cos,
+         row_number() over (
+             partition by s.vec_id
+             order by list_cosine_similarity(s.embedding, t.embedding) desc,
+                      t.vec_id asc) as rk
+  from s, t
+),
+best as (select src_id, tgt_id, cos as cos1 from fwd where rk = 1),
+second as (select src_id, cos as cos2 from fwd where rk = 2),
+bwd as (
+  select t.vec_id as tgt_id, s.vec_id as src_id,
+         row_number() over (
+             partition by t.vec_id
+             order by list_cosine_similarity(t.embedding, s.embedding) desc,
+                      s.vec_id asc) as rk
+  from t, s
+)
+select b.src_id, b.tgt_id
+from best b
+left join second x using (src_id)
+where (x.cos2 is null or b.cos1 >= {margin} * x.cos2)
+  and exists (select 1 from bwd w
+              where w.rk = 1 and w.src_id = b.src_id
+                and w.tgt_id = b.tgt_id)
+"""

@@ -139,3 +139,77 @@ def stream_tumbling_to_memory(spark, events_path: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def windowed_anomaly(events: DataFrame, window: str = "6 hours",
+                     trail: int = 4, factor: int = 2,
+                     ts_col: str = "ts",
+                     key_col: str = "event_type") -> DataFrame:
+    """Volume-spike detection per key: count events in tumbling windows,
+    compare each window against the mean of the previous ``trail``
+    OBSERVED windows for that key (row frame, so gaps don't dilute the
+    baseline), flag windows at >= ``factor``× the trailing mean — the
+    crawl-ops anomaly monitor (a host suddenly flooding the frontier, a
+    selector bursting).
+
+    Returns ``(key, window_start, n, trail_avg, is_spike)``; the first
+    ``trail``-less windows carry a NULL baseline and are never flagged.
+
+    Scale shape: one windowed count (map-side combinable; key × window
+    cardinality, not event cardinality) then a per-key ordered frame
+    over that SMALL aggregate — the window partition is the per-key
+    window count, never the event stream. The integer spike compare
+    (``n * denom >= factor * sum``) avoids FP, so the flag is
+    cross-engine exact; ``trail_avg`` is rounded only for display.
+    """
+    counts = (events
+              .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                       F.col(key_col).alias("key"))
+              .agg(F.count("*").alias("n"))
+              .select("key", F.col("w.start").alias("window_start"), "n"))
+    from pyspark.sql import Window as W
+    frame = (W.partitionBy("key").orderBy("window_start")
+             .rowsBetween(-trail, -1))
+    return (counts
+            .withColumn("_ts", F.sum("n").over(frame))
+            .withColumn("_tc", F.count("n").over(frame))
+            .select(
+                "key", "window_start", "n",
+                F.when(F.col("_tc") > 0,
+                       F.round(F.col("_ts") / F.col("_tc"), 6))
+                .alias("trail_avg"),
+                F.when((F.col("_tc") > 0)
+                       & (F.col("n") * F.col("_tc")
+                          >= F.lit(factor) * F.col("_ts")),
+                       F.lit(1)).otherwise(F.lit(0)).alias("is_spike")))
+
+
+def windowed_anomaly_sql_duckdb(rel: str, window_sec: int = 21600,
+                                trail: int = 4, factor: int = 2,
+                                ts_col: str = "ts",
+                                key_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`windowed_anomaly` (same epoch-floor window,
+    same row frame, same integer spike compare)."""
+    return f"""
+with counts as (
+  select {key_col} as key,
+         TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(cast(floor(epoch({ts_col}) / {window_sec})
+                             * {window_sec} as bigint)) as window_start,
+         count(*) as n
+  from {rel} group by 1, 2
+),
+trailed as (
+  select key, window_start, n,
+         sum(n) over (partition by key order by window_start
+                      rows between {trail} preceding and 1 preceding) as ts,
+         count(n) over (partition by key order by window_start
+                        rows between {trail} preceding and 1 preceding) as tc
+  from counts
+)
+select key, window_start, n,
+       case when tc > 0 then round(ts / tc, 6) end as trail_avg,
+       case when tc > 0 and n * tc >= {factor} * ts then 1 else 0 end
+           as is_spike
+from trailed
+"""
