@@ -1390,6 +1390,16 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      shingle_n=2)
 
 
+def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon area / centroid / perimeter / orientation over the fixture
+    rings (GeoSeries.area/.centroid/.length parity): shoelace twice-area
+    is INT64-EXACT in micro-units²; centroid/perimeter are ring-ordered
+    double folds rounded to 4."""
+    from zen3geo_spark.functions.geo import polygon_measures
+
+    return polygon_measures(_polys_df(spark))
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (LASER/CCMatrix-style, simplified):
     mutual-best cosine pairs between two embedding groups (labels 0/1)
@@ -1724,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": q_epoch_mix,
         "bitext_mine": q_bitext_mine,
         "event_anomaly": q_event_anomaly,
+        "geom_measures": q_geom_measures,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2884,6 +2895,9 @@ def oracle_sql() -> dict[str, str]:
     event_anomaly_sql = windowed_anomaly_sql_duckdb(
         "events", window_sec=21600, trail=4, factor=2)
 
+    from zen3geo_spark.functions.geo import polygon_measures_sql_duckdb
+    geom_measures_sql = polygon_measures_sql_duckdb(_edges_values())
+
     from zen3geo_spark.operators.curation import (
         pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
     )
@@ -3083,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_mix": epoch_mix_sql,
         "bitext_mine": bitext_mine_sql,
         "event_anomaly": event_anomaly_sql,
+        "geom_measures": geom_measures_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

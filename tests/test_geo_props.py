@@ -96,3 +96,33 @@ def test_micro_from_str_matches_python_parse(spark):
     df = spark.createDataFrame([(s,) for s in strs], "s string")
     got = [r["m"] for r in df.select(micro_from_str(F.col("s")).alias("m")).collect()]
     assert got == [int(v) for v in vals]
+
+
+def test_polygon_measures_goldens(spark):
+    from zen3geo_spark.functions.geo import polygon_measures
+
+    polys = spark.sql(
+        "select * from values "
+        "(0L, array(array(named_struct('x', 0.0d, 'y', 0.0d),"
+        " named_struct('x', 20000000.0d, 'y', 0.0d),"
+        " named_struct('x', 10000000.0d, 'y', 15000000.0d)))), "
+        "(1L, array(array(named_struct('x', 0.0d, 'y', 0.0d),"
+        " named_struct('x', 0.0d, 'y', 10.0d),"
+        " named_struct('x', 10.0d, 'y', 10.0d),"
+        " named_struct('x', 10.0d, 'y', 0.0d)))) "
+        "as t(geom_id, parts)")
+    out = {r["geom_id"]: r for r in polygon_measures(polys).collect()}
+    # triangle: base 2e7, height 1.5e7 -> area 1.5e14, area2 exact 3e14
+    t = out[0]
+    assert t["area2_us"] == 300_000_000_000_000
+    assert t["ccw"] == 1
+    assert t["centroid_x_us"] == 10_000_000.0
+    assert t["centroid_y_us"] == 5_000_000.0
+    import math
+    exp_per = 20_000_000 + 2 * math.sqrt(1e14 + 2.25e14)
+    assert abs(t["perimeter_us"] - exp_per) < 1e-3
+    # 10x10 square traversed CLOCKWISE: area2 = 200, ccw = 0
+    s = out[1]
+    assert s["area2_us"] == 200 and s["ccw"] == 0
+    assert (s["centroid_x_us"], s["centroid_y_us"]) == (5.0, 5.0)
+    assert s["perimeter_us"] == 40.0

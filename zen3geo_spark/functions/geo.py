@@ -525,3 +525,78 @@ def geo_to_image_coords(x: Column, y: Column, xmin: Column, ymax: Column,
     (/root/reference/docs/object-detection-boxes.md:364). Returns
     fractional (col, row) — row grows southward from ``ymax``."""
     return (x - xmin) / resx, (ymax - y) / resy
+
+
+def polygon_measures(polys: DataFrame, parts_col: str = "parts",
+                     id_col: str = "geom_id") -> DataFrame:
+    """Per-polygon area / centroid / perimeter over the engine's ring
+    representation (``parts: array<array<struct<x,y>>>`` in integer
+    micro-degrees) — the ``GeoSeries.area`` / ``.centroid`` /
+    ``.length`` measures of the reference's geopandas layer
+    (/root/reference/zen3geo/datapipes/geopandas.py consumes exactly
+    these on clipped outputs), re-expressed as ordered higher-order
+    folds over the outer ring in whole-stage codegen.
+
+    Output per geometry: ``area2_us`` = |shoelace| × 2 in micro-units²
+    — INT64-EXACT (every cross product of micro-degree coords fits
+    int64, so the headline measure is bit-identical on any engine and
+    any cluster size); ``ccw`` (1 = counter-clockwise ring); centroid
+    and perimeter in micro-units, computed as doubles in ring order and
+    rounded to 4 (their magnitudes make FP noise ~1e-8 — far below the
+    rounding quantum).
+    """
+    r = f"{parts_col}[0]"
+    nxt = f"int((i + 1) % size({r}))"
+    cross = (f"(cast({r}[i].x as bigint) * cast({r}[{nxt}].y as bigint)"
+             f" - cast({r}[{nxt}].x as bigint) * cast({r}[i].y as bigint))")
+    signed2 = (f"aggregate(sequence(0, size({r}) - 1), 0L,"
+               f" (acc, i) -> acc + {cross})")
+    per = (f"aggregate(sequence(0, size({r}) - 1), cast(0 as double),"
+           f" (acc, i) -> acc + sqrt("
+           f"   pow({r}[{nxt}].x - {r}[i].x, 2)"
+           f" + pow({r}[{nxt}].y - {r}[i].y, 2)))")
+    cxn = (f"aggregate(sequence(0, size({r}) - 1), cast(0 as double),"
+           f" (acc, i) -> acc + cast({r}[i].x + {r}[{nxt}].x as double)"
+           f" * cast({cross} as double))")
+    cyn = (f"aggregate(sequence(0, size({r}) - 1), cast(0 as double),"
+           f" (acc, i) -> acc + cast({r}[i].y + {r}[{nxt}].y as double)"
+           f" * cast({cross} as double))")
+    return polys.selectExpr(
+        id_col,
+        f"abs({signed2}) as area2_us",
+        f"case when {signed2} > 0 then 1 else 0 end as ccw",
+        f"round({cxn} / (3.0 * {signed2}), 4) as centroid_x_us",
+        f"round({cyn} / (3.0 * {signed2}), 4) as centroid_y_us",
+        f"round({per}, 4) as perimeter_us",
+    )
+
+
+def polygon_measures_sql_duckdb(edges_values: str) -> str:
+    """DuckDB twin of :func:`polygon_measures` over the shared edge-list
+    VALUES relation (ring order; same shoelace/centroid/perimeter
+    arithmetic — area2 int64-exact, doubles rounded to 4)."""
+    return f"""
+with e0 as (select * from {edges_values}),
+e as (
+  select geom_id, cast(x1 as bigint) as x1, cast(y1 as bigint) as y1,
+         cast(x2 as bigint) as x2, cast(y2 as bigint) as y2
+  from e0
+),
+m as (
+  select geom_id,
+         sum(x1 * y2 - x2 * y1) as s2,
+         sum(sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)) as per,
+         sum(cast(x1 + x2 as double) * cast(x1 * y2 - x2 * y1 as double))
+             as cxn,
+         sum(cast(y1 + y2 as double) * cast(x1 * y2 - x2 * y1 as double))
+             as cyn
+  from e group by geom_id
+)
+select geom_id,
+       abs(s2) as area2_us,
+       case when s2 > 0 then 1 else 0 end as ccw,
+       round(cxn / (3.0 * s2), 4) as centroid_x_us,
+       round(cyn / (3.0 * s2), 4) as centroid_y_us,
+       round(per, 4) as perimeter_us
+from m
+"""
