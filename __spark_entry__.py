@@ -58,6 +58,7 @@ from zen3geo_spark.operators.similarity import (
 from zen3geo_spark.operators.stacker import build_overviews, stack
 from zen3geo_spark.operators.spatial_join import (
     knn_join_bruteforce, knn_join_cells, points_in_polygons,
+    radius_join_points, radius_join_sql_duckdb,
 )
 from zen3geo_spark.operators.stac import search
 from zen3geo_spark.sources.fixtures import (
@@ -1400,6 +1401,55 @@ def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_measures(_polys_df(spark))
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric radius self-join: all point pairs within 140 km great-circle
+    (mid-latitude band |lat| <= 83°), cell-ring candidates at res 5 —
+    exactness validated by radius_join_guarantee, never assumed."""
+    return radius_join_points(_points_df(spark), radius_m=140_000.0, res=5)
+
+
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-geohash rollup: points → base32 geohash (exact integer
+    bit math, parity with classic encoders pinned in tests), grouped at
+    precision 2 with the lexicographic-min precision-5 member hash —
+    exercises the prefix property (gh5 startswith gh2)."""
+    from zen3geo_spark.functions.geo import with_geohash
+
+    pts = with_geohash(_points_df(spark), "lat_us", "lon_us", 2, out="gh2")
+    pts = with_geohash(pts, "lat_us", "lon_us", 5, out="gh5")
+    return pts.groupBy("gh2").agg(
+        F.count("*").alias("n_points"),
+        F.sum("lat_us").alias("sum_lat_us"),
+        F.sum("lon_us").alias("sum_lon_us"),
+        F.min("gh5").alias("min_gh5"),
+    )
+
+
+def q_host_geo_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host geographic footprint: how many distinct res-6 cells each
+    crawl host's pages geotag into, plus the integer bbox — the
+    webtext×geo rollup a 100 TB crawl curation pass runs per domain
+    (host-level geo diversity signal). Exact ints throughout."""
+    pages = synth_pages(spark, N_PAGES).select(
+        F.expr(URL_HOST_SQL).alias("host"), "text")
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = pages.select("host", lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+    pts = pts.filter(F.col("lat_str") != "").select(
+        "host",
+        micro_from_str(F.col("lat_str")).alias("lat_us"),
+        micro_from_str(F.col("lon_str")).alias("lon_us"))
+    pts = pts.withColumn("cell6", cell_encode(F.col("lat_us"),
+                                              F.col("lon_us"), 6))
+    return pts.groupBy("host").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("cell6").alias("n_cells6"),
+        F.min("lat_us").alias("min_lat_us"),
+        F.max("lat_us").alias("max_lat_us"),
+        F.min("lon_us").alias("min_lon_us"),
+        F.max("lon_us").alias("max_lon_us"),
+    )
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (LASER/CCMatrix-style, simplified):
     mutual-best cosine pairs between two embedding groups (labels 0/1)
@@ -1735,6 +1785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine": q_bitext_mine,
         "event_anomaly": q_event_anomaly,
         "geom_measures": q_geom_measures,
+        "radius_join": q_radius_join,
+        "geohash_rollup": q_geohash_rollup,
+        "host_geo_spread": q_host_geo_spread,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2898,6 +2951,41 @@ def oracle_sql() -> dict[str, str]:
     from zen3geo_spark.functions.geo import polygon_measures_sql_duckdb
     geom_measures_sql = polygon_measures_sql_duckdb(_edges_values())
 
+    # metric radius self-join / geohash / host-spread twins (share pts_cte)
+    from zen3geo_spark.functions.geo import geohash_cte_sql_duckdb
+    radius_join_sql = pts_cte + radius_join_sql_duckdb("pts", 140_000.0, 5)
+    geohash_rollup_sql = f"""{pts_cte}
+, g2 as ({geohash_cte_sql_duckdb('pts', 'lat_us', 'lon_us', 2, 'gh2')})
+, g5 as ({geohash_cte_sql_duckdb('g2', 'lat_us', 'lon_us', 5, 'gh5')})
+select gh2, count(*) as n_points, sum(lat_us) as sum_lat_us,
+       sum(lon_us) as sum_lon_us, min(gh5) as min_gh5
+from g5 group by 1
+"""
+    _hg_lat = micro_from_str_sql("lat_str", "duckdb")
+    _hg_lon = micro_from_str_sql("lon_str", "duckdb")
+    host_geo_spread_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tagged as (
+      select {URL_HOST_SQL} as host,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    hp as (
+      select host, {_hg_lat} as lat_us, {_hg_lon} as lon_us
+      from tagged where lat_str <> ''
+    ),
+    hc as (
+      select host, lat_us, lon_us,
+             {cell_id_sql('lat_us', 'lon_us', 6, 'duckdb')} as cell6
+      from hp
+    )
+    select host, count(*) as n_points, count(distinct cell6) as n_cells6,
+           min(lat_us) as min_lat_us, max(lat_us) as max_lat_us,
+           min(lon_us) as min_lon_us, max(lon_us) as max_lon_us
+    from hc group by 1
+    """
+
     from zen3geo_spark.operators.curation import (
         pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
     )
@@ -3098,6 +3186,9 @@ def oracle_sql() -> dict[str, str]:
         "bitext_mine": bitext_mine_sql,
         "event_anomaly": event_anomaly_sql,
         "geom_measures": geom_measures_sql,
+        "radius_join": radius_join_sql,
+        "geohash_rollup": geohash_rollup_sql,
+        "host_geo_spread": host_geo_spread_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

@@ -600,3 +600,113 @@ select geom_id,
        round(per, 4) as perimeter_us
 from m
 """
+
+
+# ---------------------------------------------------------------------------
+# geohash (canonical base32, exact integer bit math)
+# ---------------------------------------------------------------------------
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_MAX_PRECISION = 12  # (360e6 * 2^30) < 2^63 — every step int64-exact
+
+
+def _shr_sql(x: str, n: int, engine: str) -> str:
+    if n == 0:
+        return f"({x})"
+    return f"shiftright({x}, {n})" if engine == "spark" else f"(({x}) >> {n})"
+
+
+def geohash_lonint_sql(lon_micro: str, precision: int, engine: str) -> str:
+    """First ceil(5p/2) longitude bits as one bigint: the classic
+    binary-subdivision bits of [-180,180) equal
+    floor((lon+180) * 2^nbits / 360) — one exact integer expression
+    instead of a per-bit loop (micro-degree fixed point keeps every
+    product < 2^63 up to precision 12). The +180 endpoint clamps into
+    the last column, matching encoders that accept lon=180 as the
+    antimeridian seam."""
+    nlon = (5 * precision + 1) // 2
+    d = _DIV[engine]
+    return (f"least(cast({(1 << nlon) - 1} as bigint), "
+            f"(cast({lon_micro} as bigint) + 180000000) * {1 << nlon}"
+            f"{d}360000000)")
+
+
+def geohash_latint_sql(lat_micro: str, precision: int, engine: str) -> str:
+    nlat = (5 * precision) // 2
+    d = _DIV[engine]
+    return (f"least(cast({(1 << nlat) - 1} as bigint), "
+            f"(cast({lat_micro} as bigint) + 90000000) * {1 << nlat}"
+            f"{d}180000000)")
+
+
+def geohash_interleave_sql(lon_int: str, lat_int: str, precision: int,
+                           engine: str) -> str:
+    """Interleave pre-computed lon/lat bit-ints (COLUMN NAMES — compute
+    them once in an inner select; inlining the full expressions here
+    would duplicate them per bit) into the 5p-bit geohash integer.
+    Longitude takes the even bit positions from the MSB (the canonical
+    geohash convention), so for odd total bits lon bit b lands at
+    weight 2^(2b) and lat bit b at 2^(2b+1); parities swap for even
+    totals."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    elon = 0 if nbits % 2 else 1
+    elat = 1 - elon
+    terms = [f"(({_shr_sql(lon_int, b, engine)} & 1) * {1 << (2 * b + elon)})"
+             for b in range(nlon)]
+    terms += [f"(({_shr_sql(lat_int, b, engine)} & 1) * {1 << (2 * b + elat)})"
+              for b in range(nlat)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def geohash_chars_sql(ghi: str, precision: int, engine: str) -> str:
+    """Base32 string from the interleaved integer (column name ``ghi``):
+    char c reads bits 5c..5c+4 from the MSB end. substr() is 1-based in
+    both engines."""
+    chars = []
+    for c in range(precision):
+        shift = 5 * (precision - 1 - c)
+        idx = f"cast(({_shr_sql(ghi, shift, engine)} & 31) as int)"
+        chars.append(f"substr('{GEOHASH_BASE32}', 1 + {idx}, 1)")
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def with_geohash(df, lat_col: str, lon_col: str, precision: int,
+                 out: str = "ghash"):
+    """Append a canonical geohash column to ``df`` (micro-degree bigint
+    coords in, base32 string out) — three narrow selects so each bit-int
+    is computed once; everything stays in whole-stage codegen."""
+    keep = df.columns
+    step1 = df.selectExpr(
+        *keep,
+        f"{geohash_lonint_sql(lon_col, precision, 'spark')} as _gh_lon",
+        f"{geohash_latint_sql(lat_col, precision, 'spark')} as _gh_lat",
+    )
+    step2 = step1.selectExpr(
+        *keep,
+        f"{geohash_interleave_sql('_gh_lon', '_gh_lat', precision, 'spark')}"
+        f" as _gh_i",
+    )
+    return step2.selectExpr(
+        *keep, f"{geohash_chars_sql('_gh_i', precision, 'spark')} as {out}")
+
+
+def geohash_cte_sql_duckdb(points_rel: str, lat_col: str, lon_col: str,
+                           precision: int, out: str = "ghash") -> str:
+    """DuckDB twin of :func:`with_geohash`: SELECT wrapping ``points_rel``
+    (a relation name or parenthesized subquery) with the same staged
+    bit math, emitting all input columns plus ``out``."""
+    e = "duckdb"
+    return f"""
+select * exclude (_gh_lon, _gh_lat, _gh_i),
+       {geohash_chars_sql('_gh_i', precision, e)} as {out}
+from (
+  select *, {geohash_interleave_sql('_gh_lon', '_gh_lat', precision, e)} as _gh_i
+  from (
+    select *, {geohash_lonint_sql(lon_col, precision, e)} as _gh_lon,
+           {geohash_latint_sql(lat_col, precision, e)} as _gh_lat
+    from {points_rel}
+  )
+)
+"""

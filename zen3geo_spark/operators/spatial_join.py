@@ -26,6 +26,8 @@ and the ray-cast formula is shared verbatim with the DuckDB oracle SQL
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -377,3 +379,113 @@ def zonal_stats(pixels: DataFrame, polys: DataFrame, res: int = 7,
         F.min("_zv").alias("min_val"),
         F.max("_zv").alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# metric radius self-join (haversine metres, cell-ring candidates)
+# ---------------------------------------------------------------------------
+
+EARTH_R_M = 6371008.8
+_M_PER_LAT_DEG = EARTH_R_M * math.pi / 180.0  # spherical meridian degree
+
+
+def haversine_m_sql(lat1_us: str, lon1_us: str, lat2_us: str, lon2_us: str,
+                    engine: str) -> str:
+    """Engine-shared great-circle metres from micro-degree bigint columns.
+    Same formula text in both engines (radians/sin/cos/asin/sqrt are ANSI
+    names in Spark SQL and DuckDB) so the only cross-engine drift is
+    libm ulps — callers must keep thresholds/rounding far coarser than
+    that (see radius_join_points margins)."""
+    def rad(c):
+        return f"radians(cast({c} as double) / 1000000.0)"
+    p1, p2 = rad(lat1_us), rad(lat2_us)
+    a = (f"(pow(sin(({p2} - {p1}) / 2), 2) + cos({p1}) * cos({p2}) * "
+         f"pow(sin(({rad(lon2_us)} - {rad(lon1_us)}) / 2), 2))")
+    return f"(2.0 * {EARTH_R_M} * asin(sqrt({a})))"
+
+
+def radius_join_guarantee(radius_m: float, res: int, max_abs_lat_us: int) -> None:
+    """Raise unless every point pair within ``radius_m`` is guaranteed to
+    sit in 3×3-ring-adjacent cells at ``res`` for |lat| ≤ max_abs_lat_us.
+
+    Spherical bounds: Δφ ≤ R / (πRe/180); Δλ ≤ 2·asin(sin(R/2Re)/cos φmax)
+    (the exact great-circle longitude swing at the worst latitude). Both
+    must clear the cell span with 2% slack — exactness is a validated
+    invariant, not a density assumption (same contract style as
+    ring_guarantee_udeg for kNN)."""
+    if res < 2:
+        raise ValueError("radius_join needs res >= 2 (lon wrap math)")
+    phi_max = max_abs_lat_us / 1e6
+    dlat_deg = radius_m / _M_PER_LAT_DEG
+    dlon_deg = 2.0 * math.degrees(
+        math.asin(min(1.0, math.sin(radius_m / (2 * EARTH_R_M))
+                      / math.cos(math.radians(phi_max)))))
+    cell_lat = 180.0 / (1 << res)
+    cell_lon = 360.0 / (1 << res)
+    if dlat_deg > 0.98 * cell_lat or dlon_deg > 0.98 * cell_lon:
+        raise ValueError(
+            f"radius {radius_m} m not ring-covered at res {res} for "
+            f"|lat|<={phi_max}: needs dlat {dlat_deg:.3f}<= {0.98*cell_lat:.3f} "
+            f"and dlon {dlon_deg:.3f} <= {0.98*cell_lon:.3f} deg")
+
+
+def radius_join_points(points: DataFrame, radius_m: float, res: int,
+                       max_abs_lat_us: int = 83_000_000) -> DataFrame:
+    """All point pairs within ``radius_m`` great-circle metres, for points
+    with |lat| ≤ ``max_abs_lat_us`` (polar caps need a coarser res or a
+    cap-local pass — out of contract here, validated at call time).
+
+    Scale shape: cell equi-join only. Copy A explodes its 3×3 ring
+    (×9 fanout), copy B keeps its own cell; the hash join on ``cell``
+    never degenerates to a nested loop, candidate groups are bounded by
+    cell occupancy (hot cells can reuse the PIP salting pattern), and
+    the haversine refine + ``id_a < id_b`` dedup run inside codegen.
+    Output: (id_a, id_b, dist_hm) with dist_hm = floor(metres/100) —
+    hectometre buckets keep the value hash immune to libm-ulp drift.
+    """
+    from zen3geo_spark.functions.geo import cell_neighbors
+
+    radius_join_guarantee(radius_m, res, max_abs_lat_us)
+    pts = points.filter(F.abs(F.col("lat_us")) <= max_abs_lat_us)
+    a = tag_point_cells(pts, res).select(
+        F.col("point_id").alias("id_a"), F.col("lat_us").alias("a_lat"),
+        F.col("lon_us").alias("a_lon"),
+        F.explode(cell_neighbors(F.col("cell"), res)).alias("cell"))
+    b = tag_point_cells(pts, res).select(
+        F.col("point_id").alias("id_b"), F.col("lat_us").alias("b_lat"),
+        F.col("lon_us").alias("b_lon"), "cell")
+    hav = haversine_m_sql("a_lat", "a_lon", "b_lat", "b_lon", "spark")
+    return (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.expr(hav) <= F.lit(float(radius_m)))
+             .selectExpr("id_a", "id_b",
+                         f"cast(floor({hav} / 100.0) as bigint) as dist_hm"))
+
+
+def radius_join_sql_duckdb(points_rel: str, radius_m: float, res: int,
+                           max_abs_lat_us: int = 83_000_000) -> str:
+    """DuckDB twin: same cell grid, ring adjacency as |Δiy|≤1 ∧ (|Δix|≤1 ∨
+    wrap), same haversine text, same hectometre bucket.
+
+    Composes after an existing WITH chain that exposes ``points_rel``
+    (point_id, lat_us, lon_us) — the returned string starts with
+    ``, pr as (...)`` like the other oracle CTE fragments."""
+    radius_join_guarantee(radius_m, res, max_abs_lat_us)
+    iy = cell_iy_sql("lat_us", res, "duckdb")
+    ix = cell_ix_sql("lon_us", res, "duckdb")
+    hav = haversine_m_sql("a.lat_us", "a.lon_us", "b.lat_us", "b.lon_us",
+                          "duckdb")
+    wrap = (1 << res) - 1
+    return f"""
+, pr as (
+  select point_id, lat_us, lon_us, {iy} as iy, {ix} as ix
+  from {points_rel} where abs(lat_us) <= {max_abs_lat_us}
+)
+select a.point_id as id_a, b.point_id as id_b,
+       cast(floor({hav} / 100.0) as bigint) as dist_hm
+from pr a join pr b
+  on abs(a.iy - b.iy) <= 1
+ and (abs(a.ix - b.ix) <= 1 or abs(a.ix - b.ix) = {wrap})
+ and a.point_id < b.point_id
+where {hav} <= {float(radius_m)}
+"""
