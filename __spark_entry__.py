@@ -1450,6 +1450,18 @@ def q_host_geo_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune embedding dedup: nearest of 16
+    deterministic centroids, drop any vector with a lower-id neighbor in
+    the same cluster at cosine >= 0.43; keeps the within-cluster
+    equi-join as the only pairwise work (the 100 TB path — vs the exact
+    corpus-wide block matmul of embed_neardup)."""
+    from zen3geo_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_lists=16, threshold=0.43)
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (LASER/CCMatrix-style, simplified):
     mutual-best cosine pairs between two embedding groups (labels 0/1)
@@ -1788,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "geohash_rollup": q_geohash_rollup,
         "host_geo_spread": q_host_geo_spread,
+        "semdedup": q_semdedup,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -2986,6 +2999,9 @@ from g5 group by 1
     from hc group by 1
     """
 
+    from zen3geo_spark.operators.similarity import semantic_dedup_sql_duckdb
+    semdedup_sql = semantic_dedup_sql_duckdb("embeddings", 16, 0.43)
+
     from zen3geo_spark.operators.curation import (
         pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
     )
@@ -3189,6 +3205,7 @@ from g5 group by 1
         "radius_join": radius_join_sql,
         "geohash_rollup": geohash_rollup_sql,
         "host_geo_spread": host_geo_spread_sql,
+        "semdedup": semdedup_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

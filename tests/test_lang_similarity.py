@@ -234,3 +234,44 @@ def test_bitext_single_target_no_second(spark):
     # one target: no second-best -> margin vacuously passes, mutual holds
     assert {(r["src_id"], r["tgt_id"]) for r in
             bitext_mine(src, tgt, margin=2.0).collect()} == {(0, 10)}
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Cluster-then-prune: the lower-id member of every within-cluster
+    near-dup pair survives, cross-cluster near-dups are NOT pruned
+    (that's the algorithm's documented recall trade), and vectors with
+    no close lower-id neighbor stay."""
+    from zen3geo_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid B
+        (2, [0.99, 0.1, 0.0, 0.0]),  # cluster A, near-dup of 0 → dropped
+        (3, [0.0, 0.98, 0.15, 0.0]), # cluster B, near-dup of 1 → dropped
+        (4, [0.6, 0.0, 0.8, 0.0]),   # cluster A, cos(4,0)=0.6 < 0.9 → kept
+        (5, [0.0, 0.6, 0.0, 0.8]),   # cluster B, far from 1/3 → kept
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    kept = {r["vec_id"]: r["list_id"]
+            for r in semantic_dedup(emb, n_lists=2, threshold=0.9).collect()}
+    assert set(kept) == {0, 1, 4, 5}
+    assert kept[0] == 0 and kept[4] == 0   # cluster A = centroid id 0
+    assert kept[1] == 1 and kept[5] == 1
+
+
+def test_semantic_dedup_drop_is_lower_id_anchored(spark):
+    """Chain a~b, b~c with a!~c: the anti-chain rule drops BOTH b and c
+    (each has a close lower-id neighbor) — pinned so the semantics are
+    explicit, distinct from sequential-greedy which would keep c."""
+    from zen3geo_spark.operators.similarity import semantic_dedup
+
+    a = [1.0, 0.0, 0.0]
+    b = [0.95, 0.3122, 0.0]   # cos(a,b)~0.95
+    c = [0.81, 0.586, 0.0]    # cos(b,c)~0.95, cos(a,c)~0.81 < 0.9
+    emb = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "vec_id long, embedding array<double>")
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(emb, n_lists=1, threshold=0.9).collect())
+    assert kept == [0]

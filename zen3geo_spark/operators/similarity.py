@@ -509,3 +509,90 @@ where (x.cos2 is null or b.cos1 >= {margin} * x.cos2)
               where w.rk = 1 and w.src_id = b.src_id
                 and w.tgt_id = b.tgt_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (cluster-then-prune, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(emb: DataFrame, n_lists: int = 16, threshold: float = 0.6,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Cluster-then-prune embedding dedup (the SemDeDup recipe): assign
+    every vector to its nearest of ``n_lists`` deterministic centroids
+    (the first ``n_lists`` vectors by id — same seeding as the IVF
+    index), then drop any vector that has a LOWER-id neighbor in the
+    SAME cluster at cosine >= ``threshold``. Returns the kept rows as
+    (vec_id, list_id).
+
+    This is the 100 TB path for embedding dedup: the corpus-wide
+    pairwise matmul (``cosine_near_dup_pairs_blocked``) is exact but
+    touches every block pair; here the only pairwise work is the
+    within-cluster equi-join on ``list_id``, so cost is sum of squared
+    CLUSTER sizes — the published algorithm's knob is exactly the
+    cluster count, and a skewed cluster can reuse the LSH ``max_bucket``
+    guard. Everything is JVM codegen: centroid assignment is a
+    broadcast join against the n_lists-row codebook + one window (no
+    Python matmul — at 16 centroids the 16x fanout is cheaper than an
+    Arrow hop), the prune is one self-equi-join + NOT-EXISTS anti-join.
+
+    The keep rule is the anti-chain form ("drop x iff some y < x in the
+    same cluster has cos(x,y) >= t"), not the sequential-greedy form —
+    identical output to greedy when near-dup relations are transitive
+    within a cluster, and expressible as one join instead of an
+    iterative loop.
+    """
+    from zen3geo_spark.operators._util import ensure_parallelism, pair_all
+
+    t = ensure_parallelism(
+        emb.select(F.col(id_col).alias("vec_id"),
+                   _as_double(F.col(vec_col)).alias("tv"))
+    ).localCheckpoint(eager=False)
+    cents = t.orderBy("vec_id").limit(n_lists).select(
+        F.col("vec_id").alias("list_id"), F.col("tv").alias("cv"))
+
+    scored = pair_all(t, cents).select(
+        "vec_id", "tv", "list_id",
+        cosine(F.col("tv"), F.col("cv")).alias("_cc"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_cc").desc(), F.col("list_id").asc())
+    asg = (scored.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") == 1).select("vec_id", "list_id", "tv"))
+
+    a = asg.select(F.col("vec_id").alias("a_id"), "list_id",
+                   F.col("tv").alias("va"))
+    b = asg.select(F.col("vec_id").alias("b_id"), "list_id",
+                   F.col("tv").alias("vb"))
+    drops = (a.join(b, "list_id")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+             .select(F.col("b_id").alias("vec_id")).distinct())
+    return asg.join(drops, "vec_id", "left_anti").select("vec_id", "list_id")
+
+
+def semantic_dedup_sql_duckdb(emb_rel: str, n_lists: int = 16,
+                              threshold: float = 0.6) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: same centroid seeding, same
+    (cos DESC, list_id ASC) assignment tie-break, same lower-id keep
+    rule. Cosine formula text differs (list_cosine_similarity vs the
+    Spark fold) — summation-order ulps only; thresholds must stay far
+    from any realized pair cosine (same accepted fragility as the other
+    embedding oracles)."""
+    return f"""
+with t as (select vec_id, embedding::DOUBLE[] as tv from {emb_rel}),
+c as (select vec_id as list_id, embedding::DOUBLE[] as cv
+      from {emb_rel} where vec_id < {n_lists}),
+asg as (
+  select vec_id, list_id, tv from (
+    select t.vec_id, c.list_id, t.tv,
+           row_number() over (partition by t.vec_id
+               order by list_cosine_similarity(t.tv, c.cv) desc,
+                        c.list_id asc) as rk
+    from t, c) where rk = 1
+)
+select a.vec_id, a.list_id from asg a
+where not exists (
+  select 1 from asg b
+  where b.list_id = a.list_id and b.vec_id < a.vec_id
+    and list_cosine_similarity(a.tv, b.tv) >= {threshold}
+)
+"""
