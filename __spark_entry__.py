@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zen3geo_spark.functions.geo import (
@@ -1462,6 +1462,48 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_lists=16, threshold=0.43)
 
 
+def q_geo_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel screen: per crawl host, order its geotagged
+    pages by crawl time (page id ≙ warc_ts seconds) and measure the
+    great-circle hop between consecutive geotags; roll up hop count,
+    max implied speed (km/h, floored to bigint — coarse bucket keeps
+    the hash immune to libm ulps) and the count of hops over
+    1000 km/h. The geo-consistency signal a crawl curation pass uses
+    to flag location-spoofing/aggregator hosts.
+
+    Scale shape: one window over (host, pid) — the same shuffle the
+    host rollups already pay — then a map-side-combinable aggregate;
+    1000 hosts ⇒ no skew (a hot host would ride the same salting the
+    PIP join uses)."""
+    from zen3geo_spark.operators.spatial_join import haversine_m_sql
+
+    pages = synth_pages(spark, N_PAGES).select(
+        F.expr(URL_HOST_SQL).alias("host"),
+        F.expr(URL_PID_SQL).alias("pid"), "text")
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = pages.select("host", "pid", lat_s.alias("lat_str"),
+                       lon_s.alias("lon_str"))
+    pts = pts.filter(F.col("lat_str") != "").select(
+        "host", "pid",
+        micro_from_str(F.col("lat_str")).alias("lat_us"),
+        micro_from_str(F.col("lon_str")).alias("lon_us"))
+    w = Window.partitionBy("host").orderBy("pid")
+    hop = pts.select(
+        "host", "pid", "lat_us", "lon_us",
+        F.lag("lat_us").over(w).alias("p_lat"),
+        F.lag("lon_us").over(w).alias("p_lon"),
+        F.lag("pid").over(w).alias("p_pid"),
+    ).filter(F.col("p_pid").isNotNull())
+    hav = haversine_m_sql("p_lat", "p_lon", "lat_us", "lon_us", "spark")
+    speed = f"((({hav}) / 1000.0) / (cast(pid - p_pid as double) / 3600.0))"
+    hops = hop.selectExpr("host", f"cast(floor({speed}) as bigint) as kmh")
+    return hops.groupBy("host").agg(
+        F.count("*").alias("n_hops"),
+        F.max("kmh").alias("max_kmh"),
+        F.sum((F.col("kmh") >= F.lit(1000)).cast("int")).alias("n_impossible"),
+    )
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (LASER/CCMatrix-style, simplified):
     mutual-best cosine pairs between two embedding groups (labels 0/1)
@@ -1801,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": q_geohash_rollup,
         "host_geo_spread": q_host_geo_spread,
         "semdedup": q_semdedup,
+        "geo_velocity": q_geo_velocity,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3002,6 +3045,39 @@ from g5 group by 1
     from zen3geo_spark.operators.similarity import semantic_dedup_sql_duckdb
     semdedup_sql = semantic_dedup_sql_duckdb("embeddings", 16, 0.43)
 
+    # geo-velocity twin: same window, same haversine text, same km/h floor
+    from zen3geo_spark.operators.spatial_join import haversine_m_sql
+    _gv_hav = haversine_m_sql("p_lat", "p_lon", "lat_us", "lon_us", "duckdb")
+    _gv_speed = f"((({_gv_hav}) / 1000.0) / (cast(pid - p_pid as double) / 3600.0))"
+    geo_velocity_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tagged as (
+      select {URL_HOST_SQL} as host, {URL_PID_SQL} as pid,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pts as (
+      select host, pid, {micro_from_str_sql('lat_str', 'duckdb')} as lat_us,
+             {micro_from_str_sql('lon_str', 'duckdb')} as lon_us
+      from tagged where lat_str <> ''
+    ),
+    hop as (
+      select host, pid, lat_us, lon_us,
+             lag(lat_us) over (partition by host order by pid) as p_lat,
+             lag(lon_us) over (partition by host order by pid) as p_lon,
+             lag(pid) over (partition by host order by pid) as p_pid
+      from pts
+    ),
+    k as (
+      select host, cast(floor({_gv_speed}) as bigint) as kmh
+      from hop where p_pid is not null
+    )
+    select host, count(*) as n_hops, max(kmh) as max_kmh,
+           sum(case when kmh >= 1000 then 1 else 0 end) as n_impossible
+    from k group by host
+    """
+
     from zen3geo_spark.operators.curation import (
         pii_scrub_sql_duckdb, synth_blocklist_sql_duckdb,
     )
@@ -3206,6 +3282,7 @@ from g5 group by 1
         "geohash_rollup": geohash_rollup_sql,
         "host_geo_spread": host_geo_spread_sql,
         "semdedup": semdedup_sql,
+        "geo_velocity": geo_velocity_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
