@@ -1504,6 +1504,19 @@ def q_geo_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-cosine near-dup pairs via posting-list self-join on a
+    bounded slice (doc_id < 400 — the synthetic corpus's ~31-token vocab
+    makes every token a stopword, so the df cost knob is opened and the
+    slice bounds the Σdf² pair volume instead; production keeps max_df
+    tight). Integer dot/norms ⇒ bit-identical cosine cross-engine."""
+    from zen3geo_spark.functions.text import tf_cosine_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tf_cosine_pairs(docs.filter(F.col("doc_id") < 400),
+                           threshold=0.8)
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (LASER/CCMatrix-style, simplified):
     mutual-best cosine pairs between two embedding groups (labels 0/1)
@@ -1844,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_geo_spread": q_host_geo_spread,
         "semdedup": q_semdedup,
         "geo_velocity": q_geo_velocity,
+        "tf_cosine": q_tf_cosine,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3045,6 +3059,10 @@ from g5 group by 1
     from zen3geo_spark.operators.similarity import semantic_dedup_sql_duckdb
     semdedup_sql = semantic_dedup_sql_duckdb("embeddings", 16, 0.43)
 
+    from zen3geo_spark.functions.text import tf_cosine_pairs_sql_duckdb
+    tf_cosine_sql = tf_cosine_pairs_sql_duckdb(
+        "(select * from documents where doc_id < 400)", threshold=0.8)
+
     # geo-velocity twin: same window, same haversine text, same km/h floor
     from zen3geo_spark.operators.spatial_join import haversine_m_sql
     _gv_hav = haversine_m_sql("p_lat", "p_lon", "lat_us", "lon_us", "duckdb")
@@ -3283,6 +3301,7 @@ from g5 group by 1
         "host_geo_spread": host_geo_spread_sql,
         "semdedup": semdedup_sql,
         "geo_velocity": geo_velocity_sql,
+        "tf_cosine": tf_cosine_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

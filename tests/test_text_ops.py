@@ -516,3 +516,33 @@ def test_inverted_index_df_band_filters(spark):
     toks = {r.token for r in
             inverted_index(docs, min_df=2, max_df=2).collect()}
     assert toks == {"y"}  # x has df=3 (pruned high), y df=2 (kept)
+
+
+def test_tf_cosine_pairs_exact_and_blocked(spark):
+    """Integer TF-cosine: identical docs score 1.0, known overlap scores
+    the hand-computed value; max_df drops a stopword from the DOT while
+    norms stay full-vector (the documented recall trade)."""
+    from zen3geo_spark.functions.text import tf_cosine_pairs
+
+    docs = spark.createDataFrame([
+        (0, "a b c"),
+        (1, "a b c"),            # identical to 0 → cos 1.0
+        (2, "a a a a"),          # shares only 'a' with 0/1
+        (3, "x y z"),            # disjoint from everything (df=1 tokens)
+    ], "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): (r["dot"], r["cos"])
+           for r in tf_cosine_pairs(docs, threshold=0.0).collect()}
+    assert got[(0, 1)] == (3, 1.0)
+    # cos(0,2): dot=1*4=4, n2a=3, n2b=16 → 4/sqrt(48)
+    assert got[(0, 2)][0] == 4
+    assert abs(got[(0, 2)][1] - 4 / (48 ** 0.5)) < 1e-6
+    assert not any(3 in p for p in got)  # df=1 tokens join no pair
+
+    # block 'a' (df=3) from the dot: pair (0,2) loses its only shared
+    # token and disappears; (0,1) keeps b,c → dot=2, norms still full
+    blocked = {(r["a_id"], r["b_id"]): (r["dot"], r["cos"])
+               for r in tf_cosine_pairs(docs, threshold=0.0,
+                                        max_df=2).collect()}
+    assert (0, 2) not in blocked
+    assert blocked[(0, 1)][0] == 2
+    assert abs(blocked[(0, 1)][1] - 2 / 3) < 1e-6

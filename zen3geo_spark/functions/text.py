@@ -644,3 +644,86 @@ def inverted_index_sql_duckdb(rel: str, text_col: str = "text",
                       order by doc) as postings
     from gapped group by tok, df
     """
+
+
+def tf_cosine_pairs(docs, threshold: float = 0.8, text_col: str = "text",
+                    id_col: str = "doc_id", min_df: int = 2,
+                    max_df: int | None = None):
+    """Document near-dup pairs by TF-cosine via a posting-list self-join
+    — the sparse-vector analogue of the embedding near-dup path, built
+    on the same tokenization as :func:`inverted_index`.
+
+    Cross-engine exactness by construction: the dot product is
+    sum(tf_a*tf_b) over shared tokens and the norms are sum(tf²) — all
+    int64 — so the ONLY float ops are one sqrt and one divide per pair
+    (both correctly-rounded IEEE), making the cosine BIT-IDENTICAL in
+    Spark and the DuckDB twin with no sum-order or threshold fragility.
+
+    Scale shape: the self-join is an equi-join on token; pair volume is
+    Σ df(token)², so ``max_df`` (drop stopword-class tokens from the
+    DOT, norms stay full-vector) is the cost knob — the same
+    df-blocking recall trade as word_jaccard, exact when max_df is
+    None. ``min_df=2`` is free: a token in one doc joins no pair.
+    """
+    toks = (docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("tok"))
+        .filter(F.col("tok") != ""))
+    tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("tf"))
+    n2 = tf.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    dfc = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    band = tf.join(dfc, "tok").filter(F.col("df") >= min_df)
+    if max_df is not None:
+        band = band.filter(F.col("df") <= max_df)
+    a = band.select(F.col("doc").alias("a_id"), "tok",
+                    F.col("tf").alias("tfa"))
+    b = band.select(F.col("doc").alias("b_id"), "tok",
+                    F.col("tf").alias("tfb"))
+    dots = (a.join(b, "tok")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot")))
+    na = n2.select(F.col("doc").alias("a_id"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("doc").alias("b_id"), F.col("n2").alias("n2b"))
+    return (dots.join(na, "a_id").join(nb, "b_id")
+            .withColumn("cos", F.col("dot")
+                        / F.sqrt((F.col("n2a") * F.col("n2b"))
+                                 .cast("double")))
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", "dot", F.round("cos", 6).alias("cos")))
+
+
+def tf_cosine_pairs_sql_duckdb(rel: str, threshold: float = 0.8,
+                               text_col: str = "text",
+                               id_col: str = "doc_id", min_df: int = 2,
+                               max_df: int | None = None) -> str:
+    """DuckDB twin of :func:`tf_cosine_pairs` (same tokenization, same
+    integer dot/norms, same single-sqrt cosine)."""
+    cap = f"and df <= {max_df}" if max_df is not None else ""
+    return f"""
+    with toks as (
+      select doc, tok from (
+        select {id_col} as doc,
+               unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) as tok
+        from {rel}
+      ) where tok <> ''
+    ),
+    tf as (select doc, tok, count(*) as tf from toks group by doc, tok),
+    n2 as (select doc, sum(tf*tf) as n2 from tf group by doc),
+    dfc as (select tok, count(*) as df from tf group by tok),
+    band as (select tf.* from tf join dfc using (tok)
+             where df >= {min_df} {cap}),
+    dots as (
+      select a.doc as a_id, b.doc as b_id, sum(a.tf*b.tf) as dot
+      from band a join band b on a.tok = b.tok and a.doc < b.doc
+      group by a.doc, b.doc
+    ),
+    cs as (
+      select a_id, b_id, dot,
+             dot / sqrt(cast(na.n2 * nb.n2 as double)) as cos
+      from dots join n2 na on na.doc = a_id join n2 nb on nb.doc = b_id
+    )
+    select a_id, b_id, dot, round(cos, 6) as cos
+    from cs where cos >= {threshold}
+    """
