@@ -1504,6 +1504,16 @@ def q_geo_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spread_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datashader tf.spread over the world-points raster (px=1, add):
+    the standard make-sparse-points-visible post-pass after a points
+    rasterize — offset explode + one partial-aggregating groupBy."""
+    from zen3geo_spark.operators.rasterize import spread
+
+    img = q_rasterize_world_points(spark, sf_dir)
+    return spread(img, width=360, height=180, px=1, how="add")
+
+
 def q_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-cosine near-dup pairs via posting-list self-join on a
     bounded slice (doc_id < 400 — the synthetic corpus's ~31-token vocab
@@ -1858,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "geo_velocity": q_geo_velocity,
         "tf_cosine": q_tf_cosine,
+        "spread_points": q_spread_points,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3063,6 +3074,23 @@ from g5 group by 1
     tf_cosine_sql = tf_cosine_pairs_sql_duckdb(
         "(select * from documents where doc_id < 400)", threshold=0.8)
 
+    # spread twin: the world_bin image as a CTE, then the shared
+    # offset-explode/clip/combine fragment
+    from zen3geo_spark.operators.rasterize import spread_sql_duckdb
+    spread_points_sql = f"""{pts_cte}
+    , binned as (
+      select least(cast(floor((lon_us / 1000000.0 - (-180.0)) / (180.0 - (-180.0)) * 360) as int), 359) as col0,
+             least(cast(floor((lat_us / 1000000.0 - (-90.0)) / (90.0 - (-90.0)) * 180) as int), 179) as yi
+      from pts
+    ),
+    img as (
+      select (180 - 1 - yi)::int as row, col0::int as col,
+             cast(count(*) as double) as value
+      from binned group by yi, col0
+    )
+    {spread_sql_duckdb('img', 360, 180, 1, 'add')}
+    """
+
     # geo-velocity twin: same window, same haversine text, same km/h floor
     from zen3geo_spark.operators.spatial_join import haversine_m_sql
     _gv_hav = haversine_m_sql("p_lat", "p_lon", "lat_us", "lon_us", "duckdb")
@@ -3302,6 +3330,7 @@ from g5 group by 1
         "semdedup": semdedup_sql,
         "geo_velocity": geo_velocity_sql,
         "tf_cosine": tf_cosine_sql,
+        "spread_points": spread_points_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

@@ -116,3 +116,46 @@ def test_canvas_from_grid_golden(spark):
     # pixel-edge bounds rule: center extremes ± half pixel
     assert c["xmin"] == pytest.approx(0 - (4.0 / 7) / 2)
     assert c["xmax"] == pytest.approx(4 + (4.0 / 7) / 2)
+
+
+def test_spread_add_golden_and_clip(spark):
+    """px=1 add-spread of two pixels: overlap cells sum, canvas edges
+    clip (corner pixel spreads to 4 cells, not 9)."""
+    from zen3geo_spark.operators.rasterize import spread
+
+    img = spark.createDataFrame(
+        [(0, 0, 2.0), (1, 2, 5.0)], "row int, col int, value double")
+    out = {(r["row"], r["col"]): r["value"]
+           for r in spread(img, width=4, height=4, px=1).collect()}
+    # corner (0,0) contributes to its clipped 2x2; (1,2) to a full 3x3
+    assert out[(0, 0)] == 2.0
+    assert out[(0, 1)] == 7.0   # 2 (from 0,0) + 5 (from 1,2)
+    assert out[(1, 1)] == 7.0
+    assert out[(2, 3)] == 5.0
+    assert (3, 3) not in out    # beyond both neighborhoods
+    assert sum(v for (r, c), v in out.items()) == 2.0 * 4 + 5.0 * 9
+
+
+def test_spread_max_and_px0_identity(spark):
+    from zen3geo_spark.operators.rasterize import spread
+
+    img = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 5.0)], "row int, col int, value double")
+    mx = {(r["row"], r["col"]): r["value"]
+          for r in spread(img, width=4, height=4, px=1, how="max").collect()}
+    assert mx[(1, 1)] == 5.0 and mx[(0, 0)] == 2.0
+    ident = sorted((r["row"], r["col"], r["value"]) for r in
+                   spread(img, width=4, height=4, px=0).collect())
+    assert ident == [(1, 1, 2.0), (1, 2, 5.0)]
+
+
+def test_spread_rejects_bad_kwargs(spark):
+    import pytest
+
+    from zen3geo_spark.operators.rasterize import spread
+
+    img = spark.createDataFrame([(0, 0, 1.0)], "row int, col int, value double")
+    with pytest.raises(ValueError, match="how must be one of"):
+        spread(img, width=2, height=2, how="mean")
+    with pytest.raises(ValueError, match="px must be >= 0"):
+        spread(img, width=2, height=2, px=-1)

@@ -355,3 +355,58 @@ def pixel_coords(raster: DataFrame, canvas_df: DataFrame) -> DataFrame:
         (F.col("xmin") + (F.col("col") + F.lit(0.5)) * resx).alias("x"),
         (F.col("ymax") - (F.col("row") + F.lit(0.5)) * resy).alias("y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spread (datashader's post-rasterize pixel dilation)
+# ---------------------------------------------------------------------------
+
+SPREAD_HOWS = ("add", "max", "min")
+
+
+def spread(img: DataFrame, width: int, height: int, px: int = 1,
+           how: str = "add") -> DataFrame:
+    """Datashader ``tf.spread`` semantics on a long-form sparse raster
+    (``row``, ``col``, ``value``): every non-empty pixel contributes its
+    value to all pixels within Chebyshev distance ``px``, combined with
+    ``how`` (add/max/min — datashader's composite ops), clipped to the
+    canvas. Empty pixels stay absent (sparse in, sparse out).
+
+    Scale shape: a map-side (2px+1)² offset explode + one partial-
+    aggregating groupBy(row, col) — same shuffle class as the rasterize
+    bin itself; no join. Values are integer-valued doubles (bin counts),
+    so the ``add`` sums are order-exact.
+    """
+    if how not in SPREAD_HOWS:
+        # mirrors datashader's validate-early contract for bad kwargs
+        raise ValueError(f"how must be one of {SPREAD_HOWS}, got {how!r}")
+    if px < 0:
+        raise ValueError(f"px must be >= 0, got {px}")
+    offs = (f"flatten(transform(sequence({-px}, {px}), "
+            f"dy -> transform(sequence({-px}, {px}), "
+            f"dx -> struct(dy, dx))))")
+    e = img.select("row", "col", "value",
+                   F.explode(F.expr(offs)).alias("_o"))
+    e = e.select((F.col("row") + F.col("_o.dy")).alias("row"),
+                 (F.col("col") + F.col("_o.dx")).alias("col"), "value")
+    e = e.filter((F.col("row") >= 0) & (F.col("row") < height)
+                 & (F.col("col") >= 0) & (F.col("col") < width))
+    agg = {"add": F.sum, "max": F.max, "min": F.min}[how]
+    return e.groupBy("row", "col").agg(agg("value").alias("value"))
+
+
+def spread_sql_duckdb(img_rel: str, width: int, height: int, px: int = 1,
+                      how: str = "add") -> str:
+    """DuckDB twin of :func:`spread` over a relation/CTE exposing
+    (row, col, value) — same offsets, same clip, same combine."""
+    if how not in SPREAD_HOWS:
+        raise ValueError(f"how must be one of {SPREAD_HOWS}, got {how!r}")
+    agg = {"add": "sum", "max": "max", "min": "min"}[how]
+    return f"""
+select s.row + dy.d as row, s.col + dx.d as col, {agg}(s.value) as value
+from {img_rel} s,
+     range({-px}, {px + 1}) dy(d), range({-px}, {px + 1}) dx(d)
+where s.row + dy.d between 0 and {height - 1}
+  and s.col + dx.d between 0 and {width - 1}
+group by 1, 2
+"""
