@@ -1111,6 +1111,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select("node", "component")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention: simhash near-dup clusters → keep
+    the HIGHEST-quality member per component (ties → lowest doc id) —
+    the retention policy production dedup applies, vs the min-id keep
+    list of dedup_clusters."""
+    from zen3geo_spark.operators.dedup import (
+        cluster_keep_best, connected_components,
+    )
+    from zen3geo_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_near_dups(docs, max_hamming=8, shingle_n=2).select(
+        "a_id", "b_id")
+    comp = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node")))
+    scores = docs.select(F.col("doc_id").alias("node"),
+                         quality_score(F.col("text")).alias("score"))
+    out = cluster_keep_best(comp.select("node", "component"), scores)
+    return out.select("component", F.col("node").alias("doc_id"),
+                      F.round("score", 6).alias("score"))
+
+
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate pairs → exact
     n-gram Jaccard verification (candidates only, never all-pairs)."""
@@ -1869,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_velocity": q_geo_velocity,
         "tf_cosine": q_tf_cosine,
         "spread_points": q_spread_points,
+        "dedup_keep_best": q_dedup_keep_best,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3267,6 +3290,19 @@ from g5 group by 1
         "select doc_id as node from documents",
         prelude_ctes=simhash_ctes_flat)
 
+    # keep-best twin: the clusters statement as a derived table + the
+    # shared quality formula + the same (score DESC, node ASC) window
+    dedup_keep_best_sql = f"""
+    select component, node as doc_id, round(score, 6) as score from (
+      select c.node, c.component, q.score,
+             row_number() over (partition by c.component
+                 order by q.score desc, c.node asc) as rk
+      from ({dedup_clusters_sql}) c
+      join (select doc_id, {quality_score_sql('text', 'duckdb')} as score
+            from documents) q on q.doc_id = c.node
+    ) where rk = 1
+    """
+
     embed_clusters_prelude = """
     _d as (select vec_id, embedding::DOUBLE[] as v from embeddings),
     _eprs as (
@@ -3331,6 +3367,7 @@ from g5 group by 1
         "geo_velocity": geo_velocity_sql,
         "tf_cosine": tf_cosine_sql,
         "spread_points": spread_points_sql,
+        "dedup_keep_best": dedup_keep_best_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

@@ -1188,3 +1188,27 @@ def kmv_distinct_sql_duckdb(rel: str, key_col: str, value_col: str,
            end as est_distinct
     from _t
     """
+
+
+def cluster_keep_best(comp: DataFrame, scores: DataFrame,
+                      score_col: str = "score") -> DataFrame:
+    """Quality-aware dedup retention: per connected component (from
+    :func:`connected_components`), keep the member with the highest
+    score, ties to the lowest node id — what a production dedup pass
+    actually retains (the best-quality copy), vs the min-id keep list
+    ``component`` itself encodes.
+
+    ``comp`` is (node, component); ``scores`` is (node, <score_col>).
+    One equi-join + one per-component window; component sizes bound the
+    window groups (same boundedness argument as the clustering that
+    produced them). Determinism: the score must be a pure function of
+    the row (bit-identical across engines — integer-derived doubles),
+    ties resolve on node id.
+    """
+    from pyspark.sql import Window
+
+    j = comp.join(scores, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("node").asc())
+    return (j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))
