@@ -1133,6 +1133,41 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality filter: each language's own p25
+    quality score becomes its cut (CCNet-style per-bucket thresholds —
+    a single global cut over- or under-prunes low-resource languages).
+    The threshold is a POSITIONAL pick (the value at floor((n-1)/4) in
+    (score, doc_id) order), so both engines choose an existing score —
+    deterministic, no interpolation. Rollup output: per language the
+    corpus count, kept count and the threshold.
+
+    Scale shape: two window passes over the same (lang) partitioning —
+    one shuffle, reused — then a map-side-combinable rollup; language
+    cardinality is tiny so the thresholds could equally broadcast."""
+    from zen3geo_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", "lang",
+                         quality_score(F.col("text")).alias("score"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang", "score",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+    thr = (ranked
+           .filter(F.expr("rn = ((n - 1) div 4) + 1"))
+           .select("lang", F.col("score").alias("thr")))
+    return (scored.join(thr, "lang")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("score") >= F.col("thr")).cast("int"))
+                 .alias("n_kept"),
+                 F.round(F.min("thr"), 6).alias("p25_thr")))
+
+
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate pairs → exact
     n-gram Jaccard verification (candidates only, never all-pairs)."""
@@ -1892,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_cosine": q_tf_cosine,
         "spread_points": q_spread_points,
         "dedup_keep_best": q_dedup_keep_best,
+        "adaptive_quality": q_adaptive_quality,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3290,6 +3326,30 @@ from g5 group by 1
         "select doc_id as node from documents",
         prelude_ctes=simhash_ctes_flat)
 
+    # adaptive-quality twin: same positional p25 pick, same rollup
+    _aq_score = quality_score_sql("text", "duckdb")
+    adaptive_quality_sql = f"""
+    with scored as (
+      select doc_id, lang, {_aq_score} as score from documents
+    ),
+    ranked as (
+      select lang, score,
+             row_number() over (partition by lang
+                 order by score asc, doc_id asc) as rn,
+             count(*) over (partition by lang) as n
+      from scored
+    ),
+    thr as (
+      select lang, score as thr from ranked
+      where rn = ((n - 1) // 4) + 1
+    )
+    select s.lang, count(*) as n_docs,
+           sum(case when s.score >= t.thr then 1 else 0 end) as n_kept,
+           round(min(t.thr), 6) as p25_thr
+    from scored s join thr t on s.lang = t.lang
+    group by s.lang
+    """
+
     # keep-best twin: the clusters statement as a derived table + the
     # shared quality formula + the same (score DESC, node ASC) window
     dedup_keep_best_sql = f"""
@@ -3368,6 +3428,7 @@ from g5 group by 1
         "tf_cosine": tf_cosine_sql,
         "spread_points": spread_points_sql,
         "dedup_keep_best": dedup_keep_best_sql,
+        "adaptive_quality": adaptive_quality_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
