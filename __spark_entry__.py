@@ -1168,6 +1168,28 @@ def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("thr"), 6).alias("p25_thr")))
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the split key is the CONTENT
+    fingerprint (md5 of normalized text), not the doc id, so exact
+    duplicates can never straddle the held-out boundary — the
+    decontamination-aware split discipline. Bucket = shared 40-bit
+    polynomial hash of the fingerprint mod 100; < 90 → train. Rollup:
+    per (source, split) doc and distinct-content counts."""
+    from zen3geo_spark.operators.dedup import gram_hash40
+    from zen3geo_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = docs.select("doc_id", "source",
+                     fingerprint(F.col("text")).alias("fp"))
+    split = fp.withColumn(
+        "split",
+        F.when(F.pmod(gram_hash40(F.col("fp")), F.lit(100)) < 90,
+               F.lit("train")).otherwise(F.lit("val")))
+    return split.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_contents"))
+
+
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate pairs → exact
     n-gram Jaccard verification (candidates only, never all-pairs)."""
@@ -1928,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spread_points": q_spread_points,
         "dedup_keep_best": q_dedup_keep_best,
         "adaptive_quality": q_adaptive_quality,
+        "leakage_safe_split": q_leakage_safe_split,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3326,6 +3349,23 @@ from g5 group by 1
         "select doc_id as node from documents",
         prelude_ctes=simhash_ctes_flat)
 
+    # leakage-safe split twin: same content fingerprint, same 40-bit
+    # polynomial bucket, same 90/10 cut
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb
+    _ls_fp = fingerprint_sql("text", "duckdb")
+    _ls_bucket = hash40_sql_duckdb("fp")
+    leakage_safe_split_sql = f"""
+    with fps as (select doc_id, source, {_ls_fp} as fp from documents),
+    s as (select source,
+                 case when ({_ls_bucket}) % 100 < 90 then 'train'
+                      else 'val' end as split,
+                 fp
+          from fps)
+    select source, split, count(*) as n_docs,
+           count(distinct fp) as n_contents
+    from s group by source, split
+    """
+
     # adaptive-quality twin: same positional p25 pick, same rollup
     _aq_score = quality_score_sql("text", "duckdb")
     adaptive_quality_sql = f"""
@@ -3429,6 +3469,7 @@ from g5 group by 1
         "spread_points": spread_points_sql,
         "dedup_keep_best": dedup_keep_best_sql,
         "adaptive_quality": adaptive_quality_sql,
+        "leakage_safe_split": leakage_safe_split_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
