@@ -1190,6 +1190,30 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_geo_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo×language mix: PIP-join extracted page points into polygons,
+    then the per-polygon language distribution with within-polygon share
+    — the "what languages does this region's crawl speak" rollup that
+    drives per-region sampling weights in a multilingual pipeline.
+    Composition: broadcast cell-keyed PIP join (bounded refine groups) →
+    join back to the page dim on point_id → tiny (polygon×lang) aggregate;
+    the share window runs on the aggregated table, never on the corpus."""
+    pages = synth_pages(spark, N_PAGES).select(
+        F.regexp_extract("url", r"/page/(\d+)", 1).cast("long")
+        .alias("point_id"),
+        "lang")
+    hits = points_in_polygons(_points_df(spark), _polys_df(spark), res=4,
+                              broadcast_polys=True).select(
+        "point_id", "geom_id")
+    per = (hits.join(pages, "point_id")
+           .groupBy("geom_id", "lang").agg(F.count("*").alias("n_pages")))
+    w = Window.partitionBy("geom_id")
+    return per.select(
+        "geom_id", "lang", "n_pages",
+        F.round(F.col("n_pages") / F.sum("n_pages").over(w), 6)
+        .alias("share"))
+
+
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate pairs → exact
     n-gram Jaccard verification (candidates only, never all-pairs)."""
@@ -1951,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "adaptive_quality": q_adaptive_quality,
         "leakage_safe_split": q_leakage_safe_split,
+        "geo_lang_mix": q_geo_lang_mix,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3366,6 +3391,23 @@ from g5 group by 1
     from s group by source, split
     """
 
+    # geo×lang mix twin: the PIP core as a derived table joined back to
+    # the page dim, share = n / per-polygon sum (bigint→double division,
+    # identical IEEE result both engines)
+    geo_lang_mix_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+    hits as ({pip_core}),
+    per as (
+      select h.geom_id, p.lang, count(*) as n_pages
+      from hits h join pages p on p.id = h.point_id
+      group by h.geom_id, p.lang
+    )
+    select geom_id, lang, n_pages,
+           round(n_pages / sum(n_pages) over (partition by geom_id), 6)
+             as share
+    from per
+    """
+
     # adaptive-quality twin: same positional p25 pick, same rollup
     _aq_score = quality_score_sql("text", "duckdb")
     adaptive_quality_sql = f"""
@@ -3470,6 +3512,7 @@ from g5 group by 1
         "dedup_keep_best": dedup_keep_best_sql,
         "adaptive_quality": adaptive_quality_sql,
         "leakage_safe_split": leakage_safe_split_sql,
+        "geo_lang_mix": geo_lang_mix_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
