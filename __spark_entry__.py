@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zen3geo_spark.functions.geo import (
-    cell_encode, cell_id_sql, cell_parent, extract_all_geotags,
+    cell_encode, cell_id_sql, cell_parent, cell_parent_sql,
+    extract_all_geotags,
     extract_first_geotag, mercator_x, mercator_x_sql, mercator_y,
     mercator_y_sql, micro_from_str, micro_from_str_sql,
 )
@@ -82,6 +83,23 @@ NOTCHED = [(-30_000_000, -10_000_000), (-10_000_000, -10_000_000),
            (-10_000_000, 10_000_000), (-20_000_000, 0),
            (-30_000_000, 10_000_000)]
 POLYS = [(0, TRIANGLE), (1, NOTCHED)]
+
+# multi-ring fixtures (x=lon, y=lat micro-degrees): a donut whose inner
+# ring is a HOLE under even-odd parity, and a two-part multipolygon
+# (two disjoint outer rings carried as one geometry)
+DONUT = [
+    [(-60_000_000, -45_000_000), (60_000_000, -45_000_000),
+     (60_000_000, 45_000_000), (-60_000_000, 45_000_000)],
+    [(-30_000_000, -20_000_000), (30_000_000, -20_000_000),
+     (30_000_000, 20_000_000), (-30_000_000, 20_000_000)],
+]
+TWO_PART = [
+    [(80_000_000, -40_000_000), (120_000_000, -40_000_000),
+     (120_000_000, 0), (80_000_000, 0)],
+    [(-170_000_000, 30_000_000), (-120_000_000, 30_000_000),
+     (-120_000_000, 70_000_000), (-170_000_000, 70_000_000)],
+]
+MULTI_POLYS = [(0, DONUT), (1, TWO_PART)]
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +170,39 @@ def _edges_values() -> str:
             x1, y1 = ring[i]
             x2, y2 = ring[(i + 1) % len(ring)]
             rows.append(f"({gid}, {x1}, {y1}, {x2}, {y2})")
+    return "(values " + ", ".join(rows) + ") e(geom_id, x1, y1, x2, y2)"
+
+
+def _multi_polys_df(spark: SparkSession) -> DataFrame:
+    """Multi-ring geometry dimension (same LocalRelation discipline as
+    _polys_df; parts = ALL rings, bbox spans every ring)."""
+    rows = []
+    for gid, rings in MULTI_POLYS:
+        ring_sqls = []
+        for ring in rings:
+            pts = ", ".join(
+                f"named_struct('x', cast({x} as double), 'y', cast({y} as double))"
+                for x, y in ring)
+            ring_sqls.append(f"array({pts})")
+        xs = [x for ring in rings for x, _ in ring]
+        ys = [y for ring in rings for _, y in ring]
+        rows.append(
+            f"({gid}L, 'polygon', array({', '.join(ring_sqls)}), 'OGC:CRS84', "
+            f"{min(xs)}L, {min(ys)}L, {max(xs)}L, {max(ys)}L)")
+    return spark.sql(
+        "select * from values " + ", ".join(rows) +
+        " as t(geom_id, geom_type, parts, crs, "
+        "minx_us, miny_us, maxx_us, maxy_us)")
+
+
+def _multi_edges_values() -> str:
+    rows = []
+    for gid, rings in MULTI_POLYS:
+        for ring in rings:
+            for i in range(len(ring)):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % len(ring)]
+                rows.append(f"({gid}, {x1}, {y1}, {x2}, {y2})")
     return "(values " + ", ".join(rows) + ") e(geom_id, x1, y1, x2, y2)"
 
 
@@ -421,6 +472,18 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = points_in_polygons(_points_df(spark), _polys_df(spark), res=4,
                              salt_factor=4, broadcast_polys=True)
+    return out.select("point_id", "geom_id")
+
+
+def q_pip_multi_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-odd multi-ring PIP: geometry 0 is a donut (points inside the
+    inner ring are OUTSIDE the geometry), geometry 1 a two-part
+    multipolygon — the OGC interior test the refine kernel implements
+    for arbitrary ring sets (ray-cast crossing parity over the union of
+    ring edges). Exercises the multi-ring path of _pip_refine_group that
+    the single-ring fixtures never touch."""
+    out = points_in_polygons(_points_df(spark), _multi_polys_df(spark),
+                             res=4, broadcast_polys=True)
     return out.select("point_id", "geom_id")
 
 
@@ -1214,6 +1277,98 @@ def q_geo_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share"))
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile pyramid: extracted page points binned once at the
+    base zoom (one full-corpus map-side-combinable aggregate), then every
+    coarser zoom rolled up FROM THE BASE AGGREGATE — the tile-serving
+    pyramid build. At 100 TB the corpus is touched exactly once; the six
+    parent rollups run over <= 4^base_zoom rows. The base aggregate is
+    localCheckpoint-ed so the seven union branches share one scan."""
+    base_z = 6
+    pts = _points_df(spark).withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), base_z))
+    base = (pts.groupBy("cell").agg(F.count("*").alias("n_pages"))
+            .localCheckpoint(eager=False))
+    levels = [base.select(F.lit(base_z).alias("zoom"), "cell", "n_pages")]
+    for z in range(base_z):
+        levels.append(
+            base.groupBy(cell_parent(F.col("cell"), base_z, z).alias("cell"))
+            .agg(F.sum("n_pages").alias("n_pages"))
+            .select(F.lit(z).alias("zoom"), "cell", "n_pages"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def q_tile_pyramid_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pyramid maintenance: when crawl snapshot B replaces A
+    (A = ids [0,N), B = ids [N/5, 6N/5)), the tile counts are updated
+    from the DELTA page sets only — departed pages contribute -1, new
+    pages +1, pages in both snapshots never touched. Signed per-cell
+    sums roll up the pyramid (zooms 6/4/2), changed tiles only. At
+    10^12 rows this is the difference between re-aggregating the corpus
+    and aggregating the snapshot fringe."""
+    n2 = N_PAGES * 6 // 5
+    lo = N_PAGES // 5
+    pages = synth_pages(spark, n2).withColumn(
+        "point_id", F.regexp_extract("url", r"/page/(\d+)", 1).cast("long"))
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = (pages
+           .filter((F.col("point_id") < lo) | (F.col("point_id") >= N_PAGES))
+           .select("point_id", lat_s.alias("lat_str"),
+                   lon_s.alias("lon_str"))
+           .filter(F.col("lat_str") != "")
+           .select("point_id",
+                   micro_from_str(F.col("lat_str")).alias("lat_us"),
+                   micro_from_str(F.col("lon_str")).alias("lon_us")))
+    signed = pts.withColumn(
+        "sgn", F.when(F.col("point_id") < lo, F.lit(-1)).otherwise(F.lit(1)))
+    base = (signed
+            .withColumn("cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 6))
+            .groupBy("cell").agg(F.sum("sgn").alias("delta"))
+            .filter(F.col("delta") != 0)
+            .localCheckpoint(eager=False))
+    levels = [base.select(F.lit(6).alias("zoom"), "cell", "delta")]
+    for z in (4, 2):
+        levels.append(
+            base.groupBy(cell_parent(F.col("cell"), 6, z).alias("cell"))
+            .agg(F.sum("delta").alias("delta"))
+            .filter(F.col("delta") != 0)
+            .select(F.lit(z).alias("zoom"), "cell", "delta"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-adaptive spatial index: coarse res-4 cells whose page
+    count exceeds the occupied-cell average are subdivided to res-8 —
+    the quadtree discipline that balances partition sizes under
+    web-crawl point skew. The hot-cell set is an aggregate-sized
+    broadcast (never a corpus shuffle); the threshold is integer-exact
+    (n4 * n_occupied > total) so both engines pick identical cells."""
+    pts = _points_df(spark).withColumn(
+        "c8", cell_encode(F.col("lat_us"), F.col("lon_us"), 8)).withColumn(
+        "c4", cell_encode(F.col("lat_us"), F.col("lon_us"), 4))
+    from zen3geo_spark.operators._util import pair_all
+
+    coarse = pts.groupBy("c4").agg(F.count("*").alias("n4"))
+    stats = coarse.agg(F.sum("n4").alias("tot"),
+                       F.count("*").alias("nocc"))
+    hot = (pair_all(coarse, stats)
+           .filter(F.col("n4") * F.col("nocc") > F.col("tot"))
+           .select("c4", F.lit(True).alias("is_hot")))
+    assigned = pts.join(F.broadcast(hot), "c4", "left")
+    return (assigned.select(
+        F.when(F.col("is_hot"), F.col("c8")).otherwise(F.col("c4"))
+        .alias("cell"),
+        F.when(F.col("is_hot"), F.lit(8)).otherwise(F.lit(4))
+        .alias("res"))
+        .groupBy("cell", "res").agg(F.count("*").alias("n_pages")))
+
+
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: MinHash-LSH candidate pairs → exact
     n-gram Jaccard verification (candidates only, never all-pairs)."""
@@ -1976,6 +2131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_quality": q_adaptive_quality,
         "leakage_safe_split": q_leakage_safe_split,
         "geo_lang_mix": q_geo_lang_mix,
+        "tile_pyramid": q_tile_pyramid,
+        "adaptive_cells": q_adaptive_cells,
+        "pip_multi_ring": q_pip_multi_ring,
+        "tile_pyramid_delta": q_tile_pyramid_delta,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3408,6 +3567,88 @@ from g5 group by 1
     from per
     """
 
+    # multi-ring PIP twin: identical even-odd parity over the union of
+    # ring edges (donut hole + two-part multipolygon)
+    _me = _multi_edges_values()
+    pip_multi_ring_sql = f"""
+    {pts_cte}
+    select p.point_id, e.geom_id
+    from pts p join {_me}
+      on ((e.y1 > p.lat_us) != (e.y2 > p.lat_us))
+    group by p.point_id, e.geom_id, p.lat_us, p.lon_us
+    having sum(case when p.lon_us < cast(e.x2 - e.x1 as double) * cast(p.lat_us - e.y1 as double)
+                                     / cast(e.y2 - e.y1 as double) + e.x1
+                    then 1 else 0 end) % 2 = 1
+    """
+
+    # pyramid-delta twin: same fringe-only signed aggregation
+    _tpd_n2 = N_PAGES * 6 // 5
+    _tpd_lo = N_PAGES // 5
+    _tpd_lat = micro_from_str_sql("lat_str", "duckdb")
+    _tpd_lon = micro_from_str_sql("lon_str", "duckdb")
+    _tpd_cell6 = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
+    _tpd_levels = ["select 6 as zoom, cell, delta from base"] + [
+        f"select {z} as zoom, {cell_parent_sql('cell', 6, z, 'duckdb')} as cell, "
+        f"sum(delta) as delta from base group by 1, 2 having sum(delta) <> 0"
+        for z in (4, 2)
+    ]
+    tile_pyramid_delta_sql = f"""
+    with pages as ({pages_cte_sql(_tpd_n2, with_id=True)}),
+    tagged as (
+      select id as point_id,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+      where id < {_tpd_lo} or id >= {N_PAGES}
+    ),
+    pts as (
+      select point_id, {_tpd_lat} as lat_us, {_tpd_lon} as lon_us,
+             case when point_id < {_tpd_lo} then -1 else 1 end as sgn
+      from tagged where lat_str <> ''
+    ),
+    base as (
+      select {_tpd_cell6} as cell, sum(sgn) as delta from pts
+      group by 1 having sum(sgn) <> 0
+    )
+    {' union all '.join(_tpd_levels)}
+    """
+
+    # tile-pyramid twin: base bin at zoom 6, six parent rollups FROM the
+    # base aggregate (union-all of per-zoom selects, all bigint math)
+    _tp_cell6 = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
+    _tp_levels = [
+        "select 6 as zoom, cell, n_pages from base"
+    ] + [
+        f"select {z} as zoom, "
+        f"{cell_parent_sql('cell', 6, z, 'duckdb')} as cell, "
+        f"sum(n_pages) as n_pages from base group by 1, 2"
+        for z in range(6)
+    ]
+    tile_pyramid_sql = f"""
+    {pts_cte}
+    , base as (
+      select {_tp_cell6} as cell, count(*) as n_pages from pts group by 1
+    )
+    {' union all '.join(_tp_levels)}
+    """
+
+    # adaptive-cells twin: identical integer hot test
+    # (n4 * n_occupied > total), identical res-8 subdivision
+    _ac_c8 = cell_id_sql("lat_us", "lon_us", 8, "duckdb")
+    _ac_c4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
+    adaptive_cells_sql = f"""
+    {pts_cte}
+    , pc as (select {_ac_c8} as c8, {_ac_c4} as c4 from pts),
+    coarse as (select c4, count(*) as n4 from pc group by 1),
+    stats as (select sum(n4) as tot, count(*) as nocc from coarse),
+    hot as (select c4 from coarse, stats where n4 * nocc > tot)
+    select case when h.c4 is not null then p.c8 else p.c4 end as cell,
+           case when h.c4 is not null then 8 else 4 end as res,
+           count(*) as n_pages
+    from pc p left join hot h on p.c4 = h.c4
+    group by 1, 2
+    """
+
     # adaptive-quality twin: same positional p25 pick, same rollup
     _aq_score = quality_score_sql("text", "duckdb")
     adaptive_quality_sql = f"""
@@ -3513,6 +3754,10 @@ from g5 group by 1
         "adaptive_quality": adaptive_quality_sql,
         "leakage_safe_split": leakage_safe_split_sql,
         "geo_lang_mix": geo_lang_mix_sql,
+        "tile_pyramid": tile_pyramid_sql,
+        "adaptive_cells": adaptive_cells_sql,
+        "pip_multi_ring": pip_multi_ring_sql,
+        "tile_pyramid_delta": tile_pyramid_delta_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

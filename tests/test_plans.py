@@ -179,3 +179,29 @@ def test_connected_components_lineage_truncated(spark):
     got = {r["node"]: r["component"] for r in comp.collect()}
     assert all(got[i] == 0 for i in range(31))
     assert all(got[100 + i] == 100 for i in range(6))
+
+
+def test_bucketed_cell_join_has_no_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed the same way on the
+    cell key must join with ZERO Exchange (and, with sorted buckets, no
+    extra Sort) — the storage-layout plan shape that makes repeated
+    spatial joins shuffle-free at 100 TB."""
+    from zen3geo_spark.plans.bucketing import colocated_join, write_bucketed
+
+    spark.sql(f"create database if not exists bktest location '{tmp_path}'")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        pts = spark.range(10000).selectExpr(
+            "id as point_id", "id % 97 as cell", "id * 3 % 7 as w")
+        dim = spark.range(97).selectExpr("id as cell", "id % 5 as zone")
+        write_bucketed(pts, "bktest.pts", "cell", buckets=8)
+        write_bucketed(dim, "bktest.dim", "cell", buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = colocated_join(spark, "bktest.pts", "bktest.dim", "cell")
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert out.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("drop database if exists bktest cascade")

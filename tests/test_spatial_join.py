@@ -267,3 +267,68 @@ def test_knn_cells_escalation_fewer_targets_than_k(spark):
         for r in knn_join_cells(queries, targets, k=5, res=6).collect())
     assert cells == brute
     assert len(cells) == 2
+
+
+def test_pip_multi_ring_hole_and_multipart(spark):
+    """Even-odd ring semantics, pinned directly (not just vs the SQL
+    twin, which shares the parity formula): a point inside the donut's
+    inner ring is OUTSIDE the geometry; a point between the rings is
+    inside; each part of a two-part multipolygon matches independently."""
+    import __spark_entry__ as E
+
+    probes = spark.createDataFrame(
+        [
+            (0, 0, 0),                          # donut hole centre → no match
+            (1, 30_000_000, -45_000_000),       # between rings → geom 0
+            (2, -20_000_000, 100_000_000),      # inside part 1 of geom 1
+            (3, 50_000_000, -150_000_000),      # inside part 2 of geom 1
+            (4, 89_000_000, 0),                 # far outside everything
+        ],
+        "point_id long, lat_us long, lon_us long")
+    got = {
+        (r["point_id"], r["geom_id"])
+        for r in points_in_polygons(
+            probes, E._multi_polys_df(spark), res=4,
+            broadcast_polys=True).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 1)}
+
+
+def test_tile_pyramid_delta_reconciles_snapshots(spark):
+    """Incremental-maintenance invariant: pyramid(A) + delta == pyramid(B)
+    at every zoom, where delta is built from the snapshot fringe only."""
+    import __spark_entry__ as E
+    from zen3geo_spark.functions.geo import cell_encode
+    from zen3geo_spark.functions.geo import cell_parent
+    from zen3geo_spark.sources.pages import synth_pages
+    from zen3geo_spark.functions.geo import (
+        extract_first_geotag, micro_from_str,
+    )
+
+    n, lo, n2 = E.N_PAGES, E.N_PAGES // 5, E.N_PAGES * 6 // 5
+
+    def pyramid(id_lo, id_hi, zoom):
+        pages = synth_pages(spark, n2).withColumn(
+            "pid", F.regexp_extract("url", r"/page/(\d+)", 1).cast("long"))
+        lat_s, lon_s = extract_first_geotag(F.col("text"))
+        pts = (pages.filter((F.col("pid") >= id_lo) & (F.col("pid") < id_hi))
+               .select(lat_s.alias("la"), lon_s.alias("lo"))
+               .filter(F.col("la") != "")
+               .select(micro_from_str(F.col("la")).alias("lat_us"),
+                       micro_from_str(F.col("lo")).alias("lon_us")))
+        c6 = pts.withColumn("cell", cell_encode("lat_us", "lon_us", 6))
+        g = c6.groupBy(cell_parent(F.col("cell"), 6, zoom).alias("cell")) \
+              .agg(F.count("*").alias("n"))
+        return {r["cell"]: r["n"] for r in g.collect()}
+
+    delta = {
+        (r["zoom"], r["cell"]): r["delta"]
+        for r in E.q_tile_pyramid_delta(spark, "unused").collect()
+    }
+    for zoom in (6, 4, 2):
+        a = pyramid(0, n, zoom)
+        b = pyramid(lo, n2, zoom)
+        cells = set(a) | set(b)
+        for c in cells:
+            want = b.get(c, 0) - a.get(c, 0)
+            assert delta.get((zoom, c), 0) == want, (zoom, c)

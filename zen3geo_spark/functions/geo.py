@@ -71,6 +71,22 @@ def cell_id_sql(lat_micro: str, lon_micro: str, res: int, engine: str) -> str:
     return f"({1 << (2 * res)} + ({iy}) * {1 << res} + ({ix}))"
 
 
+def cell_parent_sql(cell: str, res: int, parent_res: int, engine: str) -> str:
+    """Engine-neutral SQL twin of :func:`cell_parent` (non-negative
+    bigint math only, so plain integer division is exact in both
+    dialects)."""
+    if parent_res > res:
+        raise ValueError(f"parent_res {parent_res} must be <= res {res}")
+    d = _DIV[engine]
+    body = f"(({cell}) - {1 << (2 * res)})"
+    iy = f"({body}{d}{1 << res})"
+    ix = f"({body} - {iy} * {1 << res})"
+    shift = res - parent_res
+    piy = f"({iy}{d}{1 << shift})"
+    pix = f"({ix}{d}{1 << shift})"
+    return f"({1 << (2 * parent_res)} + {piy} * {1 << parent_res} + {pix})"
+
+
 def cell_encode(lat_micro: Column | str, lon_micro: Column | str, res: int) -> Column:
     """Spark Column: hierarchical cell id from micro-degree ints."""
     if res > MAX_RES:
