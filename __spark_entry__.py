@@ -1253,6 +1253,27 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_spatial_block_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially-blocked train/val split: the split unit is the res-6
+    CELL, not the page — all pages of a cell land in the same split, so
+    spatial autocorrelation cannot leak across the held-out boundary
+    (the geographic counterpart of `leakage_safe_split`'s content
+    blocking). Bucket = shared 40-bit polynomial hash of the decimal
+    cell id, mod 100; < 80 → train. Map-side-combinable rollup."""
+    from zen3geo_spark.operators.dedup import gram_hash40
+
+    pts = _points_df(spark).withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 6))
+    split = pts.withColumn(
+        "split",
+        F.when(F.pmod(gram_hash40(F.col("cell").cast("string")),
+                      F.lit(100)) < 80,
+               F.lit("train")).otherwise(F.lit("val")))
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("cell").alias("n_cells"))
+
+
 def q_geo_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo×language mix: PIP-join extracted page points into polygons,
     then the per-polygon language distribution with within-polygon share
@@ -2135,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_cells": q_adaptive_cells,
         "pip_multi_ring": q_pip_multi_ring,
         "tile_pyramid_delta": q_tile_pyramid_delta,
+        "spatial_block_split": q_spatial_block_split,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3581,6 +3603,20 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # spatial-block-split twin: same cell id, same decimal-string hash
+    _sbs_cell = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
+    _sbs_bucket = hash40_sql_duckdb("cast(cell as varchar)")
+    spatial_block_split_sql = f"""
+    {pts_cte}
+    , cells as (select {_sbs_cell} as cell from pts),
+    s as (select cell,
+                 case when ({_sbs_bucket}) % 100 < 80 then 'train'
+                      else 'val' end as split
+          from cells)
+    select split, count(*) as n_pages, count(distinct cell) as n_cells
+    from s group by split
+    """
+
     # pyramid-delta twin: same fringe-only signed aggregation
     _tpd_n2 = N_PAGES * 6 // 5
     _tpd_lo = N_PAGES // 5
@@ -3758,6 +3794,7 @@ from g5 group by 1
         "adaptive_cells": adaptive_cells_sql,
         "pip_multi_ring": pip_multi_ring_sql,
         "tile_pyramid_delta": tile_pyramid_delta_sql,
+        "spatial_block_split": spatial_block_split_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
