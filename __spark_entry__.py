@@ -1253,6 +1253,26 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_cell_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-diversity retention: keep at most K=3 pages per res-4 cell,
+    preferring the longest text with point_id as the total-order
+    tie-break — the spatial counterpart of the per-source cap (one
+    mega-city must not dominate the corpus the way one mega-host must
+    not). Exact salted two-phase top-k: no single hot cell ever becomes
+    one window partition's sort."""
+    from zen3geo_spark.operators.curation import source_cap
+
+    pages = synth_pages(spark, N_PAGES).select(
+        F.regexp_extract("url", r"/page/(\d+)", 1).cast("long")
+        .alias("point_id"),
+        F.length("text").alias("score"))
+    pts = _points_df(spark).withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 4))
+    scored = pts.join(pages, "point_id").select("point_id", "cell", "score")
+    return source_cap(scored, k=3, n_salts=4, id_col="point_id",
+                      source_col="cell", order_col="score")
+
+
 def q_spatial_block_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatially-blocked train/val split: the split unit is the res-6
     CELL, not the page — all pages of a cell land in the same split, so
@@ -2157,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_multi_ring": q_pip_multi_ring,
         "tile_pyramid_delta": q_tile_pyramid_delta,
         "spatial_block_split": q_spatial_block_split,
+        "cell_top_docs": q_cell_top_docs,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3603,6 +3624,22 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # cell-top-docs twin: plain one-window top-k (the salted two-phase
+    # form is exactly equal), same res-4 cell + length order
+    from zen3geo_spark.operators.curation import source_cap_sql_duckdb
+    _ctd_cell = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
+    _ctd_topk = source_cap_sql_duckdb(
+        "scored", k=3, id_col="point_id", source_col="cell",
+        order_col="score")
+    cell_top_docs_sql = f"""
+    {pts_cte}
+    , scored as (
+      select p.point_id, {_ctd_cell} as cell, length(pg.text) as score
+      from pts p join pages pg on pg.id = p.point_id
+    )
+    {_ctd_topk}
+    """
+
     # spatial-block-split twin: same cell id, same decimal-string hash
     _sbs_cell = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
     _sbs_bucket = hash40_sql_duckdb("cast(cell as varchar)")
@@ -3795,6 +3832,7 @@ from g5 group by 1
         "pip_multi_ring": pip_multi_ring_sql,
         "tile_pyramid_delta": tile_pyramid_delta_sql,
         "spatial_block_split": spatial_block_split_sql,
+        "cell_top_docs": cell_top_docs_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
