@@ -1253,6 +1253,28 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_wrap_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antimeridian-crossing bbox query: the 20°-wide strip across the
+    dateline (lon 170° → -170°, lat ±60°), split at planning time into
+    two non-wrapping intervals by split_antimeridian_bbox — each a
+    plain pushdown-able range predicate (a naive BETWEEN would match
+    the 340° complement). Output: per-res-4-cell page counts inside
+    the strip."""
+    from zen3geo_spark.functions.geo import split_antimeridian_bbox
+
+    parts = split_antimeridian_bbox(170_000_000, -170_000_000)
+    lon = F.col("lon_us")
+    pred = None
+    for lo, hi in parts:
+        p = (lon >= lo) & (lon <= hi)
+        pred = p if pred is None else (pred | p)
+    pts = (_points_df(spark)
+           .filter(pred & F.col("lat_us").between(-60_000_000, 60_000_000)))
+    return (pts.groupBy(
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 4).alias("cell"))
+        .agg(F.count("*").alias("n_pages")))
+
+
 def q_cell_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo-diversity retention: keep at most K=3 pages per res-4 cell,
     preferring the longest text with point_id as the total-order
@@ -2178,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_delta": q_tile_pyramid_delta,
         "spatial_block_split": q_spatial_block_split,
         "cell_top_docs": q_cell_top_docs,
+        "wrap_bbox_scan": q_wrap_bbox_scan,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3624,6 +3647,18 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # wrapped-bbox twin: the SAME two split intervals, plain ORed ranges
+    _wb_cell = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
+    wrap_bbox_scan_sql = f"""
+    {pts_cte}
+    select {_wb_cell} as cell, count(*) as n_pages
+    from pts
+    where ((lon_us >= 170000000 and lon_us <= 180000000)
+           or (lon_us >= -180000000 and lon_us <= -170000000))
+      and lat_us between -60000000 and 60000000
+    group by 1
+    """
+
     # cell-top-docs twin: plain one-window top-k (the salted two-phase
     # form is exactly equal), same res-4 cell + length order
     from zen3geo_spark.operators.curation import source_cap_sql_duckdb
@@ -3833,6 +3868,7 @@ from g5 group by 1
         "tile_pyramid_delta": tile_pyramid_delta_sql,
         "spatial_block_split": spatial_block_split_sql,
         "cell_top_docs": cell_top_docs_sql,
+        "wrap_bbox_scan": wrap_bbox_scan_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

@@ -126,3 +126,33 @@ def test_polygon_measures_goldens(spark):
     assert s["area2_us"] == 200 and s["ccw"] == 0
     assert (s["centroid_x_us"], s["centroid_y_us"]) == (5.0, 5.0)
     assert s["perimeter_us"] == 40.0
+
+
+def test_split_antimeridian_bbox():
+    from zen3geo_spark.functions.geo import split_antimeridian_bbox
+
+    # non-wrapping interval passes through untouched
+    assert split_antimeridian_bbox(-10, 20) == [(-10, 20)]
+    # wrapping interval splits at the dateline, both halves non-wrapping
+    parts = split_antimeridian_bbox(170_000_000, -170_000_000)
+    assert parts == [(170_000_000, 180_000_000),
+                     (-180_000_000, -170_000_000)]
+    assert all(lo <= hi for lo, hi in parts)
+
+
+def test_wrap_bbox_plus_complement_partitions_lat_band(spark):
+    """The wrapped strip and its non-wrapped complement must exactly
+    partition the lat band — the invariant a naive BETWEEN breaks."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    band = E._points_df(spark).filter(
+        F.col("lat_us").between(-60_000_000, 60_000_000))
+    n_band = band.count()
+    n_wrap = (E.q_wrap_bbox_scan(spark, "unused")
+              .agg(F.sum("n_pages")).collect()[0][0])
+    n_complement = band.filter(
+        (F.col("lon_us") > -170_000_000) & (F.col("lon_us") < 170_000_000)
+    ).count()
+    assert n_wrap + n_complement == n_band
+    assert n_wrap > 0

@@ -71,6 +71,19 @@ def cell_id_sql(lat_micro: str, lon_micro: str, res: int, engine: str) -> str:
     return f"({1 << (2 * res)} + ({iy}) * {1 << res} + ({ix}))"
 
 
+def split_antimeridian_bbox(
+        min_lon_us: int, max_lon_us: int) -> list[tuple[int, int]]:
+    """Normalize a possibly antimeridian-crossing longitude interval
+    into 1–2 non-wrapping [lo, hi] intervals. A bbox given as
+    (min_lon=170°, max_lon=-170°) means the 20° strip ACROSS the
+    dateline; a naive BETWEEN silently matches the 340° complement
+    instead. Planning-time (driver) helper — the output intervals feed
+    ordinary pushdown-able range predicates."""
+    if min_lon_us <= max_lon_us:
+        return [(min_lon_us, max_lon_us)]
+    return [(min_lon_us, 180_000_000), (-180_000_000, max_lon_us)]
+
+
 def cell_parent_sql(cell: str, res: int, parent_res: int, engine: str) -> str:
     """Engine-neutral SQL twin of :func:`cell_parent` (non-negative
     bigint math only, so plain integer division is exact in both
