@@ -1253,6 +1253,32 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_chip_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's vector-segmentation-masks walkthrough composed
+    end-to-end (docs/vector-segmentation-masks.md: rasterized masks +
+    xbatcher chips feeding the DataLoader): burn the fixture polygon
+    onto the 14x10 canvas (winding-number fill — the Polygon=15
+    golden), slice the canvas into 5x7 chips, and count label pixels
+    per chip — the chip/label pair generation step of a segmentation
+    training pipeline. Chip assignment is pure floor division on the
+    burned pixels (no join, no shuffle beyond the final tiny agg)."""
+    canvas = canvas_rasterize(spark, n=1)
+    geoms = geometries_datashader(spark).filter(
+        F.col("geom_type") == "polygon")
+    burned = rasterize(canvas, geoms)
+    # non-foldable zero: a literal scene_id would constant-propagate
+    # into the broadcast meta join and fold it to a cross join
+    px = burned.select(
+        F.pmod(F.xxhash64("row"), F.lit(1)).cast("long").alias("scene_id"),
+        F.col("col").cast("int").alias("x_idx"),
+        F.col("row").cast("int").alias("y_idx"),
+        "value")
+    meta = scenes_meta(spark, [(0, 1, 10, 14)])
+    chipped = assign_chips(px, meta, 5, 7)
+    return chip_stats(chipped).select(
+        "scene_id", "chip_id", F.col("n_px").alias("n_label_px"))
+
+
 def q_wrap_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Antimeridian-crossing bbox query: the 20°-wide strip across the
     dateline (lon 170° → -170°, lat ±60°), split at planning time into
@@ -2201,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_block_split": q_spatial_block_split,
         "cell_top_docs": q_cell_top_docs,
         "wrap_bbox_scan": q_wrap_bbox_scan,
+        "chip_label_pairs": q_chip_label_pairs,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3647,6 +3674,17 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # chip/label-pairs twin: the polygon burn as a derived table, then
+    # the same floor-division chip rollup (chips_x = 14 // 7 = 2)
+    chip_label_pairs_sql = f"""
+    with burned as ({rasterize_polygon_sql})
+    select cast(0 as bigint) as scene_id,
+           cast((row // 5) * 2 + (col // 7) as bigint) as chip_id,
+           count(*) as n_label_px
+    from burned
+    group by 1, 2
+    """
+
     # wrapped-bbox twin: the SAME two split intervals, plain ORed ranges
     _wb_cell = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
     wrap_bbox_scan_sql = f"""
@@ -3869,6 +3907,7 @@ from g5 group by 1
         "spatial_block_split": spatial_block_split_sql,
         "cell_top_docs": cell_top_docs_sql,
         "wrap_bbox_scan": wrap_bbox_scan_sql,
+        "chip_label_pairs": chip_label_pairs_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
