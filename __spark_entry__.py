@@ -1253,6 +1253,24 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spatial kernel through the REAL streaming engine: readStream
+    over a bounded on-disk pages table → geotag extract → cell encode →
+    per-cell counts, complete-mode memory sink under availableNow — on
+    a bounded input this must emit exactly the batch aggregate, so the
+    micro-batch execution of the extraction+index path is value-hash-
+    checked against the same SQL twin as the batch cell counts."""
+    import pathlib
+
+    from zen3geo_spark.streaming.windows import stream_cell_counts_to_memory
+
+    d = pathlib.Path(__file__).resolve().parent / ".gen_assets" / \
+        f"stream_pages_{N_PAGES}"
+    if not (d / "_SUCCESS").exists():
+        synth_pages(spark, N_PAGES).write.mode("overwrite").parquet(str(d))
+    return stream_cell_counts_to_memory(spark, str(d), res=6)
+
+
 def q_chip_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's vector-segmentation-masks walkthrough composed
     end-to-end (docs/vector-segmentation-masks.md: rasterized masks +
@@ -2228,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_top_docs": q_cell_top_docs,
         "wrap_bbox_scan": q_wrap_bbox_scan,
         "chip_label_pairs": q_chip_label_pairs,
+        "stream_cell_counts": q_stream_cell_counts,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3674,6 +3693,14 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # streaming-cell-counts twin: the plain batch cell rollup — complete
+    # mode on a bounded input must equal it exactly
+    _scc_cell = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
+    stream_cell_counts_sql = f"""
+    {pts_cte}
+    select {_scc_cell} as cell, count(*) as n_pages from pts group by 1
+    """
+
     # chip/label-pairs twin: the polygon burn as a derived table, then
     # the same floor-division chip rollup (chips_x = 14 // 7 = 2)
     chip_label_pairs_sql = f"""
@@ -3908,6 +3935,7 @@ from g5 group by 1
         "cell_top_docs": cell_top_docs_sql,
         "wrap_bbox_scan": wrap_bbox_scan_sql,
         "chip_label_pairs": chip_label_pairs_sql,
+        "stream_cell_counts": stream_cell_counts_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

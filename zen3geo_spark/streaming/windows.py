@@ -213,3 +213,41 @@ select key, window_start, n,
            as is_spike
 from trailed
 """
+
+
+def stream_cell_counts_to_memory(spark, pages_dir: str, res: int = 6,
+                                 name: str = "stream_cells_out"):
+    """Run the SPATIAL kernel — geotag extract → micro-degree parse →
+    cell encode → per-cell count — through the REAL streaming engine
+    (``readStream`` over a bounded pages directory → complete-mode
+    memory sink, ``availableNow``), the geo twin of
+    :func:`stream_tumbling_to_memory`: on a bounded input complete mode
+    must emit exactly the batch aggregate, so the micro-batch execution
+    of the extraction+index pipeline itself is value-hash-checkable.
+    Memory sink holds cell-cardinality rows (<= 4^res), never pages."""
+    import tempfile
+
+    from zen3geo_spark.functions.geo import (
+        cell_encode, extract_first_geotag, micro_from_str,
+    )
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = (stream.select(lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+           .filter(F.col("lat_str") != "")
+           .select(micro_from_str(F.col("lat_str")).alias("lat_us"),
+                   micro_from_str(F.col("lon_str")).alias("lon_us")))
+    agg = (pts.groupBy(
+        cell_encode(F.col("lat_us"), F.col("lon_us"), res).alias("cell"))
+        .count().withColumnRenamed("count", "n_pages"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="zsc_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
