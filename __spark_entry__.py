@@ -1253,6 +1253,33 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label transfer: classify each query page's region language
+    by majority vote of its k=5 nearest geotagged neighbors
+    (deterministic tie-breaks throughout: neighbor rank by (dist2,
+    target_id), vote by (count desc, lang asc)) — the label-propagation
+    pattern for enriching unlabeled pages from labeled neighbors.
+    Exactness rides knn_join_cells' ring escalation; the vote windows
+    run over k-sized groups, never the corpus."""
+    pages = synth_pages(spark, N_PAGES).select(
+        F.regexp_extract("url", r"/page/(\d+)", 1).cast("long")
+        .alias("target_id"),
+        "lang")
+    pts = _points_df(spark)
+    queries_df = pts.filter(F.col("point_id") < 30).select(
+        F.col("point_id").alias("query_id"), "lat_us", "lon_us")
+    targets = pts.filter(F.col("point_id") >= 30).select(
+        F.col("point_id").alias("target_id"), "lat_us", "lon_us")
+    knn = knn_join_cells(queries_df, targets, k=5, res=2)
+    votes = (knn.join(pages, "target_id")
+             .groupBy("query_id", "lang").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("lang").asc())
+    return (votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("query_id", F.col("lang").alias("pred_lang"), "n"))
+
+
 def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spatial kernel through the REAL streaming engine: readStream
     over a bounded on-disk pages table → geotag extract → cell encode →
@@ -2247,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrap_bbox_scan": q_wrap_bbox_scan,
         "chip_label_pairs": q_chip_label_pairs,
         "stream_cell_counts": q_stream_cell_counts,
+        "knn_classify": q_knn_classify,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3693,6 +3721,41 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # knn-classify twin: brute-force kNN over the >=30 target set, same
+    # (dist2, tid) neighbor rank and (count desc, lang asc) vote
+    knn_classify_sql = f"""
+    {pts_cte}
+    , pages_l as (
+      select id as target_id, lang
+      from (select id, lang from pages) t
+    ),
+    pairs as (
+      select q.point_id as query_id, t.point_id as target_id,
+             (q.lat_us - t.lat_us) * (q.lat_us - t.lat_us)
+             + (q.lon_us - t.lon_us) * (q.lon_us - t.lon_us) as dist2
+      from pts q join pts t on t.point_id >= 30
+      where q.point_id < 30
+    ),
+    ranked as (
+      select query_id, target_id,
+             row_number() over (partition by query_id
+                                order by dist2 asc, target_id asc) as rk
+      from pairs
+    ),
+    votes as (
+      select r.query_id, p.lang, count(*) as n
+      from ranked r join pages_l p using (target_id)
+      where r.rk <= 5
+      group by r.query_id, p.lang
+    )
+    select query_id, lang as pred_lang, n from (
+      select query_id, lang, n,
+             row_number() over (partition by query_id
+                                order by n desc, lang asc) as vrk
+      from votes
+    ) where vrk = 1
+    """
+
     # streaming-cell-counts twin: the plain batch cell rollup — complete
     # mode on a bounded input must equal it exactly
     _scc_cell = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
@@ -3936,6 +3999,7 @@ from g5 group by 1
         "wrap_bbox_scan": wrap_bbox_scan_sql,
         "chip_label_pairs": chip_label_pairs_sql,
         "stream_cell_counts": stream_cell_counts_sql,
+        "knn_classify": knn_classify_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
