@@ -664,6 +664,25 @@ def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mosaic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mosaic maintenance: when a NEW scene lands, the
+    first-valid mosaic updates by merging the EXISTING mosaic (its src
+    tile carried as the order key) with only the new scene's pixels —
+    cost |mosaic| + |new scene| rows, never the whole stack. Exactly
+    equals the full recompute by min_by associativity (the oracle IS
+    the full 3-tile recompute)."""
+    cube = datacube_for_mosaic(spark, nodata_variant=True)
+    old = mosaic_first_valid(cube.filter(F.col("tile") < 2),
+                             order_col="tile", nodata=0.0)
+    new_scene = cube.filter(F.col("tile") == 2)
+    merged = (old.select("band", "y_idx", "x_idx",
+                         F.col("src").alias("tile"), "value")
+              .unionByName(new_scene.select(
+                  "band", "y_idx", "x_idx", "tile", "value")))
+    return mosaic_first_valid(merged, order_col="tile", nodata=0.0).select(
+        "band", "y_idx", "x_idx", "value", "src")
+
+
 def q_stac_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = stac_items(spark, 50)
     s = search(items, bbox=(-60, -40, 40, 40),
@@ -1251,6 +1270,34 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("source", "split").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("fp").alias("n_contents"))
+
+
+def q_geo_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-resolution skew profile of the point distribution: for each
+    cell resolution 2/4/6, the occupied-cell count, max and total
+    occupancy, and the integer skew ratio (max * n_cells / total, 100×
+    fixed-point) — the planning diagnostic that decides WHERE salting
+    and adaptive subdivision are worth it (find_hot_cells' input, as a
+    first-class audit). One corpus scan per res, each a map-side-
+    combinable aggregate; the profile rows are resolution-cardinality."""
+    parts = []
+    for res in (2, 4, 6):
+        per = (_points_df(spark)
+               .groupBy(cell_encode(F.col("lat_us"), F.col("lon_us"), res)
+                        .alias("cell"))
+               .agg(F.count("*").alias("n")))
+        parts.append(per.agg(
+            F.lit(res).alias("res"),
+            F.count("*").alias("n_cells"),
+            F.max("n").alias("max_cell"),
+            F.sum("n").alias("n_points")).select(
+            "res", "n_cells", "max_cell", "n_points",
+            F.expr("(max_cell * n_cells * 100) div n_points")
+            .alias("skew_x100")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chip_label_pairs": q_chip_label_pairs,
         "stream_cell_counts": q_stream_cell_counts,
         "knn_classify": q_knn_classify,
+        "geo_skew_profile": q_geo_skew_profile,
+        "mosaic_incremental": q_mosaic_incremental,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3721,6 +3770,22 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # skew-profile twin: identical per-res aggregates + integer ratio
+    _gsp_levels = []
+    for _res in (2, 4, 6):
+        _gsp_cell = cell_id_sql("lat_us", "lon_us", _res, "duckdb")
+        _gsp_levels.append(f"""
+        select {_res} as res, count(*) as n_cells, max(n) as max_cell,
+               sum(n) as n_points,
+               (max(n) * count(*) * 100) // sum(n) as skew_x100
+        from (select {_gsp_cell} as cell, count(*) as n
+              from pts group by 1)
+        """)
+    geo_skew_profile_sql = f"""
+    {pts_cte}
+    {' union all '.join(_gsp_levels)}
+    """
+
     # knn-classify twin: brute-force kNN over the >=30 target set, same
     # (dist2, tid) neighbor rank and (count desc, lang asc) vote
     knn_classify_sql = f"""
@@ -4000,6 +4065,8 @@ from g5 group by 1
         "chip_label_pairs": chip_label_pairs_sql,
         "stream_cell_counts": stream_cell_counts_sql,
         "knn_classify": knn_classify_sql,
+        "geo_skew_profile": geo_skew_profile_sql,
+        "mosaic_incremental": mosaic_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
