@@ -1272,6 +1272,30 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing-maps-style quadkey tile addressing: per-zoom-6 tile, the
+    base-4 string key whose digit at level z is (2*bit_y + bit_x) of the
+    tile coords' z-th bit — the string form real tile servers key caches
+    and CDN paths by. Pure compile-time concat of 6 digit expressions
+    (all codegen, no UDF); rollup: pages per quadkey. The quadkey's
+    prefix property (parent = prefix) is what makes it the string twin
+    of the integer cell hierarchy."""
+    res = 6
+    pts = _points_df(spark)
+    iy = F.expr(
+        "((lat_us + 90000000) * 64) div 180000001").cast("long")
+    ix = F.expr(
+        "((lon_us + 180000000) * 64) div 360000001").cast("long")
+    digits = []
+    for z in range(res - 1, -1, -1):
+        bit_y = F.shiftright(iy, z).bitwiseAND(F.lit(1))
+        bit_x = F.shiftright(ix, z).bitwiseAND(F.lit(1))
+        digits.append((bit_y * 2 + bit_x).cast("string"))
+    qk = F.concat(*digits)
+    return (pts.select(qk.alias("quadkey"))
+            .groupBy("quadkey").agg(F.count("*").alias("n_pages")))
+
+
 def q_geo_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-resolution skew profile of the point distribution: for each
     cell resolution 2/4/6, the occupied-cell count, max and total
@@ -2324,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "geo_skew_profile": q_geo_skew_profile,
         "mosaic_incremental": q_mosaic_incremental,
+        "quadkeys": q_quadkeys,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3770,6 +3795,19 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # quadkey twin: same iy/ix integer grid, same base-4 digit extract
+    _qk_digits = ", ".join(
+        f"cast((((iy >> {z}) & 1) * 2 + ((ix >> {z}) & 1)) as varchar)"
+        for z in range(5, -1, -1))
+    quadkeys_sql = f"""
+    {pts_cte}
+    , t as (select ((lat_us + 90000000) * 64) // 180000001 as iy,
+                   ((lon_us + 180000000) * 64) // 360000001 as ix
+            from pts)
+    select concat({_qk_digits}) as quadkey, count(*) as n_pages
+    from t group by 1
+    """
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4067,6 +4105,7 @@ from g5 group by 1
         "knn_classify": knn_classify_sql,
         "geo_skew_profile": geo_skew_profile_sql,
         "mosaic_incremental": mosaic_sql,
+        "quadkeys": quadkeys_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,

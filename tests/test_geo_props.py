@@ -156,3 +156,34 @@ def test_wrap_bbox_plus_complement_partitions_lat_band(spark):
     ).count()
     assert n_wrap + n_complement == n_band
     assert n_wrap > 0
+
+
+def test_quadkey_bijective_with_cell_and_prefix_property(spark):
+    """Quadkeys must map 1:1 to res-6 cells, and the 4-digit prefix must
+    map 1:1 to the res-4 parent cell (the prefix property that makes
+    quadkeys the string twin of the integer hierarchy)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from zen3geo_spark.functions.geo import cell_encode
+
+    res = 6
+    pts = E._points_df(spark)
+    iy = F.expr("((lat_us + 90000000) * 64) div 180000001").cast("long")
+    ix = F.expr("((lon_us + 180000000) * 64) div 360000001").cast("long")
+    digits = []
+    for z in range(res - 1, -1, -1):
+        digits.append(((F.shiftright(iy, z).bitwiseAND(F.lit(1))) * 2
+                       + F.shiftright(ix, z).bitwiseAND(F.lit(1)))
+                      .cast("string"))
+    df = pts.select(
+        F.concat(*digits).alias("qk"),
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 6).alias("c6"),
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 4).alias("c4"))
+    # 1:1 at res 6
+    assert df.select("qk", "c6").distinct().count() == \
+        df.select("qk").distinct().count() == \
+        df.select("c6").distinct().count()
+    # prefix = parent
+    pre = df.select(F.substring("qk", 1, 4).alias("p"), "c4").distinct()
+    assert pre.count() == pre.select("p").distinct().count() \
+        == pre.select("c4").distinct().count()
