@@ -1272,6 +1272,34 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_recrawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host recrawl cadence: the gap (seconds) between consecutive
+    geotagged snapshots of each host — min/max/lower-median per host,
+    all integer so the cross-engine compare is exact (lower median =
+    the (n+1) div 2-th ordered gap, ties broken by snapshot id; no FP
+    percentile interpolation). The crawl-scheduling input: hosts whose
+    cadence stretched are due for refetch. Windows are per-host
+    (bounded by a host's snapshot count), the per-host stats table is
+    host-cardinality and broadcasts."""
+    pts = _points_df(spark).select(
+        F.pmod(F.col("point_id"), F.lit(1000)).alias("host_id"),
+        F.col("point_id").alias("pid"))
+    w = Window.partitionBy("host_id").orderBy("pid")
+    gaps = (pts.withColumn("gap", F.col("pid") - F.lag("pid").over(w))
+            .filter(F.col("gap").isNotNull()))
+    stats = gaps.groupBy("host_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"))
+    wg = Window.partitionBy("host_id").orderBy("gap", "pid")
+    med = (gaps.withColumn("rn", F.row_number().over(wg))
+           .join(F.broadcast(stats.select("host_id", "n_gaps")), "host_id")
+           .filter(F.col("rn") == F.expr("(n_gaps + 1) div 2"))
+           .select("host_id", F.col("gap").alias("med_gap")))
+    return stats.join(med, "host_id").select(
+        "host_id", "n_gaps", "min_gap", "max_gap", "med_gap")
+
+
 def q_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing-maps-style quadkey tile addressing: per-zoom-6 tile, the
     base-4 string key whose digit at level z is (2*bit_y + bit_x) of the
@@ -2349,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_skew_profile": q_geo_skew_profile,
         "mosaic_incremental": q_mosaic_incremental,
         "quadkeys": q_quadkeys,
+        "recrawl_cadence": q_recrawl_cadence,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3795,6 +3824,34 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # recrawl-cadence twin: same lag gaps, same integer lower median
+    recrawl_cadence_sql = f"""
+    {pts_cte}
+    , g as (
+      select point_id % 1000 as host_id, point_id as pid,
+             point_id - lag(point_id) over (partition by point_id % 1000
+                                            order by point_id) as gap
+      from pts
+    ),
+    gaps as (select host_id, pid, gap from g where gap is not null),
+    stats as (
+      select host_id, count(*) as n_gaps, min(gap) as min_gap,
+             max(gap) as max_gap
+      from gaps group by host_id
+    ),
+    med as (
+      select host_id, gap as med_gap from (
+        select host_id, gap,
+               row_number() over (partition by host_id
+                                  order by gap, pid) as rn
+        from gaps
+      ) r join stats using (host_id)
+      where r.rn = (stats.n_gaps + 1) // 2
+    )
+    select host_id, n_gaps, min_gap, max_gap, med_gap
+    from stats join med using (host_id)
+    """
+
     # quadkey twin: same iy/ix integer grid, same base-4 digit extract
     _qk_digits = ", ".join(
         f"cast((((iy >> {z}) & 1) * 2 + ((ix >> {z}) & 1)) as varchar)"
@@ -4106,6 +4163,7 @@ from g5 group by 1
         "geo_skew_profile": geo_skew_profile_sql,
         "mosaic_incremental": mosaic_sql,
         "quadkeys": quadkeys_sql,
+        "recrawl_cadence": recrawl_cadence_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
