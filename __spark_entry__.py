@@ -1272,6 +1272,34 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_contents"))
 
 
+def q_geo_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-based geolocation backfill: pages WITHOUT a well-formed
+    geotag inherit their host's modal res-4 cell, learned from the
+    host's tagged pages (tie-break: count desc, cell asc) — the
+    coverage-raising enrichment every geo pipeline runs over web text.
+    The host→modal-cell map is host-cardinality and broadcast; the
+    untagged corpus joins it without shuffling. Output: backfilled
+    pages per inherited cell."""
+    pages = synth_pages(spark, N_PAGES)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    base = pages.select(
+        F.expr(URL_HOST_SQL).alias("host"),
+        lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+    tagged = (base.filter(F.col("lat_str") != "")
+              .select("host",
+                      cell_encode(micro_from_str(F.col("lat_str")),
+                                  micro_from_str(F.col("lon_str")), 4)
+                      .alias("cell")))
+    per = tagged.groupBy("host", "cell").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("cell").asc())
+    modal = (per.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1).select("host", "cell"))
+    untagged = base.filter(F.col("lat_str") == "").select("host")
+    return (untagged.join(F.broadcast(modal), "host")
+            .groupBy("cell").agg(F.count("*").alias("n_backfilled")))
+
+
 def q_recrawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host recrawl cadence: the gap (seconds) between consecutive
     geotagged snapshots of each host — min/max/lower-median per host,
@@ -2378,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_incremental": q_mosaic_incremental,
         "quadkeys": q_quadkeys,
         "recrawl_cadence": q_recrawl_cadence,
+        "geo_backfill": q_geo_backfill,
         # --- code paths changed this round (r5 fixes touch these) ---
         "knn_cells": q_knn_cells,          # ring escalation
         "knn_brute": q_knn_brute,
@@ -3824,6 +3853,39 @@ from g5 group by 1
                     then 1 else 0 end) % 2 = 1
     """
 
+    # geo-backfill twin: same tagged-page modal cell per host, same
+    # inherit join for untagged pages
+    _gb_cell = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
+    _gb_lat = micro_from_str_sql("lat_str", "duckdb")
+    _gb_lon = micro_from_str_sql("lon_str", "duckdb")
+    geo_backfill_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    base as (
+      select regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    tagged as (
+      select host, {_gb_cell} as cell from (
+        select host, {_gb_lat} as lat_us, {_gb_lon} as lon_us
+        from base where lat_str <> ''
+      )
+    ),
+    modal as (
+      select host, cell from (
+        select host, cell,
+               row_number() over (partition by host
+                                  order by count(*) desc, cell asc) as rk
+        from tagged group by host, cell
+      ) where rk = 1
+    )
+    select m.cell, count(*) as n_backfilled
+    from base b join modal m on b.host = m.host
+    where b.lat_str = ''
+    group by m.cell
+    """
+
     # recrawl-cadence twin: same lag gaps, same integer lower median
     recrawl_cadence_sql = f"""
     {pts_cte}
@@ -4164,6 +4226,7 @@ from g5 group by 1
         "mosaic_incremental": mosaic_sql,
         "quadkeys": quadkeys_sql,
         "recrawl_cadence": recrawl_cadence_sql,
+        "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,
         "url_blocklist": url_blocklist_sql,
         "count_min": count_min_sql,
