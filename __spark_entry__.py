@@ -1328,6 +1328,46 @@ def q_recrawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host_id", "n_gaps", "min_gap", "max_gap", "med_gap")
 
 
+def q_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style ``compact_cells`` over the crawl's res-5 coverage mask:
+    complete sibling quads promote to their parent recursively (the
+    cell-SET maintenance that keeps 10^12-row coverage masks storable).
+    Closed-form plan — one bounded level explode + one (level,
+    ancestor) count + a min-level pick — no bottom-up iteration; the
+    completeness-monotonicity argument is in operators/cells.py."""
+    from zen3geo_spark.operators.cells import compact_cells
+
+    cells = _points_df(spark).select(
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 5).alias("cell"))
+    return compact_cells(cells, res=5, min_res=2)
+
+
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``uncompact(compact(S)) == S`` — the inverse pair run end-to-end
+    on the same coverage mask; the oracle is the ORIGINAL distinct cell
+    set, so a hash match proves the round-trip is the identity (the
+    invariant h3.uncompact_cells pins)."""
+    from zen3geo_spark.operators.cells import compact_cells, uncompact_cells
+
+    cells = _points_df(spark).select(
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 5).alias("cell"))
+    comp = compact_cells(cells, res=5, min_res=2)
+    return uncompact_cells(comp, res=5).distinct()
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the page points: res-6 cells holding >= 2 pages
+    are core; clusters = 8-neighbor connected components (lon wraps,
+    lat clamps — cell_neighbors ring semantics); label = min cell id.
+    Candidate edges via bounded ring explode + equi-join (never a
+    distance cross-join); components via the contraction +
+    pointer-jumping CC. Oracle: recursive-CTE reachability over the
+    same integer adjacency."""
+    from zen3geo_spark.operators.cells import grid_dbscan
+
+    return grid_dbscan(_points_df(spark), res=6, min_pts=2)
+
+
 def q_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing-maps-style quadkey tile addressing: per-zoom-6 tile, the
     base-4 string key whose digit at level z is (2*bit_y + bit_x) of the
@@ -2317,6 +2357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
+        # --- new this session: cell-set algebra + grid clustering ---
+        "compact_cells": q_compact_cells,
+        "compact_roundtrip": q_compact_roundtrip,
+        "grid_dbscan": q_grid_dbscan,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -3927,6 +3971,42 @@ from g5 group by 1
     from t group by 1
     """
 
+    # compact-cells twin: same closed-form coarsest-complete-ancestor
+    # plan (operators/cells.py), UNION-ALL-unrolled level range
+    from zen3geo_spark.operators.cells import (
+        compact_cells_sql, grid_dbscan_edges_sql,
+    )
+    _cc_cells = cell_id_sql("lat_us", "lon_us", 5, "duckdb")
+    # flatten the generated WITH into pts_cte's WITH list
+    _cc_body = compact_cells_sql(
+        f"select {_cc_cells} as cell from pts", 5, 2).strip()
+    assert _cc_body.startswith("with ")
+    compact_cells_sql_q = f"""
+    {pts_cte}
+    , {_cc_body[5:]}
+    """
+    # round-trip twin: the ORIGINAL distinct res-5 cell set — a hash
+    # match proves uncompact(compact(S)) is the identity
+    compact_roundtrip_sql_q = f"""
+    {pts_cte}
+    select distinct {_cc_cells} as cell from pts
+    """
+    _gd_cell6 = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
+    _gd_pre = pts_cte.strip()
+    assert _gd_pre.startswith("with ")
+    _gd_pre_flat = _gd_pre[5:].rstrip().rstrip(",") + (
+        f", _core as (select {_gd_cell6} as cell, count(*) as n_pts "
+        "from pts group by 1 having count(*) >= 2)")
+    _gd_comp = components_sql_duckdb(
+        grid_dbscan_edges_sql("select cell from _core", 6),
+        "select cell as node from _core",
+        prelude_ctes=_gd_pre_flat)
+    grid_dbscan_sql_q = f"""
+    select c.node as cell, c.component as cluster, k.n_pts
+    from ({_gd_comp}) c
+    join (with {_gd_pre_flat} select * from _core) k on c.node = k.cell
+    """
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4225,6 +4305,9 @@ from g5 group by 1
         "geo_skew_profile": geo_skew_profile_sql,
         "mosaic_incremental": mosaic_sql,
         "quadkeys": quadkeys_sql,
+        "compact_cells": compact_cells_sql_q,
+        "compact_roundtrip": compact_roundtrip_sql_q,
+        "grid_dbscan": grid_dbscan_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

@@ -1,0 +1,114 @@
+"""compact_cells / uncompact_cells / grid_dbscan (operators/cells.py).
+
+Pins the H3 compact invariants (h3-py's public semantics for
+``compact_cells`` / ``uncompact_cells``): complete quads promote
+recursively, incomplete quads stay, uncompact inverts compact exactly,
+and the output is a partition of the input (no overlap, no loss).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from zen3geo_spark.operators.cells import (
+    compact_cells,
+    compact_cells_sql,
+    grid_dbscan,
+    uncompact_cells,
+)
+
+
+def _cells_df(spark, ids):
+    return spark.createDataFrame([(int(c),) for c in ids], "cell long")
+
+
+def test_full_grid_compacts_to_min_res(spark):
+    # every res-3 cell present -> everything promotes to min_res
+    full = spark.range(64).select((F.lit(64) + F.col("id")).alias("cell"))
+    out = sorted((r.cell, r.cell_res)
+                 for r in compact_cells(full, 3, 1).collect())
+    assert out == [(4, 1), (5, 1), (6, 1), (7, 1)]
+    out0 = [(r.cell, r.cell_res) for r in compact_cells(full, 3, 0).collect()]
+    assert out0 == [(1, 0)]
+
+
+def test_one_missing_leaf_keeps_its_chain_incomplete(spark):
+    # drop res-3 cell 64 (iy=0, ix=0): its 3 siblings stay at res 3,
+    # the 3 sibling quads of its parent promote to res 2, the 3 sibling
+    # quads of its grandparent promote to res 1
+    part = spark.range(63).select((F.lit(65) + F.col("id")).alias("cell"))
+    out = sorted((r.cell, r.cell_res)
+                 for r in compact_cells(part, 3, 0).collect())
+    by_res = {}
+    for cell, res in out:
+        by_res.setdefault(res, []).append(cell)
+    assert sorted(by_res) == [1, 2, 3]
+    assert len(by_res[1]) == 3 and len(by_res[2]) == 3 and len(by_res[3]) == 3
+    # the res-3 survivors are exactly the missing cell's siblings
+    assert by_res[3] == [65, 72, 73]
+
+
+def test_uncompact_inverts_compact(spark):
+    import random
+
+    rng = random.Random(7)
+    ids = sorted(rng.sample(range(256, 512), 180))  # res-4 cells
+    comp = compact_cells(_cells_df(spark, ids), 4, 0)
+    back = sorted(r.cell for r in uncompact_cells(comp, 4).collect())
+    assert back == ids  # identity, and no duplicates (partition property)
+
+
+def test_compact_sql_twin_matches(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import random
+
+    rng = random.Random(11)
+    ids = sorted(rng.sample(range(1024, 2048), 700))  # res-5, dense
+    out = sorted((r.cell, r.cell_res)
+                 for r in compact_cells(_cells_df(spark, ids), 5, 1).collect())
+    vals = ", ".join(f"({c})" for c in ids)
+    sql = compact_cells_sql(
+        f"select cell from (values {vals}) t(cell)", 5, 1)
+    assert sorted(duckdb.sql(sql).fetchall()) == out
+
+
+def test_grid_dbscan_two_blobs_and_noise(spark):
+    # res 4 (16x16 grid, base 256): blob A = cells (1,1),(1,2),(2,2)
+    # (8-adjacent chain), blob B = (9,9),(10,10) (diagonal = adjacent),
+    # noise = single point at (5,5) below min_pts
+    def cell_pts(iy, ix, n):
+        # midpoint of cell (iy, ix) at res 4, replicated n times
+        lat = int((iy + 0.5) * 180000001 / 16) - 90000000
+        lon = int((ix + 0.5) * 360000001 / 16) - 180000000
+        return [(lat, lon)] * n
+
+    pts = (cell_pts(1, 1, 2) + cell_pts(1, 2, 3) + cell_pts(2, 2, 2)
+           + cell_pts(9, 9, 2) + cell_pts(10, 10, 2) + cell_pts(5, 5, 1))
+    df = spark.createDataFrame(pts, "lat_us long, lon_us long")
+    out = {r.cell: (r.cluster, r.n_pts)
+           for r in grid_dbscan(df, res=4, min_pts=2).collect()}
+    base = 256
+
+    def cid(iy, ix):
+        return base + iy * 16 + ix
+
+    assert set(out) == {cid(1, 1), cid(1, 2), cid(2, 2),
+                        cid(9, 9), cid(10, 10)}  # noise dropped
+    a = {out[cid(1, 1)][0], out[cid(1, 2)][0], out[cid(2, 2)][0]}
+    b = {out[cid(9, 9)][0], out[cid(10, 10)][0]}
+    assert a == {cid(1, 1)} and b == {cid(9, 9)}  # min-id labels
+    assert out[cid(1, 2)][1] == 3  # counts carried through
+
+
+def test_grid_dbscan_wraps_longitude(spark):
+    # ix=0 and ix=15 in the same row are ring-adjacent (cylinder wrap)
+    def cell_pts(iy, ix, n):
+        lat = int((iy + 0.5) * 180000001 / 16) - 90000000
+        lon = int((ix + 0.5) * 360000001 / 16) - 180000000
+        return [(lat, lon)] * n
+
+    df = spark.createDataFrame(
+        cell_pts(8, 0, 2) + cell_pts(8, 15, 2), "lat_us long, lon_us long")
+    out = {r.cell: r.cluster for r in grid_dbscan(df, 4, 2).collect()}
+    assert len(set(out.values())) == 1  # one wrapped cluster

@@ -1,0 +1,202 @@
+"""Hierarchical cell-set operators: H3-style ``compact`` and grid DBSCAN.
+
+The reference pairs rasters and vectors through cell/tile addressing
+(xbatcher slices, datashader canvases); production H3/S2 pipelines
+additionally maintain cell SETS — coverage masks, crawl footprints,
+serving areas — whose storage at res 10+ explodes unless complete
+quads are promoted to their parent (`h3.compact_cells` /
+`S2RegionCoverer` semantics). ``compact_cells`` re-expresses that as a
+closed-form DataFrame plan (no bottom-up iteration): a cell's
+compacted form is the COARSEST ancestor whose full ``4^(res-A)``
+subtree is present in the set — completeness along one cell's ancestor
+chain is monotone (a complete level-A ancestor implies every finer
+ancestor on the chain is complete), so one explode over the bounded
+level range + one (level, ancestor) count + a min-level pick per cell
+reproduces the iterative sibling-promotion fixpoint exactly.
+
+``grid_dbscan`` is DBSCAN re-expressed on the quad grid (the
+grid-density clustering used for POI/footprint mining at web scale):
+core cells = cells with >= ``min_pts`` points; clusters = connected
+components of the 8-neighbor adjacency graph over core cells (wrap in
+longitude, clamp in latitude — the same ring semantics as
+``cell_neighbors``). Candidate edges come from an equi-join on the
+exploded neighbor ring (bounded fan-out 9), never a distance
+cross-join, and the component step reuses the contraction+pointer-
+jumping CC of operators/dedup.py — both 100 TB-shaped.
+
+Reference parity: zen3geo has no cell-set algebra (its spatial pairing
+is per-chip bbox clipping, datapipes/geopandas.py:121-141); these
+operators extend the engine along the BASELINE.json north rule
+("H3/S2 cell-encode" index maintenance) rather than mirroring a
+reference test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from zen3geo_spark.functions.geo import (
+    cell_encode,
+    cell_neighbors,
+    cell_parent,
+    cell_parent_sql,
+)
+
+
+def compact_cells(cells: DataFrame, res: int, min_res: int = 0,
+                  cell_col: str = "cell") -> DataFrame:
+    """Compact a distinct cell set at resolution ``res``: replace every
+    complete sibling quad by its parent, recursively down to
+    ``min_res``. Output columns ``(cell, cell_res)`` — distinct.
+
+    Plan shape (scale-safe): one explode with fan-out
+    ``res - min_res + 1`` (bounded, <= MAX_RES+1), one (level, anc)
+    hash aggregate, one equi-join back, one min-level pick, one
+    distinct — every shuffle keyed on cell ids, no iteration, no
+    driver-side data.
+    """
+    if min_res > res:
+        raise ValueError(f"min_res {min_res} must be <= res {res}")
+    c = F.col(cell_col)
+    # (cell, level, ancestor) for level = min_res .. res
+    anc_structs = [
+        F.struct(F.lit(lvl).alias("lvl"),
+                 cell_parent(c, res, lvl).alias("anc"))
+        for lvl in range(min_res, res + 1)
+    ]
+    exploded = (cells.select(c.alias("cell"))
+                .distinct()
+                .select("cell", F.explode(F.array(*anc_structs)).alias("la"))
+                .select("cell", F.col("la.lvl").alias("lvl"),
+                        F.col("la.anc").alias("anc")))
+    # an ancestor at level L is complete iff ALL 4^(res-L) of its res-
+    # level descendants are in the set; the explode emits exactly one
+    # row per (descendant in set, level), so count(*) == 4^(res-L)
+    counts = exploded.groupBy("lvl", "anc").agg(F.count("*").alias("n"))
+    # shiftleft with a COLUMN shift amount is SQL-only (the Python API
+    # pins numBits to int) — exact bigint 4^(res-lvl)
+    complete = counts.filter(
+        F.expr(f"n = shiftleft(cast(1 as bigint), ({res} - lvl) * 2)")
+    ).select("lvl", "anc")
+    # coarsest complete ancestor per input cell (level res is always
+    # complete — n == 1 — so the min exists for every cell)
+    hit = exploded.join(complete, ["lvl", "anc"])
+    best = hit.groupBy("cell").agg(F.min("lvl").alias("lvl"))
+    return (hit.join(best, ["cell", "lvl"])
+            .select(F.col("anc").alias("cell"),
+                    F.col("lvl").alias("cell_res"))
+            .distinct())
+
+
+def compact_cells_sql(cells_sql: str, res: int, min_res: int,
+                      engine: str = "duckdb") -> str:
+    """Engine-neutral SQL twin of :func:`compact_cells`.
+
+    ``cells_sql`` must yield one column ``cell`` (distinct not
+    required). The bounded level range unrolls to a UNION ALL (the SQL
+    analogue of the explode)."""
+    arms = []
+    for lvl in range(min_res, res + 1):
+        anc = cell_parent_sql("cell", res, lvl, engine)
+        arms.append(f"select cell, {lvl} as lvl, {anc} as anc from _cells")
+    union = " union all ".join(arms)
+    return f"""
+    with _cells as (select distinct cell from ({cells_sql})),
+    _anc as ({union}),
+    _cnt as (select lvl, anc, count(*) as n from _anc group by lvl, anc),
+    _complete as (
+      select lvl, anc from _cnt
+      where n = cast(pow(4, {res} - lvl) as bigint)
+    ),
+    _hit as (
+      select a.cell, a.lvl, a.anc
+      from _anc a join _complete c on a.lvl = c.lvl and a.anc = c.anc
+    ),
+    _best as (select cell, min(lvl) as lvl from _hit group by cell)
+    select distinct h.anc as cell, h.lvl as cell_res
+    from _hit h join _best b on h.cell = b.cell and h.lvl = b.lvl
+    """
+
+
+def uncompact_cells(cells: DataFrame, res: int,
+                    cell_col: str = "cell",
+                    res_col: str = "cell_res") -> DataFrame:
+    """Inverse of :func:`compact_cells`: expand a mixed-resolution cell
+    set back to uniform resolution ``res`` (fan-out ``4^(res-L)`` per
+    row — the caller bounds ``res - min(L)``). Output: ``(cell)``."""
+    c, r = cell_col, res_col
+    # children at res of a cell at level L: iy', ix' range over the
+    # (iy<<s .. iy<<s + 2^s - 1) block where s = res - L.  Pure bigint
+    # (shiftleft with column shift amounts is SQL-only, hence expr).
+    one = "cast(1 as bigint)"
+    return (cells
+            .select(
+                F.expr(
+                    f"shiftleft(({c} - shiftleft({one}, {r} * 2)) div shiftleft({one}, {r}), {res} - {r})"
+                ).alias("y0"),
+                F.expr(
+                    f"shiftleft(({c} - shiftleft({one}, {r} * 2)) % shiftleft({one}, {r}), {res} - {r})"
+                ).alias("x0"),
+                F.expr(f"shiftleft({one}, {res} - {r})").alias("side"),
+                F.expr(f"shiftleft({one}, ({res} - {r}) * 2)").alias("nc"))
+            .select("y0", "x0", "side",
+                    F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("k"))
+            .select((F.shiftleft(F.lit(1).cast("long"), 2 * res)
+                     + (F.col("y0") + F.floor(F.col("k") / F.col("side")).cast("long"))
+                     * F.shiftleft(F.lit(1), res)
+                     + F.col("x0") + F.pmod(F.col("k"), F.col("side")))
+                    .alias("cell")))
+
+
+def grid_dbscan(points: DataFrame, res: int, min_pts: int,
+                lat_col: str = "lat_us", lon_col: str = "lon_us") -> DataFrame:
+    """Grid DBSCAN: cluster the res-``res`` cells holding >= ``min_pts``
+    points via 8-neighbor connectivity. Output:
+    ``(cell, cluster, n_pts)`` — cluster = min cell id in the component
+    (a stable, engine-independent label). Non-core cells are noise and
+    are not emitted (classic DBSCAN drops them too).
+
+    Plan: one cell-count aggregate, one bounded neighbor explode
+    (fan-out 9), one self-equi-join on the ring key, then the
+    contraction+pointer-jumping connected components of
+    operators/dedup.py — O(log diameter) rounds over the CONTRACTED
+    graph, never the raw point set.
+    """
+    from zen3geo_spark.operators.dedup import connected_components
+
+    core = (points
+            .select(cell_encode(F.col(lat_col), F.col(lon_col), res).alias("cell"))
+            .groupBy("cell").agg(F.count("*").alias("n_pts"))
+            .filter(F.col("n_pts") >= min_pts))
+    core = core.localCheckpoint(eager=False)
+    ring = core.select(
+        F.col("cell").alias("a_id"),
+        F.explode(cell_neighbors(F.col("cell"), res)).alias("nb"))
+    # candidate edge when the neighbor is ALSO core; a < b kills the
+    # self-loop and the duplicate direction
+    edges = (ring.join(core.select(F.col("cell").alias("b_id")),
+                       ring.nb == F.col("b_id"))
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id"))
+    comp = connected_components(
+        edges, nodes=core.select(F.col("cell").alias("node")))
+    return (comp.join(core, comp.node == core.cell)
+            .select(F.col("cell"), F.col("component").alias("cluster"),
+                    F.col("n_pts")))
+
+
+def grid_dbscan_edges_sql(core_sql: str, res: int) -> str:
+    """DuckDB SQL emitting SYMMETRIC (u, v) adjacency pairs over the
+    core-cell relation ``core_sql`` (must yield column ``cell``), with
+    the same ring semantics as :func:`cell_neighbors`: latitude rows
+    clamp (boundary rows have no wrap partner), longitude wraps mod
+    ``2^res``. Feed to ``components_sql_duckdb``."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    return f"""
+    select a.cell as u, b.cell as v
+    from ({core_sql}) a join ({core_sql}) b on a.cell <> b.cell
+    where abs(((a.cell - {base}) // {n}) - ((b.cell - {base}) // {n})) <= 1
+      and (abs(((a.cell - {base}) % {n}) - ((b.cell - {base}) % {n})) <= 1
+           or abs(((a.cell - {base}) % {n}) - ((b.cell - {base}) % {n})) = {n - 1})
+    """
