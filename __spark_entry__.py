@@ -1368,6 +1368,43 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_dbscan(_points_df(spark), res=6, min_pts=2)
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) round-trip over the pages table: serialize each
+    page to a framed WARC/1.0 response record (pure JVM binary concat),
+    assemble bounded 200-record WARC objects (one Arrow concat per
+    bucket), parse the blobs back by Content-Length framing, and emit
+    (url, warc_date, content_length, payload_md5). The oracle computes
+    the same four values DIRECTLY from the source table, so any framing
+    or parsing defect breaks the value hash."""
+    from zen3geo_spark.sources.warc import warc_roundtrip
+
+    return warc_roundtrip(synth_pages(spark, N_PAGES), records_per_file=200)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup through the streaming engine's STATE STORE: two
+    parquet files (documents + a re-keyed duplicate copy), one
+    micro-batch per file (maxFilesPerTrigger=1), streaming
+    dropDuplicates on the content fingerprint — later-batch duplicates
+    are suppressed by cross-batch state, and the append-mode output is
+    exactly the distinct fingerprint set (deterministic whichever
+    arrival won). Oracle: SELECT DISTINCT fingerprint FROM documents."""
+    import pathlib
+
+    from zen3geo_spark.streaming.windows import stream_dedup_to_memory
+
+    d = pathlib.Path(__file__).resolve().parent / ".gen_assets" / \
+        f"stream_docs_{pathlib.Path(sf_dir).name}"
+    if not (d / "_SUCCESS").exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+        docs.coalesce(1).write.mode("overwrite").parquet(str(d))
+        dup = docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        dup.coalesce(1).write.mode("append").parquet(str(d))
+    return stream_dedup_to_memory(spark, str(d))
+
+
 def q_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing-maps-style quadkey tile addressing: per-zoom-6 tile, the
     base-4 string key whose digit at level z is (2*bit_y + bit_x) of the
@@ -2361,6 +2398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells": q_compact_cells,
         "compact_roundtrip": q_compact_roundtrip,
         "grid_dbscan": q_grid_dbscan,
+        "warc_roundtrip": q_warc_roundtrip,
+        "stream_dedup": q_stream_dedup,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4007,6 +4046,22 @@ from g5 group by 1
     join (with {_gd_pre_flat} select * from _core) k on c.node = k.cell
     """
 
+    # WARC round-trip twin: the four parsed values computed DIRECTLY
+    # from the source table (md5 over the varchar pre-image of the
+    # UTF-8 payload bytes — DuckDB's md5 is varchar-only)
+    warc_roundtrip_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)})
+    select url,
+           strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') as warc_date,
+           cast(octet_length(html) as bigint) as content_length,
+           md5(concat('<html><body>', text, '</body></html>')) as payload_md5
+    from pages
+    """
+
+    stream_dedup_sql_q = f"""
+    select distinct {fingerprint_sql('text', 'duckdb')} as fp from documents
+    """
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4308,6 +4363,8 @@ from g5 group by 1
         "compact_cells": compact_cells_sql_q,
         "compact_roundtrip": compact_roundtrip_sql_q,
         "grid_dbscan": grid_dbscan_sql_q,
+        "warc_roundtrip": warc_roundtrip_sql_q,
+        "stream_dedup": stream_dedup_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

@@ -251,3 +251,40 @@ def stream_cell_counts_to_memory(spark, pages_dir: str, res: int = 6,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup_to_memory(spark, docs_dir: str, text_col: str = "text",
+                           name: str = "stream_dedup_out",
+                           max_files_per_trigger: int = 1):
+    """Exact dedup through the REAL streaming engine: ``readStream``
+    over a bounded documents directory → content fingerprint →
+    streaming ``dropDuplicates`` (the stateful dedup operator, state =
+    one row per distinct fingerprint) → append-mode memory sink under
+    ``availableNow``. ``maxFilesPerTrigger=1`` forces one micro-batch
+    PER FILE, so duplicates arriving in LATER batches are suppressed by
+    the state store, not by a within-batch shuffle — the cross-batch
+    state path is what the value hash checks (output = exactly the
+    distinct fingerprint set, deterministic regardless of which arrival
+    was kept). At 10^12 rows the state is fingerprint-cardinality and
+    HDFS-backed; a production run bounds it with a watermark on the
+    ingest timestamp (dropDuplicatesWithinWatermark)."""
+    import tempfile
+
+    from zen3geo_spark.functions.text import fingerprint
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(docs_dir))
+    kept = (stream.select(fingerprint(F.col(text_col)).alias("fp"))
+            .dropDuplicates(["fp"]))
+    q = (kept.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="zsd_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
