@@ -1368,6 +1368,19 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_dbscan(_points_df(spark), res=6, min_pts=2)
 
 
+def q_polygon_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-RegionCoverer analogue: per-polygon compacted cell cover at
+    res 8 (min_res 3) — candidate cells from two bounded sequence
+    explodes over the bbox, center-in-polygon by ray-cast parity
+    against the broadcast edge list (all JVM), then the grouped
+    closed-form compact. The multi-resolution cover is what a 10^12-row
+    PIP prefilter stores instead of a flat fine-res cell list."""
+    from zen3geo_spark.operators.cells import cover_polygon_cells
+
+    edges = spark.sql("select * from " + _edges_values())
+    return cover_polygon_cells(_polys_df(spark), edges, res=8, min_res=3)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2400,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_dbscan": q_grid_dbscan,
         "warc_roundtrip": q_warc_roundtrip,
         "stream_dedup": q_stream_dedup,
+        "polygon_cover": q_polygon_cover,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4062,6 +4076,9 @@ from g5 group by 1
     select distinct {fingerprint_sql('text', 'duckdb')} as fp from documents
     """
 
+    from zen3geo_spark.operators.cells import cover_polygon_cells_sql
+    polygon_cover_sql_q = cover_polygon_cells_sql(edges, res=8, min_res=3)
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4365,6 +4382,7 @@ from g5 group by 1
         "grid_dbscan": grid_dbscan_sql_q,
         "warc_roundtrip": warc_roundtrip_sql_q,
         "stream_dedup": stream_dedup_sql_q,
+        "polygon_cover": polygon_cover_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

@@ -101,6 +101,65 @@ def test_grid_dbscan_two_blobs_and_noise(spark):
     assert out[cid(1, 2)][1] == 3  # counts carried through
 
 
+def test_cover_polygon_matches_bruteforce_and_is_antichain(spark):
+    from zen3geo_spark.operators.cells import cover_polygon_cells
+
+    # unit-square-ish polygon in micro-degrees
+    ring = [(0, 0), (20_000_000, 0), (10_000_000, 15_000_000)]  # triangle
+    edges = []
+    for i in range(len(ring)):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % len(ring)]
+        edges.append((0, x1, y1, x2, y2))
+    edges_df = spark.createDataFrame(
+        edges, "geom_id long, x1 long, y1 long, x2 long, y2 long")
+    polys = spark.createDataFrame(
+        [(0, min(y for _, y in ring), max(y for _, y in ring),
+          min(x for x, _ in ring), max(x for x, _ in ring))],
+        "geom_id long, miny_us long, maxy_us long, minx_us long, maxx_us long")
+    res = 7
+    out = cover_polygon_cells(polys, edges_df, res=res, min_res=2).collect()
+
+    # brute force: centers-inside cells over the bbox, python ray-cast
+    n = 1 << res
+
+    def inside(clat, clon):
+        hits = 0
+        for _, x1, y1, x2, y2 in edges:
+            if (y1 > clat) != (y2 > clat):
+                if clon < (x2 - x1) * (clat - y1) / (y2 - y1) + x1:
+                    hits += 1
+        return hits % 2 == 1
+
+    want = set()
+    for iy in range((0 + 90_000_000) * n // 180_000_001,
+                    (15_000_000 + 90_000_000) * n // 180_000_001 + 1):
+        for ix in range((0 + 180_000_000) * n // 360_000_001,
+                        (20_000_000 + 180_000_000) * n // 360_000_001 + 1):
+            clat = (2 * iy + 1) * 180_000_001 // (2 * n) - 90_000_000
+            clon = (2 * ix + 1) * 360_000_001 // (2 * n) - 180_000_000
+            if inside(clat, clon):
+                want.add((1 << (2 * res)) + iy * n + ix)
+    assert want, "fixture must cover at least one cell"
+
+    # expand the compacted cover back to res and compare exactly
+    got = set()
+    seen = set()
+    for r in out:
+        assert (r.cell, r.cell_res) not in seen
+        seen.add((r.cell, r.cell_res))
+        shift = res - r.cell_res
+        body = r.cell - (1 << (2 * r.cell_res))
+        iy0 = (body // (1 << r.cell_res)) << shift
+        ix0 = (body % (1 << r.cell_res)) << shift
+        for dy in range(1 << shift):
+            for dx in range(1 << shift):
+                leaf = (1 << (2 * res)) + (iy0 + dy) * n + (ix0 + dx)
+                assert leaf not in got, "overlapping cover members"
+                got.add(leaf)
+    assert got == want
+
+
 def test_grid_dbscan_wraps_longitude(spark):
     # ix=0 and ix=15 in the same row are ring-adjacent (cylinder wrap)
     def cell_pts(iy, ix, n):

@@ -44,19 +44,23 @@ from zen3geo_spark.functions.geo import (
 
 
 def compact_cells(cells: DataFrame, res: int, min_res: int = 0,
-                  cell_col: str = "cell") -> DataFrame:
+                  cell_col: str = "cell",
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Compact a distinct cell set at resolution ``res``: replace every
     complete sibling quad by its parent, recursively down to
-    ``min_res``. Output columns ``(cell, cell_res)`` — distinct.
+    ``min_res``. Output columns ``(*group_cols, cell, cell_res)`` —
+    distinct. ``group_cols`` compacts each group's set independently
+    (e.g. one cover per polygon) without a per-group loop.
 
     Plan shape (scale-safe): one explode with fan-out
     ``res - min_res + 1`` (bounded, <= MAX_RES+1), one (level, anc)
     hash aggregate, one equi-join back, one min-level pick, one
-    distinct — every shuffle keyed on cell ids, no iteration, no
-    driver-side data.
+    distinct — every shuffle keyed on (group, cell) ids, no iteration,
+    no driver-side data.
     """
     if min_res > res:
         raise ValueError(f"min_res {min_res} must be <= res {res}")
+    g = list(group_cols)
     c = F.col(cell_col)
     # (cell, level, ancestor) for level = min_res .. res
     anc_structs = [
@@ -64,57 +68,71 @@ def compact_cells(cells: DataFrame, res: int, min_res: int = 0,
                  cell_parent(c, res, lvl).alias("anc"))
         for lvl in range(min_res, res + 1)
     ]
-    exploded = (cells.select(c.alias("cell"))
+    exploded = (cells.select(*g, c.alias("cell"))
                 .distinct()
-                .select("cell", F.explode(F.array(*anc_structs)).alias("la"))
-                .select("cell", F.col("la.lvl").alias("lvl"),
+                .select(*g, "cell",
+                        F.explode(F.array(*anc_structs)).alias("la"))
+                .select(*g, "cell", F.col("la.lvl").alias("lvl"),
                         F.col("la.anc").alias("anc")))
     # an ancestor at level L is complete iff ALL 4^(res-L) of its res-
     # level descendants are in the set; the explode emits exactly one
     # row per (descendant in set, level), so count(*) == 4^(res-L)
-    counts = exploded.groupBy("lvl", "anc").agg(F.count("*").alias("n"))
+    counts = exploded.groupBy(*g, "lvl", "anc").agg(F.count("*").alias("n"))
     # shiftleft with a COLUMN shift amount is SQL-only (the Python API
     # pins numBits to int) — exact bigint 4^(res-lvl)
     complete = counts.filter(
         F.expr(f"n = shiftleft(cast(1 as bigint), ({res} - lvl) * 2)")
-    ).select("lvl", "anc")
+    ).select(*g, "lvl", "anc")
     # coarsest complete ancestor per input cell (level res is always
     # complete — n == 1 — so the min exists for every cell)
-    hit = exploded.join(complete, ["lvl", "anc"])
-    best = hit.groupBy("cell").agg(F.min("lvl").alias("lvl"))
-    return (hit.join(best, ["cell", "lvl"])
-            .select(F.col("anc").alias("cell"),
+    hit = exploded.join(complete, g + ["lvl", "anc"])
+    best = hit.groupBy(*g, "cell").agg(F.min("lvl").alias("lvl"))
+    return (hit.join(best, g + ["cell", "lvl"])
+            .select(*g, F.col("anc").alias("cell"),
                     F.col("lvl").alias("cell_res"))
             .distinct())
 
 
 def compact_cells_sql(cells_sql: str, res: int, min_res: int,
-                      engine: str = "duckdb") -> str:
+                      engine: str = "duckdb",
+                      group_cols: tuple[str, ...] = ()) -> str:
     """Engine-neutral SQL twin of :func:`compact_cells`.
 
-    ``cells_sql`` must yield one column ``cell`` (distinct not
-    required). The bounded level range unrolls to a UNION ALL (the SQL
-    analogue of the explode)."""
+    ``cells_sql`` must yield columns ``(*group_cols, cell)`` (distinct
+    not required). The bounded level range unrolls to a UNION ALL (the
+    SQL analogue of the explode)."""
+    gsel = "".join(f"{c}, " for c in group_cols)
+    geq = "".join(f" and a.{c} = c.{c}" for c in group_cols)
+    geqb = "".join(f" and h.{c} = b.{c}" for c in group_cols)
+    ga = "".join(f"a.{c}, " for c in group_cols)
+    gh = "".join(f"h.{c}, " for c in group_cols)
     arms = []
     for lvl in range(min_res, res + 1):
         anc = cell_parent_sql("cell", res, lvl, engine)
-        arms.append(f"select cell, {lvl} as lvl, {anc} as anc from _cells")
+        arms.append(
+            f"select {gsel}cell, {lvl} as lvl, {anc} as anc from _cells")
     union = " union all ".join(arms)
     return f"""
-    with _cells as (select distinct cell from ({cells_sql})),
+    with _cells as (select distinct {gsel}cell from ({cells_sql})),
     _anc as ({union}),
-    _cnt as (select lvl, anc, count(*) as n from _anc group by lvl, anc),
+    _cnt as (select {gsel}lvl, anc, count(*) as n from _anc
+             group by {gsel}lvl, anc),
     _complete as (
-      select lvl, anc from _cnt
+      select {gsel}lvl, anc from _cnt
       where n = cast(pow(4, {res} - lvl) as bigint)
     ),
     _hit as (
-      select a.cell, a.lvl, a.anc
-      from _anc a join _complete c on a.lvl = c.lvl and a.anc = c.anc
+      select {ga}a.cell, a.lvl, a.anc
+      from _anc a join _complete c on a.lvl = c.lvl and a.anc = c.anc{geq}
     ),
-    _best as (select cell, min(lvl) as lvl from _hit group by cell)
-    select distinct h.anc as cell, h.lvl as cell_res
-    from _hit h join _best b on h.cell = b.cell and h.lvl = b.lvl
+    _best as (select {gsel}cell, min(lvl) as lvl from _hit
+              group by {gsel}cell),
+    _out as (
+      select distinct {gh}h.anc as cell, h.lvl as cell_res
+      from _hit h join _best b
+        on h.cell = b.cell and h.lvl = b.lvl{geqb}
+    )
+    select * from _out
     """
 
 
@@ -183,6 +201,109 @@ def grid_dbscan(points: DataFrame, res: int, min_pts: int,
     return (comp.join(core, comp.node == core.cell)
             .select(F.col("cell"), F.col("component").alias("cluster"),
                     F.col("n_pts")))
+
+
+def cover_polygon_cells(polys: DataFrame, edges: DataFrame, res: int,
+                        min_res: int = 0) -> DataFrame:
+    """S2-RegionCoverer-style polygon cover: the compacted set of cells
+    whose CENTER lies inside each polygon (center-in-polygon is the
+    same pixel-ownership rule the rasterizer burns with, so covers and
+    burns agree). Output: ``(geom_id, cell, cell_res)``.
+
+    ``polys`` needs ``(geom_id, miny_us, maxy_us, minx_us, maxx_us)``
+    (bbox in micro-degrees, x=lon y=lat); ``edges`` needs
+    ``(geom_id, x1, y1, x2, y2)`` ring edges. All JVM: candidate cells
+    come from two bounded ``sequence`` explodes over the bbox's cell-
+    index ranges (never a global grid), the point-in-polygon test is
+    the ray-cast parity as a broadcast edges join + one aggregate —
+    identical in shape to the PIP oracle — and the compaction is
+    :func:`compact_cells` grouped by ``geom_id``. Candidate count per
+    polygon is (bbox area / cell area), the caller's res choice bounds
+    it; at 10^12 scale the polygon side is dimension-sized and the
+    whole cover is a broadcast-scale computation.
+    """
+    n = 1 << res
+    iy_lo = f"((miny_us + 90000000) * {n}) div 180000001"
+    iy_hi = f"((maxy_us + 90000000) * {n}) div 180000001"
+    ix_lo = f"((minx_us + 180000000) * {n}) div 360000001"
+    ix_hi = f"((maxx_us + 180000000) * {n}) div 360000001"
+    cand = (polys
+            .select("geom_id",
+                    F.expr(f"explode(sequence({iy_lo}, {iy_hi}))").alias("iy"),
+                    F.expr(f"{ix_lo}").alias("ix_lo"),
+                    F.expr(f"{ix_hi}").alias("ix_hi"))
+            .select("geom_id", "iy",
+                    F.expr("explode(sequence(ix_lo, ix_hi))").alias("ix"))
+            .select("geom_id", "iy", "ix",
+                    # integer cell-center micro-degrees (floor midpoint)
+                    F.expr(f"((2 * iy + 1) * 180000001) div {2 * n} - 90000000")
+                    .alias("clat"),
+                    F.expr(f"((2 * ix + 1) * 360000001) div {2 * n} - 180000000")
+                    .alias("clon")))
+    crossing = ((F.col("e.y1") > F.col("clat"))
+                != (F.col("e.y2") > F.col("clat")))
+    x_at = ((F.col("e.x2") - F.col("e.x1")).cast("double")
+            * (F.col("clat") - F.col("e.y1")).cast("double")
+            / (F.col("e.y2") - F.col("e.y1")).cast("double")
+            + F.col("e.x1"))
+    inside = (cand.alias("c")
+              .join(F.broadcast(edges.alias("e")), ["geom_id"])
+              .filter(crossing)
+              .groupBy("geom_id", "iy", "ix", "clat", "clon")
+              .agg(F.sum(F.when(F.col("clon") < x_at, 1).otherwise(0))
+                   .alias("hits"))
+              .filter(F.col("hits") % 2 == 1))
+    cells = inside.select(
+        "geom_id",
+        (F.lit(1 << (2 * res)) + F.col("iy") * F.lit(n) + F.col("ix"))
+        .cast("long").alias("cell"))
+    return compact_cells(cells, res, min_res, group_cols=("geom_id",))
+
+
+def cover_polygon_cells_sql(edges_values: str, res: int, min_res: int) -> str:
+    """DuckDB twin of :func:`cover_polygon_cells` — bbox derived from
+    the edge list, correlated generate_series for the candidate grid,
+    ray-cast parity, grouped compact. ``edges_values`` is a VALUES
+    relation aliased ``e(geom_id, x1, y1, x2, y2)``."""
+    n = 1 << res
+    cells_sql = f"""
+      select c.geom_id,
+             {1 << (2 * res)} + c.iy * {n} + c.ix as cell
+      from (
+        -- unnest(generate_series(..)) in the SELECT list is DuckDB's
+        -- correlated-range idiom (the table function rejects lateral
+        -- column parameters); two stages = cross product, one zips
+        select geom_id, iy, ix,
+               ((2 * iy + 1) * 180000001) // {2 * n} - 90000000 as clat,
+               ((2 * ix + 1) * 360000001) // {2 * n} - 180000000 as clon
+        from (
+          select geom_id, iy,
+                 unnest(generate_series(ix_lo, ix_hi)) as ix
+          from (
+            select geom_id,
+                   unnest(generate_series(iy_lo, iy_hi)) as iy,
+                   ix_lo, ix_hi
+            from (
+              select geom_id,
+                     ((min(least(y1, y2)) + 90000000) * {n}) // 180000001 as iy_lo,
+                     ((max(greatest(y1, y2)) + 90000000) * {n}) // 180000001 as iy_hi,
+                     ((min(least(x1, x2)) + 180000000) * {n}) // 360000001 as ix_lo,
+                     ((max(greatest(x1, x2)) + 180000000) * {n}) // 360000001 as ix_hi
+              from {edges_values} group by geom_id
+            ) g0
+          ) g1
+        ) g2
+      ) c
+      join {edges_values} on e.geom_id = c.geom_id
+      where (e.y1 > c.clat) != (e.y2 > c.clat)
+      group by c.geom_id, c.iy, c.ix, c.clat, c.clon
+      having sum(case when c.clon < cast(e.x2 - e.x1 as double)
+                                    * cast(c.clat - e.y1 as double)
+                                    / cast(e.y2 - e.y1 as double) + e.x1
+                      then 1 else 0 end) % 2 = 1
+    """
+    return compact_cells_sql(cells_sql, res, min_res,
+                             group_cols=("geom_id",))
 
 
 def grid_dbscan_edges_sql(core_sql: str, res: int) -> str:
