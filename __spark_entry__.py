@@ -1381,6 +1381,31 @@ def q_polygon_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cover_polygon_cells(_polys_df(spark), edges, res=8, min_res=3)
 
 
+def q_crawl_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host geo mobility matrix: consecutive geotagged snapshots of
+    a host ordered by crawl time → (from_cell, to_cell) transition
+    counts at res 4 (+ distinct hosts per transition) — the Markov
+    transition rollup impossible-travel and recrawl planners consume.
+    The lag window is per-host (bounded by a host's snapshot count);
+    the output is cell-pair-cardinality."""
+    pages = synth_pages(spark, N_PAGES)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    base = (pages.select(F.expr(URL_HOST_SQL).alias("host"),
+                         F.expr(URL_PID_SQL).alias("pid"),
+                         lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+            .filter(F.col("lat_str") != ""))
+    pts = base.select(
+        "host", "pid",
+        cell_encode(micro_from_str(F.col("lat_str")),
+                    micro_from_str(F.col("lon_str")), 4).alias("cell"))
+    w = Window.partitionBy("host").orderBy("pid")
+    tr = pts.withColumn("from_cell", F.lag("cell").over(w)).filter(
+        F.col("from_cell").isNotNull())
+    return (tr.groupBy("from_cell", F.col("cell").alias("to_cell"))
+            .agg(F.count("*").alias("n_hops"),
+                 F.countDistinct("host").alias("n_hosts")))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2414,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "stream_dedup": q_stream_dedup,
         "polygon_cover": q_polygon_cover,
+        "crawl_transitions": q_crawl_transitions,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4079,6 +4105,33 @@ from g5 group by 1
     from zen3geo_spark.operators.cells import cover_polygon_cells_sql
     polygon_cover_sql_q = cover_polygon_cells_sql(edges, res=8, min_res=3)
 
+    _ct_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
+    _ct_lat = micro_from_str_sql("lat_str", "duckdb")
+    _ct_lon = micro_from_str_sql("lon_str", "duckdb")
+    crawl_transitions_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+    tagged as (
+      select id, {URL_HOST_SQL} as host,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pts as (
+      select id, host, {_ct_lat} as lat_us, {_ct_lon} as lon_us
+      from tagged where lat_str <> ''
+    ),
+    cl as (select id, host, {_ct_cell4} as cell from pts),
+    tr as (
+      select host, cell as to_cell,
+             lag(cell) over (partition by host order by id) as from_cell
+      from cl
+    )
+    select from_cell, to_cell, count(*) as n_hops,
+           count(distinct host) as n_hosts
+    from tr where from_cell is not null
+    group by from_cell, to_cell
+    """
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4383,6 +4436,7 @@ from g5 group by 1
         "warc_roundtrip": warc_roundtrip_sql_q,
         "stream_dedup": stream_dedup_sql_q,
         "polygon_cover": polygon_cover_sql_q,
+        "crawl_transitions": crawl_transitions_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,
