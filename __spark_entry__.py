@@ -1406,6 +1406,34 @@ def q_crawl_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("host").alias("n_hosts")))
 
 
+def q_trajectory_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory supercover: per-host consecutive-snapshot segments →
+    every res-5 cell each segment touches (closed-form integer
+    rect-line test, no DDA walk) → per-cell segment counts — the
+    line-geometry sibling of cell_encode (points) and polygon_cover
+    (areas), i.e. road/trajectory coverage at web scale."""
+    from zen3geo_spark.operators.cells import cover_segment_cells
+
+    pages = synth_pages(spark, N_PAGES)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    base = (pages.select(F.expr(URL_HOST_SQL).alias("host"),
+                         F.expr(URL_PID_SQL).alias("pid"),
+                         lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+            .filter(F.col("lat_str") != "")
+            .select("host", "pid",
+                    micro_from_str(F.col("lat_str")).alias("lat_us"),
+                    micro_from_str(F.col("lon_str")).alias("lon_us")))
+    w = Window.partitionBy("host").orderBy("pid")
+    segs = (base
+            .withColumn("x1", F.lag("lon_us").over(w))
+            .withColumn("y1", F.lag("lat_us").over(w))
+            .filter(F.col("x1").isNotNull())
+            .select(F.col("pid").alias("seg_id"), "x1", "y1",
+                    F.col("lon_us").alias("x2"), F.col("lat_us").alias("y2")))
+    cover = cover_segment_cells(segs, res=5)
+    return cover.groupBy("cell").agg(F.count("*").alias("n_segments"))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2440,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "polygon_cover": q_polygon_cover,
         "crawl_transitions": q_crawl_transitions,
+        "trajectory_cover": q_trajectory_cover,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4132,6 +4161,34 @@ from g5 group by 1
     group by from_cell, to_cell
     """
 
+    from zen3geo_spark.operators.cells import cover_segment_cells_sql
+    _tc_segs = f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+    tagged as (
+      select id, {URL_HOST_SQL} as host,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pts as (
+      select id, host, {_ct_lat} as lat_us, {_ct_lon} as lon_us
+      from tagged where lat_str <> ''
+    ),
+    lagged as (
+      select id as seg_id,
+             lag(lon_us) over (partition by host order by id) as x1,
+             lag(lat_us) over (partition by host order by id) as y1,
+             lon_us as x2, lat_us as y2
+      from pts
+    )
+    select seg_id, x1, y1, x2, y2 from lagged where x1 is not null
+    """
+    trajectory_cover_sql_q = f"""
+    select cell, count(*) as n_segments
+    from ({cover_segment_cells_sql(_tc_segs, 5)})
+    group by cell
+    """
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4437,6 +4494,7 @@ from g5 group by 1
         "stream_dedup": stream_dedup_sql_q,
         "polygon_cover": polygon_cover_sql_q,
         "crawl_transitions": crawl_transitions_sql_q,
+        "trajectory_cover": trajectory_cover_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

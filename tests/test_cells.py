@@ -160,6 +160,56 @@ def test_cover_polygon_matches_bruteforce_and_is_antichain(spark):
     assert got == want
 
 
+def test_cover_segment_matches_sampled_bruteforce(spark):
+    """Supercover vs dense sampling: every cell hit by a fine walk along
+    the segment must be in the cover (completeness); every covered cell's
+    rectangle must actually intersect the segment via the same exact
+    integer predicate evaluated in Python (soundness)."""
+    from fractions import Fraction
+
+    from zen3geo_spark.operators.cells import cover_segment_cells
+
+    res, n = 6, 64
+    segs = [(0, -10_000_000, -5_000_000, 25_000_000, 17_000_000),
+            (1, 3_000_000, 3_000_000, 3_000_000, 3_000_000),
+            (2, -40_000_000, 30_000_000, -40_000_000, -30_000_000),  # vertical
+            (3, -40_000_000, 12_345_678, 41_000_000, 12_345_678)]    # horizontal
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    got = {}
+    for r in cover_segment_cells(df, res).collect():
+        got.setdefault(r.seg_id, set()).add(r.cell)
+
+    def cell_of(lat, lon):
+        iy = (lat + 90_000_000) * n // 180_000_001
+        ix = (lon + 180_000_000) * n // 360_000_001
+        return (1 << (2 * res)) + iy * n + ix
+
+    for sid, x1, y1, x2, y2 in segs:
+        # completeness: 20k exact rational sample points along the segment
+        want = set()
+        for k in range(20001):
+            t = Fraction(k, 20000)
+            lon = x1 + t * (x2 - x1)
+            lat = y1 + t * (y2 - y1)
+            want.add(cell_of(lat.__floor__(), lon.__floor__()))
+        assert want <= got[sid], f"seg {sid} missing {want - got[sid]}"
+        # soundness: integer corner cross products not all one-signed
+        for cell in got[sid]:
+            body = cell - (1 << (2 * res))
+            iy, ix = body // n, body % n
+            lat_lo = -(-(iy * 180_000_001) // n) - 90_000_000
+            lat_hi = -(-((iy + 1) * 180_000_001) // n) - 1 - 90_000_000
+            lon_lo = -(-(ix * 360_000_001) // n) - 180_000_000
+            lon_hi = -(-((ix + 1) * 360_000_001) // n) - 1 - 180_000_000
+            ds = [(x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1)
+                  for cy in (lat_lo, lat_hi) for cx in (lon_lo, lon_hi)]
+            assert not all(d > 0 for d in ds) and not all(d < 0 for d in ds)
+            # and the cell lies inside the segment bbox
+            assert min(x1, x2) <= lon_hi and lon_lo <= max(x1, x2)
+            assert min(y1, y2) <= lat_hi and lat_lo <= max(y1, y2)
+
+
 def test_grid_dbscan_wraps_longitude(spark):
     # ix=0 and ix=15 in the same row are ring-adjacent (cylinder wrap)
     def cell_pts(iy, ix, n):

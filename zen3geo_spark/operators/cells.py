@@ -306,6 +306,99 @@ def cover_polygon_cells_sql(edges_values: str, res: int, min_res: int) -> str:
                              group_cols=("geom_id",))
 
 
+def cover_segment_cells(segments: DataFrame, res: int) -> DataFrame:
+    """Supercover of a line segment on the cell grid: every cell whose
+    CLOSED rectangle the CLOSED segment touches (the line-geometry
+    sibling of point ``cell_encode`` and :func:`cover_polygon_cells` —
+    trajectory/road coverage). Input: ``(seg_id, x1, y1, x2, y2)`` in
+    micro-degrees (x=lon, y=lat); output ``(seg_id, cell)``.
+
+    Closed form, all JVM integers: candidates = cells in the segment's
+    bbox (two bounded ``sequence`` explodes); a candidate survives iff
+    the segment's LINE passes through the cell rectangle — the four
+    corner cross-products are not all strictly one-signed. Cross
+    products stay < 2^60 in micro-degrees, so the test is exact bigint
+    (no epsilon, no FP) and the DuckDB twin is the identical predicate.
+    The bbox-candidate fan-out is (segment extent / cell size)^2 at
+    ``res`` — the caller bounds it by resolution exactly as in the
+    polygon cover; no per-step iteration, so one segment spanning the
+    globe still costs one bounded explode, not a DDA walk.
+    """
+    n = 1 << res
+    base = segments.select(
+        "seg_id", "x1", "y1", "x2", "y2",
+        F.least("y1", "y2").alias("ylo"), F.greatest("y1", "y2").alias("yhi"),
+        F.least("x1", "x2").alias("xlo"), F.greatest("x1", "x2").alias("xhi"))
+    cand = (base
+            .withColumn("iy", F.expr(
+                f"explode(sequence(((ylo + 90000000) * {n}) div 180000001,"
+                f" ((yhi + 90000000) * {n}) div 180000001))"))
+            .withColumn("ix", F.expr(
+                f"explode(sequence(((xlo + 180000000) * {n}) div 360000001,"
+                f" ((xhi + 180000000) * {n}) div 360000001))")))
+    # closed integer bounds of cell (iy, ix): lat rows are
+    # [ceil(iy*M/n) - 90e6, ceil((iy+1)*M/n) - 1 - 90e6] with
+    # M = 180000001 (the +1 denominator makes ceil = (k*M + n - 1) div n)
+    cell_bounds = (
+        f"cast((iy * 180000001 + {n - 1}) div {n} - 90000000 as bigint)",
+        f"cast(((iy + 1) * 180000001 + {n - 1}) div {n} - 1 - 90000000 as bigint)",
+        f"cast((ix * 360000001 + {n - 1}) div {n} - 180000000 as bigint)",
+        f"cast(((ix + 1) * 360000001 + {n - 1}) div {n} - 1 - 180000000 as bigint)",
+    )
+    lat_lo, lat_hi, lon_lo, lon_hi = cell_bounds
+    # cross product of (segment direction) x (corner - start), exact
+    cross = (f"((x2 - x1) * ({{cy}} - y1) - (y2 - y1) * ({{cx}} - x1))")
+    corners = [cross.format(cy=cy, cx=cx)
+               for cy in (lat_lo, lat_hi) for cx in (lon_lo, lon_hi)]
+    line_touches = (f"not (({corners[0]}) > 0 and ({corners[1]}) > 0 and "
+                    f"({corners[2]}) > 0 and ({corners[3]}) > 0) and "
+                    f"not (({corners[0]}) < 0 and ({corners[1]}) < 0 and "
+                    f"({corners[2]}) < 0 and ({corners[3]}) < 0)")
+    # bbox overlap is by construction (candidates come from the
+    # segment's bbox), so the line test completes the rect-segment
+    # intersection for axis-aligned rects
+    return (cand.filter(F.expr(line_touches))
+            .select("seg_id",
+                    (F.lit(1 << (2 * res)) + F.col("iy") * F.lit(n)
+                     + F.col("ix")).cast("long").alias("cell")))
+
+
+def cover_segment_cells_sql(segments_sql: str, res: int) -> str:
+    """DuckDB twin of :func:`cover_segment_cells` (identical integer
+    predicate). ``segments_sql`` must yield
+    ``(seg_id, x1, y1, x2, y2)``."""
+    n = 1 << res
+    lat_lo = f"((iy * 180000001 + {n - 1}) // {n} - 90000000)"
+    lat_hi = f"(((iy + 1) * 180000001 + {n - 1}) // {n} - 1 - 90000000)"
+    lon_lo = f"((ix * 360000001 + {n - 1}) // {n} - 180000000)"
+    lon_hi = f"(((ix + 1) * 360000001 + {n - 1}) // {n} - 1 - 180000000)"
+    cross = "((x2 - x1) * ({cy} - y1) - (y2 - y1) * ({cx} - x1))"
+    corners = [cross.format(cy=cy, cx=cx)
+               for cy in (lat_lo, lat_hi) for cx in (lon_lo, lon_hi)]
+    gt = " and ".join(f"({c}) > 0" for c in corners)
+    lt = " and ".join(f"({c}) < 0" for c in corners)
+    return f"""
+    with _seg as (select * from ({segments_sql})),
+    _c1 as (
+      select seg_id, x1, y1, x2, y2,
+             unnest(generate_series(
+               ((least(y1, y2) + 90000000) * {n}) // 180000001,
+               ((greatest(y1, y2) + 90000000) * {n}) // 180000001)) as iy,
+             ((least(x1, x2) + 180000000) * {n}) // 360000001 as ixlo,
+             ((greatest(x1, x2) + 180000000) * {n}) // 360000001 as ixhi
+      from _seg
+    ),
+    _c2 as (
+      select seg_id, x1, y1, x2, y2, iy,
+             unnest(generate_series(ixlo, ixhi)) as ix
+      from _c1
+    )
+    select seg_id, {1 << (2 * res)} + iy * {n} + ix as cell
+    from _c2
+    where not ({gt}) and not ({lt})
+    """
+
+
 def grid_dbscan_edges_sql(core_sql: str, res: int) -> str:
     """DuckDB SQL emitting SYMMETRIC (u, v) adjacency pairs over the
     core-cell relation ``core_sql`` (must yield column ``cell``), with
