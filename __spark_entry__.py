@@ -1434,6 +1434,18 @@ def q_trajectory_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cover.groupBy("cell").agg(F.count("*").alias("n_segments"))
 
 
+def q_disk_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence/serving-area cover: every res-6 cell whose rectangle
+    intersects the 5°-radius planar disk around each of the first 30
+    page points — exact bigint point-to-rect distance, bbox-bounded
+    candidates (the disk sibling of polygon_cover / trajectory_cover;
+    pair with the haversine refine for metric radii)."""
+    from zen3geo_spark.operators.cells import cover_disk_cells
+
+    pts = _points_df(spark).filter(F.col("point_id") < 30)
+    return cover_disk_cells(pts, radius_us=5_000_000, res=6)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2469,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_cover": q_polygon_cover,
         "crawl_transitions": q_crawl_transitions,
         "trajectory_cover": q_trajectory_cover,
+        "disk_cover": q_disk_cover,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4189,6 +4202,12 @@ from g5 group by 1
     group by cell
     """
 
+    from zen3geo_spark.operators.cells import cover_disk_cells_sql
+    disk_cover_sql_q = cover_disk_cells_sql(
+        f"{_points_cte()} select point_id, lat_us, lon_us from pts "
+        "where point_id < 30",
+        radius_us=5_000_000, res=6)
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4495,6 +4514,7 @@ from g5 group by 1
         "polygon_cover": polygon_cover_sql_q,
         "crawl_transitions": crawl_transitions_sql_q,
         "trajectory_cover": trajectory_cover_sql_q,
+        "disk_cover": disk_cover_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

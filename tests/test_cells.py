@@ -210,6 +210,39 @@ def test_cover_segment_matches_sampled_bruteforce(spark):
             assert min(y1, y2) <= lat_hi and lat_lo <= max(y1, y2)
 
 
+def test_cover_disk_exact_membership(spark):
+    """Disk cover vs brute force over the whole res-5 grid: a cell is
+    covered iff its rect's nearest point to the center is within r —
+    re-derived independently in Python with exact ints."""
+    from zen3geo_spark.operators.cells import cover_disk_cells
+
+    res, n = 5, 32
+    pts = [(0, 10_000_000, 20_000_000), (1, 89_000_000, 0),  # near pole
+           (2, -5_000_000, -179_900_000)]                     # near dateline
+    df = spark.createDataFrame(pts, "point_id long, lat_us long, lon_us long")
+    r = 7_000_000
+    got = {}
+    for row in cover_disk_cells(df, r, res).collect():
+        got.setdefault(row.point_id, set()).add(row.cell)
+
+    def ceil_div(a, b):
+        return -(-a // b)
+
+    for pid, py, px in pts:
+        want = set()
+        for iy in range(n):
+            for ix in range(n):
+                lat_lo = ceil_div(iy * 180_000_001, n) - 90_000_000
+                lat_hi = ceil_div((iy + 1) * 180_000_001, n) - 1 - 90_000_000
+                lon_lo = ceil_div(ix * 360_000_001, n) - 180_000_000
+                lon_hi = ceil_div((ix + 1) * 360_000_001, n) - 1 - 180_000_000
+                dy = max(lat_lo - py, py - lat_hi, 0)
+                dx = max(lon_lo - px, px - lon_hi, 0)
+                if dy * dy + dx * dx <= r * r:
+                    want.add((1 << (2 * res)) + iy * n + ix)
+        assert got.get(pid, set()) == want, f"point {pid}"
+
+
 def test_grid_dbscan_wraps_longitude(spark):
     # ix=0 and ix=15 in the same row are ring-adjacent (cylinder wrap)
     def cell_pts(iy, ix, n):

@@ -399,6 +399,87 @@ def cover_segment_cells_sql(segments_sql: str, res: int) -> str:
     """
 
 
+def cover_disk_cells(points: DataFrame, radius_us: int, res: int,
+                     id_col: str = "point_id",
+                     lat_col: str = "lat_us",
+                     lon_col: str = "lon_us") -> DataFrame:
+    """Disk cover: every cell whose closed rectangle intersects the
+    closed disk of ``radius_us`` micro-degrees around each point (the
+    planar serving-area / geofence cover; for metric-exact radii pair
+    with the haversine refine of radius_join). Output:
+    ``(point_id, cell)``.
+
+    Closed form, exact bigint: candidates from the disk's bbox (two
+    bounded explodes, fan-out (2r/cell)^2); predicate = squared
+    distance from the point to the rectangle's NEAREST point (clamp to
+    the rect) <= r^2 — products stay < 2^58 in micro-degrees, no FP.
+    """
+    n = 1 << res
+    r = int(radius_us)
+    base = points.select(
+        F.col(id_col).alias("point_id"),
+        F.col(lat_col).alias("py"), F.col(lon_col).alias("px"))
+    cand = (base
+            .withColumn("iy", F.expr(
+                f"explode(sequence("
+                f"greatest((((py - {r}) + 90000000) * {n}) div 180000001, 0),"
+                f"least((((py + {r}) + 90000000) * {n}) div 180000001, {n - 1})))"))
+            .withColumn("ix", F.expr(
+                f"explode(sequence("
+                f"greatest((((px - {r}) + 180000000) * {n}) div 360000001, 0),"
+                f"least((((px + {r}) + 180000000) * {n}) div 360000001, {n - 1})))")))
+    pred = _disk_rect_pred_sql(r, n, engine="spark")
+    return (cand.filter(F.expr(pred))
+            .select("point_id",
+                    (F.lit(1 << (2 * res)) + F.col("iy") * F.lit(n)
+                     + F.col("ix")).cast("long").alias("cell")))
+
+
+def _disk_rect_pred_sql(r: int, n: int, engine: str) -> str:
+    """squared-distance(point, rect) <= r^2 over columns
+    (py, px, iy, ix) — engine-neutral integer SQL (the `div`/`//`
+    spelling is the only dialect difference)."""
+    d = {"spark": " div ", "duckdb": " // "}[engine]
+    lat_lo = f"((iy * 180000001 + {n - 1}){d}{n} - 90000000)"
+    lat_hi = f"(((iy + 1) * 180000001 + {n - 1}){d}{n} - 1 - 90000000)"
+    lon_lo = f"((ix * 360000001 + {n - 1}){d}{n} - 180000000)"
+    lon_hi = f"(((ix + 1) * 360000001 + {n - 1}){d}{n} - 1 - 180000000)"
+    dy = f"greatest(greatest({lat_lo} - py, py - {lat_hi}), 0)"
+    dx = f"greatest(greatest({lon_lo} - px, px - {lon_hi}), 0)"
+    return f"(({dy}) * ({dy}) + ({dx}) * ({dx})) <= {r * r}"
+
+
+def cover_disk_cells_sql(points_sql: str, radius_us: int, res: int) -> str:
+    """DuckDB twin of :func:`cover_disk_cells`. ``points_sql`` must
+    yield ``(point_id, lat_us, lon_us)``."""
+    n = 1 << res
+    r = int(radius_us)
+    pred = _disk_rect_pred_sql(r, n, engine="duckdb")
+    return f"""
+    with _p as (select point_id, lat_us as py, lon_us as px
+                from ({points_sql})),
+    _c1 as (
+      select point_id, py, px,
+             unnest(generate_series(
+               greatest((((py - {r}) + 90000000) * {n}) // 180000001, 0),
+               least((((py + {r}) + 90000000) * {n}) // 180000001, {n - 1})))
+             as iy
+      from _p
+    ),
+    _c2 as (
+      select point_id, py, px, iy,
+             unnest(generate_series(
+               greatest((((px - {r}) + 180000000) * {n}) // 360000001, 0),
+               least((((px + {r}) + 180000000) * {n}) // 360000001, {n - 1})))
+             as ix
+      from _c1
+    )
+    select point_id, {1 << (2 * res)} + iy * {n} + ix as cell
+    from _c2
+    where {pred}
+    """
+
+
 def grid_dbscan_edges_sql(core_sql: str, res: int) -> str:
     """DuckDB SQL emitting SYMMETRIC (u, v) adjacency pairs over the
     core-cell relation ``core_sql`` (must yield column ``cell``), with
