@@ -1446,6 +1446,49 @@ def q_disk_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cover_disk_cells(pts, radius_us=5_000_000, res=6)
 
 
+def q_coverage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage set-algebra between crawl epochs: res-5 cells reached
+    by the ODD-id half of the crawl but not the EVEN half (left
+    anti-join of the raw cell sets), COMPACTED — the added-coverage
+    report a recrawl planner reads. Mixed-res output keeps the report
+    polylog-sized however large the grid."""
+    from zen3geo_spark.operators.cells import compact_cells
+
+    pts = _points_df(spark).withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 5))
+    even = pts.filter(F.col("point_id") % 2 == 0).select("cell").distinct()
+    odd = pts.filter(F.col("point_id") % 2 == 1).select("cell").distinct()
+    added = odd.join(even, "cell", "left_anti")
+    return compact_cells(added, res=5, min_res=2)
+
+
+def q_cover_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup onto a compacted cover: page counts per
+    MEMBER of the even-epoch compacted cover (members are an antichain,
+    so each page matches at most one member via its bounded ancestor
+    chain — an equi-join on (level, ancestor), never a range probe).
+    The hypertable-rollup shape: aggregate onto a mixed-res index."""
+    from zen3geo_spark.operators.cells import compact_cells
+
+    res, min_res = 5, 2
+    pts = _points_df(spark).withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), res))
+    cover = compact_cells(
+        pts.filter(F.col("point_id") % 2 == 0).select("cell"),
+        res=res, min_res=min_res)
+    anc = [F.struct(F.lit(lvl).alias("cell_res"),
+                    cell_parent(F.col("cell"), res, lvl).alias("member"))
+           for lvl in range(min_res, res + 1)]
+    chain = pts.select(
+        "point_id", F.explode(F.array(*anc)).alias("a")).select(
+        "point_id", F.col("a.cell_res").alias("cell_res"),
+        F.col("a.member").alias("member"))
+    j = chain.join(cover.withColumnRenamed("cell", "member"),
+                   ["member", "cell_res"])
+    return (j.groupBy(F.col("member").alias("cell"), "cell_res")
+            .agg(F.count("*").alias("n_pages")))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2482,6 +2525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_transitions": q_crawl_transitions,
         "trajectory_cover": q_trajectory_cover,
         "disk_cover": q_disk_cover,
+        "coverage_delta": q_coverage_delta,
+        "cover_rollup": q_cover_rollup,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4208,6 +4253,42 @@ from g5 group by 1
         "where point_id < 30",
         radius_us=5_000_000, res=6)
 
+    # coverage delta / cover rollup twins: raw cell sets -> anti-join /
+    # bounded ancestor chain, same grouped-compact helper
+    _cv_cell5 = cell_id_sql("lat_us", "lon_us", 5, "duckdb")
+    _cv_added = f"""
+      select cell from (
+        select distinct {_cv_cell5} as cell from pts where point_id % 2 = 1
+      ) o
+      where cell not in (
+        select distinct {_cv_cell5} as cell from pts where point_id % 2 = 0
+      )
+    """
+    _cv_body = compact_cells_sql(_cv_added, 5, 2).strip()
+    assert _cv_body.startswith("with ")
+    coverage_delta_sql_q = f"""
+    {_points_cte()}
+    , {_cv_body[5:]}
+    """
+
+    _cr_even = (f"select distinct {_cv_cell5} as cell from pts "
+                "where point_id % 2 = 0")
+    _cr_chain_arms = " union all ".join(
+        f"select point_id, {lvl} as cell_res, "
+        f"{cell_parent_sql(_cv_cell5, 5, lvl, 'duckdb')} as member from pts"
+        for lvl in range(2, 6))
+    # the compact helper's own WITH nests inside the _cover CTE
+    # (non-recursive nested WITH referencing the outer pts — standard)
+    cover_rollup_sql_q = f"""
+    {_points_cte()}
+    , _cover as ({compact_cells_sql(_cr_even, 5, 2)}),
+    _chain as ({_cr_chain_arms})
+    select c.member as cell, c.cell_res, count(*) as n_pages
+    from _chain c join _cover v
+      on c.member = v.cell and c.cell_res = v.cell_res
+    group by c.member, c.cell_res
+    """
+
     # skew-profile twin: identical per-res aggregates + integer ratio
     _gsp_levels = []
     for _res in (2, 4, 6):
@@ -4515,6 +4596,8 @@ from g5 group by 1
         "crawl_transitions": crawl_transitions_sql_q,
         "trajectory_cover": trajectory_cover_sql_q,
         "disk_cover": disk_cover_sql_q,
+        "coverage_delta": coverage_delta_sql_q,
+        "cover_rollup": cover_rollup_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,
