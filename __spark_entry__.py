@@ -1489,6 +1489,18 @@ def q_cover_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_pages")))
 
 
+def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR (Sort-Tile-Recursive) leaf packing of the page points — the
+    bulk-load packing shapely.STRtree uses (the reference PIP path per
+    the north_star), built as the spatial PARTITIONER: x-rank via the
+    scale-safe zipWithIndex pattern (never a global Window), bounded
+    per-strip y-rank, leaf bbox directory out. Total order ties break
+    on point id in both engines."""
+    from zen3geo_spark.operators.spatial_join import str_pack_points
+
+    return str_pack_points(_points_df(spark), leaf_cap=64)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2527,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disk_cover": q_disk_cover,
         "coverage_delta": q_coverage_delta,
         "cover_rollup": q_cover_rollup,
+        "str_pack": q_str_pack,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4271,6 +4284,15 @@ from g5 group by 1
     , {_cv_body[5:]}
     """
 
+    from zen3geo_spark.operators.spatial_join import str_pack_sql_duckdb
+    # planning-time N: pages with >= 1 well-formed geotag (id % 7 != 3),
+    # the same scalar the Spark side counts at runtime
+    _n_tagged = sum(1 for i in range(N_PAGES) if i % 7 != 3)
+    str_pack_sql_q = f"""
+    {_points_cte()}
+    {str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}
+    """
+
     _cr_even = (f"select distinct {_cv_cell5} as cell from pts "
                 "where point_id % 2 = 0")
     _cr_chain_arms = " union all ".join(
@@ -4598,6 +4620,7 @@ from g5 group by 1
         "disk_cover": disk_cover_sql_q,
         "coverage_delta": coverage_delta_sql_q,
         "cover_rollup": cover_rollup_sql_q,
+        "str_pack": str_pack_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

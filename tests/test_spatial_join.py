@@ -332,3 +332,38 @@ def test_tile_pyramid_delta_reconciles_snapshots(spark):
         for c in cells:
             want = b.get(c, 0) - a.get(c, 0)
             assert delta.get((zoom, c), 0) == want, (zoom, c)
+
+
+def test_str_pack_matches_reference_packing(spark):
+    """STR leaf directory vs a from-scratch Python STR pack (same total
+    order): every leaf <= cap, leaves partition the set, bboxes exact."""
+    import math
+    import random
+
+    from zen3geo_spark.operators.spatial_join import str_pack_points
+
+    rng = random.Random(5)
+    pts = [(i, rng.randrange(-180_000_000, 180_000_001),
+            rng.randrange(-90_000_000, 90_000_001)) for i in range(500)]
+    df = spark.createDataFrame(
+        pts, "point_id long, lon_us long, lat_us long")
+    cap = 16
+    got = {r.leaf_id: (r.n_pts, r.minx_us, r.maxx_us, r.miny_us, r.maxy_us)
+           for r in str_pack_points(df, cap).collect()}
+
+    n = len(pts)
+    s = math.ceil(math.sqrt(math.ceil(n / cap)))
+    by_x = sorted(pts, key=lambda p: (p[1], p[0]))
+    want = {}
+    for strip_i in range(0, n, s * cap):
+        strip = sorted(by_x[strip_i:strip_i + s * cap],
+                       key=lambda p: (p[2], p[0]))
+        for leaf_i in range(0, len(strip), cap):
+            leaf = strip[leaf_i:leaf_i + cap]
+            lid = (strip_i // (s * cap)) * s + leaf_i // cap
+            want[lid] = (len(leaf),
+                         min(p[1] for p in leaf), max(p[1] for p in leaf),
+                         min(p[2] for p in leaf), max(p[2] for p in leaf))
+    assert got == want
+    assert all(v[0] <= cap for v in got.values())
+    assert sum(v[0] for v in got.values()) == n

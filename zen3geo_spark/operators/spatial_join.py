@@ -489,3 +489,91 @@ from pr a join pr b
  and a.point_id < b.point_id
 where {hav} <= {float(radius_m)}
 """
+
+
+# ---------------------------------------------------------------------------
+# STR (Sort-Tile-Recursive) leaf packing — Leutenegger et al. 1997, the
+# packing shapely.STRtree uses (the reference's PIP strategy per
+# BASELINE.json's north_star). Here it builds the PARTITIONER: leaf
+# rectangles that tile the data adaptively, the spatial analogue of
+# repartitionByRange for co-located joins.
+# ---------------------------------------------------------------------------
+
+def str_pack_points(points: DataFrame, leaf_cap: int,
+                    id_col: str = "point_id",
+                    x_col: str = "lon_us", y_col: str = "lat_us") -> DataFrame:
+    """Pack points into STR leaves of ``leaf_cap``: slice the x-order
+    into ceil(sqrt(N/cap)) vertical strips of cap·S consecutive points,
+    then cut each strip into leaves of ``leaf_cap`` by y-order. Output:
+    ``(leaf_id, n_pts, minx_us, maxx_us, miny_us, maxy_us)`` — the leaf
+    bbox directory (a level-1 R-tree, exactly the STRtree bulk-load's
+    bottom level).
+
+    Determinism: total order is (x, id) then (y, id) — ties cannot
+    reorder across engines. Scale shape: the global x-rank uses the
+    zipWithIndex pattern of ``with_global_pos`` (range partition +
+    per-partition numbering — never a single-task global Window); the
+    per-strip y-rank window is bounded by cap·S rows; N itself is one
+    planning-sized count. At 10^12 rows a production build runs the
+    same plan on a sample to draw leaf boundaries (Spark's
+    RangePartitioner discipline); the packing arithmetic is identical.
+    """
+    import math
+
+    from zen3geo_spark.operators.combinators import with_global_pos
+
+    n = points.count()
+    if n == 0:
+        return points.sparkSession.createDataFrame(
+            [], "leaf_id long, n_pts long, minx_us long, maxx_us long, "
+                "miny_us long, maxy_us long")
+    n_leaves = math.ceil(n / leaf_cap)
+    s = math.ceil(math.sqrt(n_leaves))
+    rx = with_global_pos(
+        points.select(F.col(id_col).alias("pid"),
+                      F.col(x_col).alias("px"), F.col(y_col).alias("py")),
+        ["px", "pid"], "_rx")
+    strip = rx.withColumn(
+        "strip", F.expr(f"(_rx - 1) div {s * leaf_cap}"))
+    w = Window.partitionBy("strip").orderBy(F.col("py").asc(),
+                                            F.col("pid").asc())
+    leaves = (strip.withColumn("_ry", F.row_number().over(w))
+              .withColumn("leaf_id",
+                          F.expr(f"strip * {s} + (_ry - 1) div {leaf_cap}")))
+    return (leaves.groupBy("leaf_id")
+            .agg(F.count("*").alias("n_pts"),
+                 F.min("px").alias("minx_us"), F.max("px").alias("maxx_us"),
+                 F.min("py").alias("miny_us"), F.max("py").alias("maxy_us")))
+
+
+def str_pack_sql_duckdb(points_rel: str, leaf_cap: int, n: int) -> str:
+    """DuckDB twin of :func:`str_pack_points` (same slicing arithmetic;
+    ``n`` is the planning-time row count, passed in like the Spark
+    side's count)."""
+    import math
+
+    n_leaves = math.ceil(n / leaf_cap)
+    s = math.ceil(math.sqrt(n_leaves))
+    return f"""
+    select leaf_id, count(*) as n_pts,
+           min(px) as minx_us, max(px) as maxx_us,
+           min(py) as miny_us, max(py) as maxy_us
+    from (
+      select strip * {s} + (ry - 1) // {leaf_cap} as leaf_id, px, py
+      from (
+        select strip, px, py,
+               row_number() over (partition by strip
+                                  order by py asc, pid asc) as ry
+        from (
+          select pid, px, py, (rx - 1) // {s * leaf_cap} as strip
+          from (
+            select pid, px, py,
+                   row_number() over (order by px asc, pid asc) as rx
+            from (select point_id as pid, lon_us as px, lat_us as py
+                  from {points_rel}) t0
+          ) t1
+        ) t2
+      ) t3
+    ) t4
+    group by leaf_id
+    """
