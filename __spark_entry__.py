@@ -1501,6 +1501,39 @@ def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return str_pack_points(_points_df(spark), leaf_cap=64)
 
 
+INTERVALS_N = 300
+
+
+def _intervals_df(spark: SparkSession) -> DataFrame:
+    """Deterministic maintenance-window intervals over the events month:
+    start = 2024-01-01 + k*8640 s, length = 2400 + (k%5)*1200 s —
+    consecutive intervals overlap when the length exceeds the stride,
+    so containment (not as-of) semantics are actually exercised."""
+    return spark.range(INTERVALS_N).selectExpr(
+        "id as interval_id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*8640)"
+        " as start_ts",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+        "id*8640 + 2400 + (id % 5)*1200) as end_ts")
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join (the brief's 'range join'): events ⋈
+    intervals on start <= ts < end via the bucketized equi-join plan
+    (intervals explode to their epoch buckets — bounded fan-out — and
+    the exact refine runs in codegen; never a nested-loop theta join).
+    Oracle = the direct theta join, so the hash proves the bucket
+    decomposition is exact. Output: per-interval event count + value
+    sum."""
+    from zen3geo_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    j = interval_join(ev, _intervals_df(spark), bucket_secs=3600)
+    return (j.groupBy("interval_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2540,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_delta": q_coverage_delta,
         "cover_rollup": q_cover_rollup,
         "str_pack": q_str_pack,
+        "interval_join": q_interval_join,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4293,6 +4327,23 @@ from g5 group by 1
     {str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}
     """
 
+    # interval-join twin: the DIRECT theta join (exact containment) —
+    # a hash match proves the bucketized equi-join decomposition exact
+    interval_join_sql_q = f"""
+    with iv as (
+      select t.id as interval_id,
+             TIMESTAMP '2024-01-01 00:00:00' + to_seconds(t.id*8640) as start_ts,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_seconds(t.id*8640 + 2400 + (t.id % 5)*1200) as end_ts
+      from range({INTERVALS_N}) t(id)
+    )
+    select iv.interval_id, count(*) as n_events,
+           round(sum(e.value), 4) as sum_value
+    from events e join iv
+      on e.ts >= iv.start_ts and e.ts < iv.end_ts
+    group by iv.interval_id
+    """
+
     _cr_even = (f"select distinct {_cv_cell5} as cell from pts "
                 "where point_id % 2 = 0")
     _cr_chain_arms = " union all ".join(
@@ -4621,6 +4672,7 @@ from g5 group by 1
         "coverage_delta": coverage_delta_sql_q,
         "cover_rollup": cover_rollup_sql_q,
         "str_pack": str_pack_sql_q,
+        "interval_join": interval_join_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

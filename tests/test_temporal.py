@@ -120,3 +120,33 @@ def test_count_min_cells_match_duckdb(spark):
         select j, bucket, count(*) from cells group by j, bucket
     """).fetchall())
     assert got == want
+
+
+def test_interval_join_equals_theta_join(spark):
+    """Bucketized range join == direct theta join, including events on
+    exact boundaries (start inclusive, end exclusive), overlapping
+    intervals (multi-match), and unmatched events/intervals."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 3, 1)
+    evs = [(i, t0 + dt.timedelta(seconds=137 * i + (i % 3) * 0.25))
+           for i in range(400)]
+    ivs = [(k, t0 + dt.timedelta(seconds=900 * k),
+            t0 + dt.timedelta(seconds=900 * k + 1800 + (k % 2) * 600))
+           for k in range(40)]  # every pair of neighbors overlaps
+    # boundary probes: exactly at a start and exactly at an end
+    evs += [(1000, ivs[3][1]), (1001, ivs[5][2])]
+    ev = spark.createDataFrame(evs, "event_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        ivs, "interval_id long, start_ts timestamp, end_ts timestamp")
+
+    got = sorted((r.event_id, r.interval_id) for r in interval_join(
+        ev, iv, bucket_secs=700).select("event_id", "interval_id").collect())
+    want = sorted((e, k) for e, ts in evs for k, s, t in ivs if s <= ts < t)
+    assert got == want
+    assert (1000, 3) in got and all(p != (1001, 5) for p in got)
+    assert any(len([1 for g in got if g[0] == e]) > 1 for e, _ in evs)
