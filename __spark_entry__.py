@@ -1534,6 +1534,20 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich/Gage), distributed: one
+    corpus-sized word-count aggregate, then every merge round runs on
+    the Heaps-bounded VOCABULARY table — pair counts weighted by word
+    frequency, 1-row argmax collect, literal double-delimiter replace
+    (greedy non-overlapping merge, exact reference semantics). Output =
+    the 12-merge list a tokenizer ships; oracle = the same recurrence
+    unrolled as chained DuckDB CTEs."""
+    from zen3geo_spark.functions.bpe import bpe_train, word_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(word_counts(docs), n_merges=12)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2574,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_rollup": q_cover_rollup,
         "str_pack": q_str_pack,
         "interval_join": q_interval_join,
+        "bpe_train": q_bpe_train,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4327,6 +4342,12 @@ from g5 group by 1
     {str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}
     """
 
+    from zen3geo_spark.functions.bpe import (
+        bpe_train_sql_duckdb, word_counts_sql_duckdb,
+    )
+    bpe_train_sql_q = bpe_train_sql_duckdb(
+        f"({word_counts_sql_duckdb('documents')})", n_merges=12)
+
     # interval-join twin: the DIRECT theta join (exact containment) —
     # a hash match proves the bucketized equi-join decomposition exact
     interval_join_sql_q = f"""
@@ -4673,6 +4694,7 @@ from g5 group by 1
         "cover_rollup": cover_rollup_sql_q,
         "str_pack": str_pack_sql_q,
         "interval_join": interval_join_sql_q,
+        "bpe_train": bpe_train_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

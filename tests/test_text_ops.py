@@ -546,3 +546,41 @@ def test_tf_cosine_pairs_exact_and_blocked(spark):
     assert (0, 2) not in blocked
     assert blocked[(0, 1)][0] == 2
     assert abs(blocked[(0, 1)][1] - 2 / 3) < 1e-6
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """Distributed BPE merges == the textbook Sennrich loop, including
+    overlapping pair counts ('aaa' -> ('a','a') x2) and greedy
+    non-overlapping merge ('aaa' -> 'aa a')."""
+    from zen3geo_spark.functions.bpe import bpe_train
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+             ("loww", 1), ("aaa", 4), ("banana", 2)]
+    words = spark.createDataFrame(vocab, "word string, n long")
+    got = [(r.rank, r.pair_a, r.pair_b, r.n_occ)
+           for r in bpe_train(words, 8).collect()]
+
+    seqs = {w: list(w) for w, _ in vocab}
+    want = []
+    for rank in range(1, 9):
+        pc = {}
+        for w, n in vocab:
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + n
+        if not pc:
+            break
+        (pa, pb), c = min(pc.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want.append((rank, pa, pb, c))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == pa and s[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want
