@@ -1548,6 +1548,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(word_counts(docs), n_merges=12)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: learn the 12-merge list, apply it in rank order to
+    the vocabulary (the tokenize step), emit corpus token frequencies.
+    The oracle re-derives the merges through the same chained CTEs, so
+    a hash match re-verifies training AND application."""
+    from zen3geo_spark.functions.bpe import (
+        bpe_encode_token_counts, bpe_train, word_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_counts(docs).localCheckpoint(eager=False)
+    merges = [(r.pair_a, r.pair_b)
+              for r in bpe_train(words, n_merges=12).collect()]
+    return bpe_encode_token_counts(words, merges)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2589,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_pack": q_str_pack,
         "interval_join": q_interval_join,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4347,6 +4364,9 @@ from g5 group by 1
     )
     bpe_train_sql_q = bpe_train_sql_duckdb(
         f"({word_counts_sql_duckdb('documents')})", n_merges=12)
+    from zen3geo_spark.functions.bpe import bpe_encode_sql_duckdb
+    bpe_encode_sql_q = bpe_encode_sql_duckdb(
+        f"({word_counts_sql_duckdb('documents')})", n_merges=12)
 
     # interval-join twin: the DIRECT theta join (exact containment) —
     # a hash match proves the bucketized equi-join decomposition exact
@@ -4695,6 +4715,7 @@ from g5 group by 1
         "str_pack": str_pack_sql_q,
         "interval_join": interval_join_sql_q,
         "bpe_train": bpe_train_sql_q,
+        "bpe_encode": bpe_encode_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

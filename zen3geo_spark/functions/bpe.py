@@ -94,6 +94,26 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def bpe_encode_token_counts(words: DataFrame,
+                            merges: list[tuple[str, str]]) -> DataFrame:
+    """APPLY a learned merge list: segment every vocabulary word by the
+    merges (in rank order — the BPE encode rule), then emit corpus
+    token frequencies ``(token, n_occ)`` weighted by word counts — the
+    tokenize step of the pipeline, still vocab-sized after the one
+    corpus word-count pass. ``merges`` is the (pair_a, pair_b) list
+    from :func:`bpe_train` (driver-side, merge-count-sized)."""
+    seqs = words.select(
+        "n", F.expr(_CHARS_SPARK.format(w="word")).alias("seq"))
+    for pa, pb in merges:
+        seqs = seqs.select("n", F.expr(
+            "replace(seq, ' ' || {a} || '  ' || {b} || ' ',"
+            " ' ' || {a} || {b} || ' ')".format(
+                a=_sql_str(pa), b=_sql_str(pb))).alias("seq"))
+    toks = seqs.select(
+        "n", F.explode(F.split(F.trim(F.col("seq")), "  ")).alias("token"))
+    return toks.groupBy("token").agg(F.sum("n").alias("n_occ"))
+
+
 def bpe_train_sql_duckdb(words_rel: str, n_merges: int) -> str:
     """Chained-CTE twin of :func:`bpe_train`: round r's top pair feeds
     round r+1's replace via a 1-row cross join — the same argmax +
@@ -129,3 +149,19 @@ def bpe_train_sql_duckdb(words_rel: str, n_merges: int) -> str:
                     f"cnt as n_occ from _t{r}")
     return ("with " + ",".join(ctes) + "\n    "
             + " union all ".join(outs))
+
+
+def bpe_encode_sql_duckdb(words_rel: str, n_merges: int) -> str:
+    """Token-frequency twin: re-learns the merges with the same chained
+    CTEs (re-verifying them), then splits the FINAL segmentation —
+    token counts out."""
+    train = bpe_train_sql_duckdb(words_rel, n_merges)
+    # keep the CTE chain, swap the final union-all select for the
+    # token-count select over the last stage
+    head, _, _ = train.rpartition("\n    ")
+    return f"""{head}
+    select token, sum(n) as n_occ from (
+      select n, unnest(string_split(trim(seq), '  ')) as token
+      from _s{n_merges}
+    ) group by token
+    """
