@@ -1564,6 +1564,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_token_counts(words, merges)
 
 
+def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of crawl density over the full res-4 lattice
+    (8-neighbor weights, lon wrap / lat clamp) — exact scaled-integer
+    arithmetic, so the autocorrelation statistic itself is value-hash
+    checkable (no FP summation order)."""
+    from zen3geo_spark.operators.cells import moran_i
+
+    return moran_i(_points_df(spark), res=4)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2606,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "moran_i": q_moran_i,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4368,6 +4379,12 @@ from g5 group by 1
     bpe_encode_sql_q = bpe_encode_sql_duckdb(
         f"({word_counts_sql_duckdb('documents')})", n_merges=12)
 
+    from zen3geo_spark.operators.cells import moran_i_sql_duckdb
+    moran_i_sql_q = f"""
+    {_points_cte()}
+    select * from ({moran_i_sql_duckdb('select lat_us, lon_us from pts', 4)})
+    """
+
     # interval-join twin: the DIRECT theta join (exact containment) —
     # a hash match proves the bucketized equi-join decomposition exact
     interval_join_sql_q = f"""
@@ -4716,6 +4733,7 @@ from g5 group by 1
         "interval_join": interval_join_sql_q,
         "bpe_train": bpe_train_sql_q,
         "bpe_encode": bpe_encode_sql_q,
+        "moran_i": moran_i_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

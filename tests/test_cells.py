@@ -243,6 +243,36 @@ def test_cover_disk_exact_membership(spark):
         assert got.get(pid, set()) == want, f"point {pid}"
 
 
+def test_moran_i_sign_on_clustered_vs_checkerboard(spark):
+    from zen3geo_spark.operators.cells import moran_i
+
+    res, n = 3, 8
+
+    def pts_for(cells_with_counts):
+        rows = []
+        for (iy, ix), cnt in cells_with_counts.items():
+            lat = int((iy + 0.5) * 180000001 / n) - 90000000
+            lon = int((ix + 0.5) * 360000001 / n) - 180000000
+            rows += [(lat, lon)] * cnt
+        return spark.createDataFrame(rows, "lat_us long, lon_us long")
+
+    # clustered: one dense 3x3 block
+    clustered = {(iy, ix): 9 for iy in (2, 3, 4) for ix in (2, 3, 4)}
+    r1 = moran_i(pts_for(clustered), res).collect()[0]
+    assert r1.moran_x1e4 > 3000  # strongly positive autocorrelation
+
+    # alternating horizontal stripes: 6 of 8 queen neighbors are the
+    # opposite color (a checkerboard would NOT be negative under queen
+    # adjacency — its diagonals are same-colored) -> strongly negative
+    stripes = {(iy, ix): 4 for iy in range(n) for ix in range(n)
+               if iy % 2 == 0}
+    r2 = moran_i(pts_for(stripes), res).collect()[0]
+    assert r2.moran_x1e4 < -3000
+    # invariants: W = sum of ring degrees (wrap in lon, clamp in lat),
+    # den = N^2 * population variance (scaled) > 0
+    assert r2.n_cells == n * n and r2.den > 0 and r2.w_pairs > 0
+
+
 def test_grid_dbscan_wraps_longitude(spark):
     # ix=0 and ix=15 in the same row are ring-adjacent (cylinder wrap)
     def cell_pts(iy, ix, n):

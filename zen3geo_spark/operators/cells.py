@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from zen3geo_spark.functions.geo import (
     cell_encode,
+    cell_id_sql,
     cell_neighbors,
     cell_parent,
     cell_parent_sql,
@@ -477,6 +478,102 @@ def cover_disk_cells_sql(points_sql: str, radius_us: int, res: int) -> str:
     select point_id, {1 << (2 * res)} + iy * {n} + ix as cell
     from _c2
     where {pred}
+    """
+
+
+def moran_i(points: DataFrame, res: int,
+            lat_col: str = "lat_us", lon_col: str = "lon_us") -> DataFrame:
+    """Global Moran's I — THE spatial-autocorrelation statistic — of
+    page density over the FULL res-``res`` lattice (empty cells count
+    as 0), with binary 8-neighbor weights (lon wraps, lat clamps — the
+    ``cell_neighbors`` ring, deduped, self excluded).
+
+    Exact integers end to end: with N = #cells, T = Σx, the residual
+    scales to X_i = N·x_i − T, and
+    ``I = (N/W)·ΣX_iX_j / ΣX_i²`` (the N² factors cancel), reported as
+    ``moran_x1e4 = (N · ΣX_iX_j · 10^4) div (W · ΣX_i²)`` — floor
+    division, bit-identical across engines, no FP summation order to
+    disagree on. Output: one row
+    (res, n_cells, w_pairs, num, den, moran_x1e4).
+
+    Scale shape: one cell-count aggregate, a full-lattice left join
+    (4^res rows — the caller's res bounds it; at fine res restrict to
+    the occupied bbox), one bounded ring explode + equi-join, three
+    scalar aggregates. No cross join, no window.
+    """
+    n = 1 << res
+    counts = (points
+              .select(cell_encode(F.col(lat_col), F.col(lon_col), res)
+                      .alias("cell"))
+              .groupBy("cell").agg(F.count("*").alias("x")))
+    spark = points.sparkSession
+    lattice = spark.range(1 << (2 * res)).select(
+        (F.col("id") + F.lit(1 << (2 * res))).alias("cell"))
+    cells = (lattice.join(counts, "cell", "left")
+             .select("cell", F.coalesce("x", F.lit(0)).alias("x"))
+             .localCheckpoint(eager=False))
+    tot = cells.agg(F.sum("x").alias("t"),
+                    F.count("*").alias("n")).collect()[0]
+    t, n_cells = int(tot.t), int(tot.n)
+    resid = cells.select(
+        "cell", (F.lit(n_cells) * F.col("x") - F.lit(t)).alias("xr"))
+    resid = resid.localCheckpoint(eager=False)
+    ring = resid.select(
+        F.col("cell").alias("a"), F.col("xr").alias("xa"),
+        F.explode(cell_neighbors(F.col("cell"), res)).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    pairs = ring.join(
+        resid.select(F.col("cell").alias("b"), F.col("xr").alias("xb")), "b")
+    agg = pairs.agg(F.count("*").alias("w"),
+                    F.sum(F.col("xa") * F.col("xb")).alias("num")).collect()[0]
+    den = int(resid.agg(F.sum(F.col("xr") * F.col("xr"))).collect()[0][0])
+    w, num = int(agg.w), int(agg.num)
+    if den and w:
+        q, d = n_cells * num * 10_000, w * den
+        # TRUNCATING division (SQL integer-division semantics in both
+        # engines) — Python's // floors, which differs on negative I
+        moran_x1e4 = (-1 if (q < 0) != (d < 0) else 1) * (abs(q) // abs(d))
+    else:
+        moran_x1e4 = None
+    return spark.createDataFrame(
+        [(res, n_cells, w, num, den, moran_x1e4)],
+        "res int, n_cells long, w_pairs long, num long, den long, "
+        "moran_x1e4 long")
+
+
+def moran_i_sql_duckdb(points_sql: str, res: int) -> str:
+    """DuckDB twin of :func:`moran_i` (same lattice, same clamp/wrap
+    adjacency, same scaled-integer floor arithmetic).
+    ``points_sql`` must yield (lat_us, lon_us)."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    cell = cell_id_sql("lat_us", "lon_us", res, "duckdb")
+    return f"""
+    with _cnt as (
+      select {cell} as cell, count(*) as x from ({points_sql}) group by 1
+    ),
+    _cells as (
+      select {base} + t.id as cell, coalesce(c.x, 0) as x
+      from range({base}) t(id) left join _cnt c on c.cell = {base} + t.id
+    ),
+    _tot as (select sum(x) as t, count(*) as nc from _cells),
+    _r as (select cell, (select nc from _tot) * x - (select t from _tot)
+                  as xr from _cells),
+    _adj as (
+      select a.xr as xa, b.xr as xb
+      from _r a join _r b on a.cell <> b.cell
+      where abs(((a.cell - {base}) // {n}) - ((b.cell - {base}) // {n})) <= 1
+        and (abs(((a.cell - {base}) % {n}) - ((b.cell - {base}) % {n})) <= 1
+             or abs(((a.cell - {base}) % {n}) - ((b.cell - {base}) % {n}))
+                = {n - 1})
+    ),
+    _s as (select count(*) as w, sum(xa * xb) as num from _adj),
+    _d as (select sum(xr * xr) as den from _r)
+    select {res} as res, (select nc from _tot) as n_cells,
+           s.w as w_pairs, s.num as num, d.den as den,
+           ((select nc from _tot) * s.num * 10000) // (s.w * d.den)
+             as moran_x1e4
+    from _s s, _d d
     """
 
 
