@@ -1574,6 +1574,45 @@ def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moran_i(_points_df(spark), res=4)
 
 
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA hot/cold-spot map: per-cell local Moran numerator + quadrant
+    (HH/LL core, HL/LH outlier) over res-4 crawl density — same scaled
+    integer residuals as moran_i, so the cluster map is hash-exact."""
+    from zen3geo_spark.operators.cells import local_moran
+
+    return local_moran(_points_df(spark), res=4)
+
+
+def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITION PRUNING on a stored table: pages written
+    once partitioned by snapshot stripe (pid % 10 — the crawl-epoch
+    layout a 10^12-row table ships with), then a two-stripe read whose
+    filter prunes 8/10 partition directories at PLANNING time
+    (PartitionFilters in the scan, plan-gated in test_plans) — the
+    directory-level sibling of zorder_range_scan's row-group pruning.
+    Output: per-cell counts inside the two snapshots."""
+    import pathlib
+
+    d = pathlib.Path(__file__).resolve().parent / ".gen_assets" / \
+        f"pages_by_snap_{N_PAGES}"
+    if not (d / "_SUCCESS").exists():
+        pages = synth_pages(spark, N_PAGES)
+        lat_s, lon_s = extract_first_geotag(F.col("text"))
+        (pages.select(F.expr(URL_PID_SQL).alias("pid"),
+                      lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+         .withColumn("snap", F.col("pid") % 10)
+         .write.mode("overwrite").partitionBy("snap").parquet(str(d)))
+    pts = (spark.read.parquet(str(d))
+           .filter(F.col("snap").isin(3, 7))
+           .filter(F.col("lat_str") != "")
+           .select(F.col("snap").cast("long").alias("snap"),
+                   cell_encode(micro_from_str(F.col("lat_str")),
+                               micro_from_str(F.col("lon_str")), 4)
+                   .alias("cell")))
+    return (pts.groupBy("snap", "cell")
+            .agg(F.count("*").alias("n_pages")))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2617,6 +2656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "moran_i": q_moran_i,
+        "local_moran": q_local_moran,
+        "snapshot_prune": q_snapshot_prune,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4379,10 +4420,27 @@ from g5 group by 1
     bpe_encode_sql_q = bpe_encode_sql_duckdb(
         f"({word_counts_sql_duckdb('documents')})", n_merges=12)
 
-    from zen3geo_spark.operators.cells import moran_i_sql_duckdb
+    from zen3geo_spark.operators.cells import (
+        local_moran_sql_duckdb, moran_i_sql_duckdb,
+    )
     moran_i_sql_q = f"""
     {_points_cte()}
     select * from ({moran_i_sql_duckdb('select lat_us, lon_us from pts', 4)})
+    """
+    local_moran_sql_q = f"""
+    {_points_cte()}
+    select * from (
+      {local_moran_sql_duckdb('select lat_us, lon_us from pts', 4)}
+    )
+    """
+
+    _sp_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
+    snapshot_prune_sql_q = f"""
+    {_points_cte()}
+    select point_id % 10 as snap, {_sp_cell4} as cell,
+           count(*) as n_pages
+    from pts where point_id % 10 in (3, 7)
+    group by 1, 2
     """
 
     # interval-join twin: the DIRECT theta join (exact containment) —
@@ -4734,6 +4792,8 @@ from g5 group by 1
         "bpe_train": bpe_train_sql_q,
         "bpe_encode": bpe_encode_sql_q,
         "moran_i": moran_i_sql_q,
+        "local_moran": local_moran_sql_q,
+        "snapshot_prune": snapshot_prune_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

@@ -205,3 +205,21 @@ def test_bucketed_cell_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("drop database if exists bktest cascade")
+
+
+def test_snapshot_prune_partition_filters(spark, tmp_path):
+    """Hive-style partition pruning: the snap filter must land in the
+    scan's PartitionFilters (directory-level pruning at planning time),
+    and only the two matching partition directories are read."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "by_snap")
+    (spark.range(1000)
+     .selectExpr("id", "cast(id % 10 as int) as snap")
+     .write.mode("overwrite").partitionBy("snap").parquet(path))
+    df = spark.read.parquet(path).filter(F.col("snap").isin(3, 7))
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters:", 1)[1][:200]
+    assert "snap" in pf and ("IN (3,7)" in pf.replace(" ", "")
+                             or "in(3,7)" in pf.replace(" ", "").lower())
+    assert df.count() == 200

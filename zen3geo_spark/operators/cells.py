@@ -541,6 +541,92 @@ def moran_i(points: DataFrame, res: int,
         "moran_x1e4 long")
 
 
+def local_moran(points: DataFrame, res: int,
+                lat_col: str = "lat_us", lon_col: str = "lon_us") -> DataFrame:
+    """LISA — Anselin's LOCAL Moran's I per cell, the hot/cold-spot
+    cluster map: ``I_i ∝ X_i · Σ_j w_ij X_j`` with the same scaled
+    integer residuals as :func:`moran_i` (X_i = N·x_i − T), queen
+    weights, lon wrap / lat clamp. Output per OCCUPIED cell:
+    ``(cell, x, lisa_num = X_i·ΣX_j, quad)`` where quad is the LISA
+    quadrant — HH/LL (cluster core), HL/LH (spatial outlier), EE when
+    either factor is exactly the mean. All integers; no z-scores, so
+    the statistic itself is cross-engine hashable (inference thresholds
+    are a presentation concern).
+    """
+    n_side = 1 << res
+    counts = (points
+              .select(cell_encode(F.col(lat_col), F.col(lon_col), res)
+                      .alias("cell"))
+              .groupBy("cell").agg(F.count("*").alias("x")))
+    spark = points.sparkSession
+    lattice = spark.range(1 << (2 * res)).select(
+        (F.col("id") + F.lit(1 << (2 * res))).alias("cell"))
+    cells = (lattice.join(counts, "cell", "left")
+             .select("cell", F.coalesce("x", F.lit(0)).alias("x"))
+             .localCheckpoint(eager=False))
+    tot = cells.agg(F.sum("x").alias("t"),
+                    F.count("*").alias("n")).collect()[0]
+    t, n_cells = int(tot.t), int(tot.n)
+    resid = cells.select(
+        "cell", "x",
+        (F.lit(n_cells) * F.col("x") - F.lit(t)).alias("xr"))
+    resid = resid.localCheckpoint(eager=False)
+    ring = (resid.select(F.col("cell").alias("a"),
+                         F.explode(cell_neighbors(F.col("cell"), res))
+                         .alias("b"))
+            .filter(F.col("a") != F.col("b")))
+    nb = (ring.join(resid.select(F.col("cell").alias("b"),
+                                 F.col("xr").alias("xb")), "b")
+          .groupBy("a").agg(F.sum("xb").alias("sxb")))
+    out = (resid.join(nb, resid.cell == nb.a)
+           .filter(F.col("x") > 0)
+           .select("cell", "x",
+                   (F.col("xr") * F.col("sxb")).alias("lisa_num"),
+                   F.when((F.col("xr") > 0) & (F.col("sxb") > 0), "HH")
+                   .when((F.col("xr") < 0) & (F.col("sxb") < 0), "LL")
+                   .when((F.col("xr") > 0) & (F.col("sxb") < 0), "HL")
+                   .when((F.col("xr") < 0) & (F.col("sxb") > 0), "LH")
+                   .otherwise("EE").alias("quad")))
+    return out
+
+
+def local_moran_sql_duckdb(points_sql: str, res: int) -> str:
+    """DuckDB twin of :func:`local_moran`."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    cell = cell_id_sql("lat_us", "lon_us", res, "duckdb")
+    return f"""
+    with _cnt as (
+      select {cell} as cell, count(*) as x from ({points_sql}) group by 1
+    ),
+    _cells as (
+      select {base} + t.id as cell, coalesce(c.x, 0) as x
+      from range({base}) t(id) left join _cnt c on c.cell = {base} + t.id
+    ),
+    _tot as (select sum(x) as t, count(*) as nc from _cells),
+    _r as (select cell, x,
+                  (select nc from _tot) * x - (select t from _tot) as xr
+           from _cells),
+    _nb as (
+      select a.cell as cell, sum(b.xr) as sxb
+      from _r a join _r b on a.cell <> b.cell
+      where abs(((a.cell - {base}) // {n}) - ((b.cell - {base}) // {n})) <= 1
+        and (abs(((a.cell - {base}) % {n}) - ((b.cell - {base}) % {n})) <= 1
+             or abs(((a.cell - {base}) % {n}) - ((b.cell - {base}) % {n}))
+                = {n - 1})
+      group by a.cell
+    )
+    select r.cell, r.x, r.xr * n.sxb as lisa_num,
+           case when r.xr > 0 and n.sxb > 0 then 'HH'
+                when r.xr < 0 and n.sxb < 0 then 'LL'
+                when r.xr > 0 and n.sxb < 0 then 'HL'
+                when r.xr < 0 and n.sxb > 0 then 'LH'
+                else 'EE' end as quad
+    from _r r join _nb n on r.cell = n.cell
+    where r.x > 0
+    """
+
+
 def moran_i_sql_duckdb(points_sql: str, res: int) -> str:
     """DuckDB twin of :func:`moran_i` (same lattice, same clamp/wrap
     adjacency, same scaled-integer floor arithmetic).
