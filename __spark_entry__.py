@@ -1613,6 +1613,34 @@ def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_pages")))
 
 
+def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell language diversity: Simpson index (1 − Σp_i²) as the
+    exact integer ``(n² − Σn_i²)·10⁴ div n²`` — no logs, no FP — plus
+    the dominant language (count desc, lang asc). The geo×text mix
+    audit a multilingual corpus builder reads per region."""
+    pages = synth_pages(spark, N_PAGES)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = (pages.select("lang", lat_s.alias("lat_str"),
+                        lon_s.alias("lon_str"))
+           .filter(F.col("lat_str") != "")
+           .select("lang",
+                   cell_encode(micro_from_str(F.col("lat_str")),
+                               micro_from_str(F.col("lon_str")), 4)
+                   .alias("cell")))
+    per = pts.groupBy("cell", "lang").agg(F.count("*").alias("ni"))
+    w = Window.partitionBy("cell").orderBy(F.col("ni").desc(),
+                                           F.col("lang").asc())
+    agg = (per.withColumn("rk", F.row_number().over(w))
+           .groupBy("cell")
+           .agg(F.sum("ni").alias("n"),
+                F.sum(F.col("ni") * F.col("ni")).alias("sq"),
+                F.max(F.when(F.col("rk") == 1, F.col("lang")))
+                .alias("top_lang")))
+    return agg.select(
+        "cell", "n", "top_lang",
+        F.expr("(n * n - sq) * 10000 div (n * n)").alias("simpson_x1e4"))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2658,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": q_moran_i,
         "local_moran": q_local_moran,
         "snapshot_prune": q_snapshot_prune,
+        "cell_diversity": q_cell_diversity,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4434,6 +4463,35 @@ from g5 group by 1
     )
     """
 
+    _cd_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
+    _cd_lat = micro_from_str_sql("lat_str", "duckdb")
+    _cd_lon = micro_from_str_sql("lon_str", "duckdb")
+    cell_diversity_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tagged as (
+      select lang,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pt as (
+      select lang, {_cd_cell4.replace('lat_us', _cd_lat).replace('lon_us', _cd_lon)} as cell
+      from tagged where lat_str <> ''
+    ),
+    per as (select cell, lang, count(*) as ni from pt group by 1, 2),
+    rk as (
+      select cell, lang, ni,
+             row_number() over (partition by cell
+                                order by ni desc, lang asc) as rk
+      from per
+    )
+    select cell, sum(ni) as n,
+           max(case when rk = 1 then lang end) as top_lang,
+           (sum(ni) * sum(ni) - sum(ni * ni)) * 10000
+             // (sum(ni) * sum(ni)) as simpson_x1e4
+    from rk group by cell
+    """
+
     _sp_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
     snapshot_prune_sql_q = f"""
     {_points_cte()}
@@ -4794,6 +4852,7 @@ from g5 group by 1
         "moran_i": moran_i_sql_q,
         "local_moran": local_moran_sql_q,
         "snapshot_prune": snapshot_prune_sql_q,
+        "cell_diversity": cell_diversity_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,
