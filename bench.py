@@ -199,7 +199,7 @@ def run_queries(spark, sf_dir: str, warm: bool | None = None) -> dict[str, float
                 _run_with_watchdog(spark, lambda: fn(spark, sf_dir).count())
             except Exception:
                 pass
-        spark.catalog.clearCache()
+        _release_all_blocks(spark)
 
     times: dict[str, float] = {}
     for name, fn in qs.items():
@@ -213,8 +213,25 @@ def run_queries(spark, sf_dir: str, warm: bool | None = None) -> dict[str, float
             print(f"[bench] query {name} FAILED:", file=sys.stderr)
             traceback.print_exc()
             times[name] = -1.0
-        spark.catalog.clearCache()
+        _release_all_blocks(spark)
     return times
+
+
+def _release_all_blocks(spark) -> None:
+    """Between timed queries, drop EVERYTHING a query may have pinned:
+    cached tables (clearCache) AND raw persistent-RDD blocks —
+    localCheckpoint(eager=False) blocks (the cover/dedup/BPE operators'
+    plan cuts) are NOT tables, survive clearCache, and only free on
+    JVM GC of their wrappers. With ~25 checkpoint-using queries in the
+    suite the leaked blocks compound until executor storage pressure
+    taxes whatever runs last (measured: the flagship read 16-20 s at
+    suite end vs 4.6-5.5 s in a fresh JVM — same code, same window).
+    Every block is disposable here: each timed query rebuilds from
+    scratch by design."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd_id in list(jmap.keys()):
+        jmap[rdd_id].unpersist()
 
 
 def main() -> None:
@@ -239,6 +256,7 @@ def main() -> None:
     # 10-100s, and the headline metric should measure the plan, not one
     # hypervisor hiccup; all three walls are reported for the record)
     ensure_pages_parquet(spark, N_PAGES_BENCH)
+    _release_all_blocks(spark)  # suite leftovers must not tax the flagship
     _run_with_watchdog(spark,
                        lambda: flagship_pages_pipeline(spark, N_PAGES_BENCH))
     flagship_runs: list[float] = []
