@@ -1454,10 +1454,15 @@ def q_coverage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     polylog-sized however large the grid."""
     from zen3geo_spark.operators.cells import compact_cells
 
-    pts = _points_df(spark).withColumn(
-        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 5))
-    even = pts.filter(F.col("point_id") % 2 == 0).select("cell").distinct()
-    odd = pts.filter(F.col("point_id") % 2 == 1).select("cell").distinct()
+    # one extraction pass feeds both epoch branches (the regexp parse
+    # dominates; without the plan cut each branch re-runs it)
+    cells = (_points_df(spark)
+             .select((F.col("point_id") % 2).alias("epoch"),
+                     cell_encode(F.col("lat_us"), F.col("lon_us"), 5)
+                     .alias("cell"))
+             .localCheckpoint(eager=False))
+    even = cells.filter(F.col("epoch") == 0).select("cell").distinct()
+    odd = cells.filter(F.col("epoch") == 1).select("cell").distinct()
     added = odd.join(even, "cell", "left_anti")
     return compact_cells(added, res=5, min_res=2)
 
@@ -1471,8 +1476,10 @@ def q_cover_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zen3geo_spark.operators.cells import compact_cells
 
     res, min_res = 5, 2
-    pts = _points_df(spark).withColumn(
-        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), res))
+    pts = (_points_df(spark)
+           .withColumn("cell",
+                       cell_encode(F.col("lat_us"), F.col("lon_us"), res))
+           .localCheckpoint(eager=False))  # extract once, feed both uses
     cover = compact_cells(
         pts.filter(F.col("point_id") % 2 == 0).select("cell"),
         res=res, min_res=min_res)
