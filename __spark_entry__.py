@@ -1648,6 +1648,45 @@ def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * n - sq) * 10000 div (n * n)").alias("simpson_x1e4"))
 
 
+def q_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal volume anomaly: per (res-2 cell, 10-minute crawl
+    epoch) page counts scored against the cell's own history by
+    INTEGER lower-median and MAD (no FP percentile interpolation — the
+    same exact-median discipline as recrawl_cadence), flagging epochs
+    with |n − med| > max(3·MAD, 2). The per-region crawl-surge /
+    outage screen; windows are per-cell (epoch-count bounded)."""
+    pages = synth_pages(spark, N_PAGES)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = (pages.select(F.col("warc_ts"),
+                        lat_s.alias("lat_str"), lon_s.alias("lon_str"))
+           .filter(F.col("lat_str") != "")
+           .select(F.expr("unix_timestamp(warc_ts) div 600").alias("ep"),
+                   cell_encode(micro_from_str(F.col("lat_str")),
+                               micro_from_str(F.col("lon_str")), 2)
+                   .alias("cell")))
+    cnts = pts.groupBy("cell", "ep").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cell").orderBy(F.col("n").asc(),
+                                           F.col("ep").asc())
+    tot = Window.partitionBy("cell")
+    med = (cnts.withColumn("rk", F.row_number().over(w))
+           .withColumn("med", F.max(F.when(
+               F.col("rk") == F.expr(
+                   "(count(*) over (partition by cell) + 1) div 2"),
+               F.col("n"))).over(tot)))
+    wd = Window.partitionBy("cell").orderBy(
+        F.abs(F.col("n") - F.col("med")).asc(), F.col("ep").asc())
+    mad = (med.withColumn("rk2", F.row_number().over(wd))
+           .withColumn("mad", F.max(F.when(
+               F.col("rk2") == F.expr(
+                   "(count(*) over (partition by cell) + 1) div 2"),
+               F.abs(F.col("n") - F.col("med")))).over(tot)))
+    return mad.select(
+        "cell", "ep", "n", "med", "mad",
+        (F.abs(F.col("n") - F.col("med"))
+         > F.greatest(F.lit(3) * F.col("mad"), F.lit(2)))
+        .alias("is_anomaly"))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) round-trip over the pages table: serialize each
     page to a framed WARC/1.0 response record (pure JVM binary concat),
@@ -2694,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_moran": q_local_moran,
         "snapshot_prune": q_snapshot_prune,
         "cell_diversity": q_cell_diversity,
+        "cell_anomaly": q_cell_anomaly,
         # --- rotated back in: the 22 queries outside the driver's r4
         # --- window (all hash-green in r3) lead the r5 ordering so every
         # --- query is re-hashed at least every other round ---
@@ -4499,6 +4539,49 @@ from g5 group by 1
     from rk group by cell
     """
 
+    _ca_cell2 = cell_id_sql("lat_us", "lon_us", 2, "duckdb")
+    _ca_lat = micro_from_str_sql("lat_str", "duckdb")
+    _ca_lon = micro_from_str_sql("lon_str", "duckdb")
+    cell_anomaly_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tagged as (
+      select warc_ts,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pt as (
+      select epoch(warc_ts)::bigint // 600 as ep,
+             {_ca_cell2.replace('lat_us', _ca_lat).replace('lon_us', _ca_lon)} as cell
+      from tagged where lat_str <> ''
+    ),
+    cnts as (select cell, ep, count(*) as n from pt group by 1, 2),
+    med as (
+      select cell, ep, n,
+             max(case when rk = (tot + 1) // 2 then n end)
+               over (partition by cell) as med
+      from (select cell, ep, n,
+                   row_number() over (partition by cell
+                                      order by n asc, ep asc) as rk,
+                   count(*) over (partition by cell) as tot
+            from cnts)
+    ),
+    mad as (
+      select cell, ep, n, med,
+             max(case when rk2 = (tot + 1) // 2 then abs(n - med) end)
+               over (partition by cell) as mad
+      from (select cell, ep, n, med,
+                   row_number() over (partition by cell
+                                      order by abs(n - med) asc, ep asc)
+                     as rk2,
+                   count(*) over (partition by cell) as tot
+            from med)
+    )
+    select cell, ep, n, med, mad,
+           abs(n - med) > greatest(3 * mad, 2) as is_anomaly
+    from mad
+    """
+
     _sp_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
     snapshot_prune_sql_q = f"""
     {_points_cte()}
@@ -4860,6 +4943,7 @@ from g5 group by 1
         "local_moran": local_moran_sql_q,
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
+        "cell_anomaly": cell_anomaly_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,
