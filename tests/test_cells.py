@@ -284,3 +284,77 @@ def test_grid_dbscan_wraps_longitude(spark):
         cell_pts(8, 0, 2) + cell_pts(8, 15, 2), "lat_us long, lon_us long")
     out = {r.cell: r.cluster for r in grid_dbscan(df, 4, 2).collect()}
     assert len(set(out.values())) == 1  # one wrapped cluster
+
+
+def test_compact_closed_form_equals_iterative_property():
+    """Hypothesis property (pure Python, no Spark per example): the
+    closed-form coarsest-complete-ancestor compaction the operator
+    implements == the textbook bottom-up sibling-promotion fixpoint,
+    for random cell subsets, resolutions, and floors; and
+    uncompact∘compact == identity with an antichain output."""
+    from hypothesis import given, settings, strategies as st
+
+    def parent(cell, res, pres):
+        body = cell - (1 << (2 * res))
+        iy, ix = body // (1 << res), body % (1 << res)
+        s = res - pres
+        return (1 << (2 * pres)) + (iy >> s) * (1 << pres) + (ix >> s)
+
+    def closed_form(cells, res, min_res):
+        from collections import Counter
+        cnt = Counter()
+        for lvl in range(min_res, res + 1):
+            for c in cells:
+                cnt[(lvl, parent(c, res, lvl))] += 1
+        complete = {k for k, n in cnt.items() if n == 4 ** (res - k[0])}
+        out = set()
+        for c in cells:
+            lvl = min(l for l in range(min_res, res + 1)
+                      if (l, parent(c, res, l)) in complete)
+            out.add((parent(c, res, lvl), lvl))
+        return out
+
+    def iterative(cells, res, min_res):
+        from collections import Counter
+        cur = {(c, res) for c in cells}
+        for lvl in range(res, min_res, -1):
+            grp = Counter(parent(c, lvl, lvl - 1)
+                          for c, l in cur if l == lvl)
+            promoted = {p for p, n in grp.items() if n == 4}
+            nxt = {(c, l) for c, l in cur
+                   if l != lvl or parent(c, lvl, lvl - 1) not in promoted}
+            nxt |= {(p, lvl - 1) for p in promoted}
+            cur = nxt
+        return cur
+
+    def children(cell, lvl, res):
+        body = cell - (1 << (2 * lvl))
+        iy, ix = body // (1 << lvl), body % (1 << lvl)
+        s = res - lvl
+        out = set()
+        for dy in range(1 << s):
+            for dx in range(1 << s):
+                out.add((1 << (2 * res))
+                        + ((iy << s) + dy) * (1 << res) + (ix << s) + dx)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=2, max_value=5),
+           st.integers(min_value=0, max_value=2),
+           st.data())
+    def prop(res, min_res, data):
+        n = 1 << (2 * res)
+        universe = list(range(n, 2 * n))
+        cells = set(data.draw(st.lists(st.sampled_from(universe),
+                                       min_size=1, max_size=min(80, n))))
+        cf = closed_form(cells, res, min_res)
+        assert cf == iterative(cells, res, min_res)
+        # round-trip identity + no overlap between members
+        back = set()
+        for cell, lvl in cf:
+            ch = children(cell, lvl, res)
+            assert not (back & ch)
+            back |= ch
+        assert back == cells
+
+    prop()
