@@ -2687,6 +2687,138 @@ def q_word_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster map algebra: 3x3 focal sum/max over the world-points count
+    raster (the smoothing/hot-spot-dilation pass GDAL focal stats and
+    xarray ``rolling`` run after a burn). Sparse-pixel plan: one bounded
+    explode (fan-out 9) + one (row, col) group-by — never a dense
+    canvas materialization, so the same plan holds on a 10^12-page
+    world raster partitioned by pixel key."""
+    from zen3geo_spark.operators.raster_algebra import focal_stats
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.col("value").cast("long").alias("value"))
+    return focal_stats(img, width=360, height=180, radius=1)
+
+
+def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scattered-point -> grid IDW interpolation (coverage-surface
+    estimation from the extracted page points), INTEGER-exact: weights
+    are ``scale div (d2+1)`` bigints accumulated per res-5 cell center
+    over the bounded 3x3 candidate ring (equi-join on the exploded ring
+    key — the kNN/grid-DBSCAN candidate discipline, never a distance
+    cross-join). Output is the exact (wsum, wvsum) accumulator pair;
+    the estimate is wvsum/wsum caller-side."""
+    from zen3geo_spark.operators.raster_algebra import idw_accumulate
+
+    pts = _points_df(spark).select(
+        "lat_us", "lon_us", (F.col("point_id") % 10).alias("v"))
+    return idw_accumulate(pts, res=5, value_col="v", scale=10 ** 15)
+
+
+def q_geocode_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer geocoding of coordinate-less pages: per-host page
+    counts joined against a GeoNames-style toponym dimension (broadcast
+    — it is dimension-sized at any corpus scale), AMBIGUOUS names
+    (several gazetteer rows per name) resolved by max population with a
+    deterministic gaz_id tie-break; located hosts are cell-encoded at
+    res 4. The text/metadata-geolocation path of the north rule for the
+    ~2/7 of pages the tag extractor cannot locate."""
+    from zen3geo_spark.sources.gazetteer import synth_gazetteer
+
+    pages = synth_pages(spark, N_PAGES)
+    hosts = (pages.select(F.expr(URL_HOST_SQL).alias("host"))
+             .groupBy("host").agg(F.count("*").alias("n_pages")))
+    gaz = synth_gazetteer(spark)
+    wname = Window.partitionBy("name")
+    wbest = wname.orderBy(F.col("population").desc(), F.col("gaz_id").asc())
+    best = (gaz.withColumn("rk", F.row_number().over(wbest))
+            .withColumn("n_candidates", F.count("*").over(wname))
+            .filter(F.col("rk") == 1))
+    j = hosts.join(F.broadcast(best), hosts.host == best.name)
+    return j.select(
+        "host", "n_pages", "n_candidates", "lat_us", "lon_us",
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 4).alias("cell"))
+
+
+def q_cell_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell crawl-volume TREND: OLS slope of 5-minute-epoch page
+    counts per res-2 cell, kept as the exact bigint (numerator,
+    denominator) pair (n*Sxy - Sx*Sy, n*Sxx - Sx*Sx) — the
+    growing/shrinking-coverage screen that complements cell_anomaly's
+    point outliers. Epochs are rebased to the crawl start so the
+    moment sums stay far from bigint range at any corpus size."""
+    pages = synth_pages(spark, N_PAGES)
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = (pages.select("warc_ts", lat_s.alias("lat_str"),
+                        lon_s.alias("lon_str"))
+           .filter(F.col("lat_str") != "")
+           .select(F.expr("unix_timestamp(warc_ts) div 300 - 5680224")
+                   .alias("t"),
+                   cell_encode(micro_from_str(F.col("lat_str")),
+                               micro_from_str(F.col("lon_str")), 2)
+                   .alias("cell")))
+    cnts = pts.groupBy("cell", "t").agg(F.count("*").alias("y"))
+    n, st, sy = F.count("*"), F.sum("t"), F.sum("y")
+    sxy = F.sum(F.col("t") * F.col("y"))
+    sxx = F.sum(F.col("t") * F.col("t"))
+    return cnts.groupBy("cell").agg(
+        n.alias("n_epochs"), sy.alias("sum_y"),
+        (n * sxy - st * sy).alias("slope_num"),
+        (n * sxx - st * st).alias("slope_den"))
+
+
+def q_simplify_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host trajectory simplification: one Visvalingam–Whyatt sweep
+    over each host's geotag track (ordered by page id), integer-exact
+    doubled-triangle-area test — endpoints kept, interior vertices kept
+    iff area2 >= 5e15 µdeg². The polyline thinning pass that runs before
+    trajectory_cover / map rendering; one (host, pid) window, the same
+    shuffle every per-host rollup pays."""
+    from zen3geo_spark.operators.simplify import simplify_sweep
+
+    pages = synth_pages(spark, N_PAGES).select(
+        F.expr(URL_HOST_SQL).alias("host"),
+        F.expr(URL_PID_SQL).alias("pid"), "text")
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = (pages.select("host", "pid", lat_s.alias("lat_str"),
+                        lon_s.alias("lon_str"))
+           .filter(F.col("lat_str") != "")
+           .select("host", "pid",
+                   micro_from_str(F.col("lon_str")).alias("x_us"),
+                   micro_from_str(F.col("lat_str")).alias("y_us")))
+    return simplify_sweep(pts, key="host", seq="pid", x="x_us", y="y_us",
+                          min_area2=5 * 10 ** 15)
+
+
+def q_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle overlay join (PBSM): intersection areas between the
+    even-id pages' ±1.5° viewport rects and the odd-id pages' ±1.0°
+    rects — grid-blocked equi-join with reference-point dedup (a
+    filter, not a distinct), exact µdeg² bigint areas. The oracle is
+    the DIRECT theta join, so a hash match proves the blocked
+    decomposition exact."""
+    from zen3geo_spark.operators.overlay import rect_overlay_join
+
+    pts = _points_df(spark)
+
+    def rects(df, parity, half, pfx):
+        return df.filter(F.col("point_id") % 2 == parity).select(
+            F.col("point_id").alias(f"{pfx}_id"),
+            F.greatest(F.col("lon_us") - half, F.lit(-180_000_000))
+            .alias(f"{pfx}x1"),
+            F.greatest(F.col("lat_us") - half, F.lit(-90_000_000))
+            .alias(f"{pfx}y1"),
+            F.least(F.col("lon_us") + half, F.lit(180_000_000))
+            .alias(f"{pfx}x2"),
+            F.least(F.col("lat_us") + half, F.lit(90_000_000))
+            .alias(f"{pfx}y2"))
+
+    a = rects(pts, 0, 1_500_000, "a")
+    b = rects(pts, 1, 1_000_000, "b")
+    return rect_overlay_join(a, b, res=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → extract → cell-encode → PIP join → per-polygon
     counts joined with world-tile counts (sf0.001-scale shapes)."""
@@ -2713,6 +2845,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
+        # --- newest: raster map algebra + IDW + geocoding + trends ---
+        "simplify_track": q_simplify_track,
+        "rect_overlay": q_rect_overlay,
+        "focal_stats": q_focal_stats,
+        "idw_grid": q_idw_grid,
+        "geocode_gazetteer": q_geocode_gazetteer,
+        "cell_trend": q_cell_trend,
         # --- new this session: cell-set algebra + grid clustering ---
         "compact_cells": q_compact_cells,
         "compact_roundtrip": q_compact_roundtrip,
@@ -4582,6 +4721,105 @@ from g5 group by 1
     from mad
     """
 
+    # focal map algebra: the world-points raster as INTEGER pixels, then
+    # the shared engine-neutral focal twin over it
+    from zen3geo_spark.operators.raster_algebra import (
+        focal_stats_sql, idw_accumulate_sql)
+    _world_px_int = f"""
+    {_points_cte()}
+    , binned as (
+      select least(cast(floor((lon_us / 1000000.0 - (-180.0))
+                              / (180.0 - (-180.0)) * 360) as int), 359) as col0,
+             least(cast(floor((lat_us / 1000000.0 - (-90.0))
+                              / (90.0 - (-90.0)) * 180) as int), 179) as yi
+      from pts
+    )
+    select (180 - 1 - yi)::int as row, col0::int as col,
+           count(*)::bigint as value
+    from binned group by yi, col0
+    """
+    focal_stats_sql_q = focal_stats_sql(
+        _world_px_int, width=360, height=180, radius=1)
+
+    idw_grid_sql_q = idw_accumulate_sql(
+        f"{_points_cte()} select lat_us, lon_us, point_id % 10 as v from pts",
+        res=5, value_col="v", scale=10 ** 15)
+
+    from zen3geo_spark.sources.gazetteer import gazetteer_cte_sql
+    _gz_cell4 = cell_id_sql("b.lat_us", "b.lon_us", 4, "duckdb")
+    geocode_gazetteer_sql_q = f"""
+    with gaz as ({gazetteer_cte_sql()}),
+    best as (
+      select name, lat_us, lon_us,
+             row_number() over (partition by name
+                                order by population desc, gaz_id asc) as rk,
+             count(*) over (partition by name) as n_candidates
+      from gaz
+    ),
+    pages as ({pages_cte_sql(N_PAGES)}),
+    hosts as (
+      select regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+             count(*) as n_pages
+      from pages group by 1
+    )
+    select h.host, h.n_pages, b.n_candidates, b.lat_us, b.lon_us,
+           {_gz_cell4} as cell
+    from hosts h join best b on h.host = b.name and b.rk = 1
+    """
+
+    cell_trend_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tagged as (
+      select warc_ts,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pt as (
+      select epoch(warc_ts)::bigint // 300 - 5680224 as t,
+             {_ca_cell2.replace('lat_us', _ca_lat).replace('lon_us', _ca_lon)} as cell
+      from tagged where lat_str <> ''
+    ),
+    cnts as (select cell, t, count(*) as y from pt group by 1, 2)
+    select cell, count(*) as n_epochs, cast(sum(y) as bigint) as sum_y,
+           cast(count(*) * sum(t * y) - sum(t) * sum(y) as bigint) as slope_num,
+           cast(count(*) * sum(t * t) - sum(t) * sum(t) as bigint) as slope_den
+    from cnts group by cell
+    """
+
+    from zen3geo_spark.operators.simplify import simplify_sweep_sql
+    from zen3geo_spark.operators.overlay import rect_overlay_sql
+    _tracks_sql = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tagged as (
+      select regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+             cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as pid,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    )
+    select host, pid,
+           {micro_from_str_sql('lon_str', 'duckdb')} as x_us,
+           {micro_from_str_sql('lat_str', 'duckdb')} as y_us
+    from tagged where lat_str <> ''
+    """
+    simplify_track_sql_q = simplify_sweep_sql(
+        _tracks_sql, key="host", seq="pid", x="x_us", y="y_us",
+        min_area2=5 * 10 ** 15)
+
+    def _rects_sql(parity: int, half: int, pfx: str) -> str:
+        return f"""
+        {_points_cte()}
+        select point_id as {pfx}_id,
+               greatest(lon_us - {half}, -180000000) as {pfx}x1,
+               greatest(lat_us - {half}, -90000000) as {pfx}y1,
+               least(lon_us + {half}, 180000000) as {pfx}x2,
+               least(lat_us + {half}, 90000000) as {pfx}y2
+        from pts where point_id % 2 = {parity}
+        """
+    rect_overlay_sql_q = rect_overlay_sql(
+        _rects_sql(0, 1_500_000, "a"), _rects_sql(1, 1_000_000, "b"))
+
     _sp_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
     snapshot_prune_sql_q = f"""
     {_points_cte()}
@@ -4944,6 +5182,12 @@ from g5 group by 1
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "simplify_track": simplify_track_sql_q,
+        "rect_overlay": rect_overlay_sql_q,
+        "focal_stats": focal_stats_sql_q,
+        "idw_grid": idw_grid_sql_q,
+        "geocode_gazetteer": geocode_gazetteer_sql_q,
+        "cell_trend": cell_trend_sql_q,
         "recrawl_cadence": recrawl_cadence_sql,
         "geo_backfill": geo_backfill_sql,
         "pii_redact": pii_redact_sql,

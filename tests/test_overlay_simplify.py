@@ -1,0 +1,111 @@
+"""Rect-overlay PBSM join + Visvalingam one-sweep simplification."""
+
+from pyspark.sql import functions as F
+
+from zen3geo_spark.operators.overlay import rect_overlay_join
+from zen3geo_spark.operators.simplify import simplify_sweep
+
+RECT_SCHEMA_A = "a_id long, ax1 long, ay1 long, ax2 long, ay2 long"
+RECT_SCHEMA_B = "b_id long, bx1 long, by1 long, bx2 long, by2 long"
+
+
+def _overlay(spark, a_rows, b_rows, res=5):
+    a = spark.createDataFrame(a_rows, RECT_SCHEMA_A)
+    b = spark.createDataFrame(b_rows, RECT_SCHEMA_B)
+    return {(r.a_id, r.b_id): r.inter_area
+            for r in rect_overlay_join(a, b, res=res).collect()}
+
+
+def test_overlay_area_exact(spark):
+    # 2x3 deg overlap => 2e6 * 3e6 = 6e12 udeg^2
+    out = _overlay(
+        spark,
+        [(1, 0, 0, 5_000_000, 5_000_000)],
+        [(7, 3_000_000, 2_000_000, 9_000_000, 9_000_000)])
+    assert out == {(1, 7): 6_000_000_000_000}
+
+
+def test_overlay_edge_touch_excluded(spark):
+    # sharing only the x=5e6 edge: zero width => no pair
+    out = _overlay(
+        spark,
+        [(1, 0, 0, 5_000_000, 5_000_000)],
+        [(7, 5_000_000, 0, 9_000_000, 5_000_000)])
+    assert out == {}
+
+
+def test_overlay_dedup_multi_cell_pair(spark):
+    """Two big rects overlapping across MANY grid cells still emit the
+    pair exactly once (reference-point rule), with the exact area."""
+    out = _overlay(
+        spark,
+        [(1, -40_000_000, -40_000_000, 40_000_000, 40_000_000)],
+        [(7, -10_000_000, -20_000_000, 50_000_000, 30_000_000)],
+        res=5)
+    assert out == {(1, 7): 50_000_000 * 50_000_000}
+
+
+def test_overlay_matches_theta_join(spark):
+    """Blocked equi-join == brute-force theta join on a deterministic
+    rect cloud (the exactness contract the oracle also pins)."""
+    a_rows = [(i,
+               (i * 7_919_123) % 300_000_000 - 150_000_000,
+               (i * 104_729) % 140_000_000 - 70_000_000,
+               (i * 7_919_123) % 300_000_000 - 150_000_000 + 4_000_000,
+               (i * 104_729) % 140_000_000 - 70_000_000 + 3_000_000)
+              for i in range(80)]
+    b_rows = [(i,
+               (i * 6_700_417) % 300_000_000 - 148_000_000,
+               (i * 65_537) % 140_000_000 - 68_000_000,
+               (i * 6_700_417) % 300_000_000 - 148_000_000 + 2_500_000,
+               (i * 65_537) % 140_000_000 - 68_000_000 + 5_000_000)
+              for i in range(80)]
+    got = _overlay(spark, a_rows, b_rows, res=5)
+    brute = {}
+    for aid, ax1, ay1, ax2, ay2 in a_rows:
+        for bid, bx1, by1, bx2, by2 in b_rows:
+            w = min(ax2, bx2) - max(ax1, bx1)
+            h = min(ay2, by2) - max(ay1, by1)
+            if w > 0 and h > 0:
+                brute[(aid, bid)] = w * h
+    assert got == brute
+
+
+TRACK_SCHEMA = "k string, s long, x long, y long"
+
+
+def test_simplify_collinear_dropped_endpoints_kept(spark):
+    rows = [("t", 0, 0, 0), ("t", 1, 1_000_000, 0), ("t", 2, 2_000_000, 0),
+            ("t", 3, 2_000_000, 9_000_000)]
+    out = simplify_sweep(
+        spark.createDataFrame(rows, TRACK_SCHEMA),
+        key="k", seq="s", x="x", y="y", min_area2=1)
+    kept = sorted(r.s for r in out.collect())
+    # s=1 collinear (area2=0) dropped; s=2 is a real corner; ends kept
+    assert kept == [0, 2, 3]
+
+
+def test_simplify_area2_exact_and_threshold(spark):
+    # triangle (0,0),(2e6,2e6),(4e6,0): doubled area of middle vertex
+    # = |2e6*(-0) - 4e6*2e6 ... | = 8e12
+    rows = [("t", 0, 0, 0), ("t", 1, 2_000_000, 2_000_000),
+            ("t", 2, 4_000_000, 0)]
+    df = spark.createDataFrame(rows, TRACK_SCHEMA)
+    keep = simplify_sweep(df, "k", "s", "x", "y",
+                          min_area2=8_000_000_000_000).collect()
+    drop = simplify_sweep(df, "k", "s", "x", "y",
+                          min_area2=8_000_000_000_001).collect()
+    mid = [r for r in keep if r.s == 1]
+    assert len(mid) == 1 and mid[0].area2 == 8_000_000_000_000
+    assert sorted(r.s for r in drop) == [0, 2]
+
+
+def test_simplify_per_key_isolation(spark):
+    """Windows never leak across keys: each 2-point track keeps both
+    endpoints even when interleaved with another key's vertices."""
+    rows = [("a", 0, 0, 0), ("b", 0, 9, 9), ("a", 1, 5, 5), ("b", 1, 1, 1)]
+    out = simplify_sweep(
+        spark.createDataFrame(rows, TRACK_SCHEMA),
+        key="k", seq="s", x="x", y="y", min_area2=10 ** 18)
+    assert sorted((r.k, r.s) for r in out.collect()) == [
+        ("a", 0), ("a", 1), ("b", 0), ("b", 1)]

@@ -1,0 +1,144 @@
+"""Focal map algebra + integer-exact IDW + gazetteer geocoding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zen3geo_spark.functions.geo import cell_encode
+from zen3geo_spark.operators.raster_algebra import (
+    focal_stats,
+    idw_accumulate,
+)
+from zen3geo_spark.sources.gazetteer import (
+    GAZETTEER_N,
+    GAZETTEER_NAMES,
+    synth_gazetteer,
+)
+
+
+def test_focal_single_pixel_corner(spark):
+    """One pixel at the (0,0) corner dilates to its 4 in-bounds
+    neighbors; window sizes are 4/6/9 by corner/edge/interior."""
+    px = spark.createDataFrame([(0, 0, 5)], "row int, col int, value long")
+    out = {(r.row, r.col): r for r in
+           focal_stats(px, width=10, height=10).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    for k, r in out.items():
+        assert r.focal_sum == 5 and r.focal_max == 5 and r.n_present == 1
+    assert out[(0, 0)].n_window == 4
+    assert out[(0, 1)].n_window == 6
+    assert out[(1, 0)].n_window == 6
+    assert out[(1, 1)].n_window == 9
+
+
+def test_focal_sum_max_interior(spark):
+    """3x3 block of distinct values: center focal_sum is the full block
+    sum, focal_max the block max, n_present 9."""
+    rows = [(r + 5, c + 5, r * 3 + c + 1) for r in range(3) for c in range(3)]
+    px = spark.createDataFrame(rows, "row int, col int, value long")
+    out = {(r.row, r.col): r for r in
+           focal_stats(px, width=20, height=20).collect()}
+    center = out[(6, 6)]
+    assert center.focal_sum == sum(v for _, _, v in rows) == 45
+    assert center.focal_max == 9
+    assert center.n_present == 9 and center.n_window == 9
+    # dilated support: 5x5 minus nothing (all within bounds)
+    assert len(out) == 25
+
+
+def test_focal_mass_conservation(spark):
+    """Every pixel contributes to exactly n_window outputs, so
+    sum(focal_sum) == sum(value) * 9 for an interior-only raster."""
+    rows = [(5 + r, 5 + c, (r * 7 + c * 13) % 11 + 1)
+            for r in range(4) for c in range(4)]
+    px = spark.createDataFrame(rows, "row int, col int, value long")
+    out = focal_stats(px, width=100, height=100)
+    total = out.agg(F.sum("focal_sum")).collect()[0][0]
+    assert total == sum(v for _, _, v in rows) * 9
+
+
+def test_focal_radius_validation(spark):
+    px = spark.createDataFrame([(0, 0, 1)], "row int, col int, value long")
+    with pytest.raises(ValueError, match="radius"):
+        focal_stats(px, width=10, height=10, radius=0)
+
+
+def test_idw_single_point_exact_weights(spark):
+    """One point: every ring target's (wsum, wvsum) is exactly
+    scale div (d2+1) recomputed in Python from the same closed forms."""
+    res, scale, v = 5, 10 ** 15, 7
+    lat_us, lon_us = 1_234_567, -55_000_111
+    pts = spark.createDataFrame(
+        [(lat_us, lon_us, v)], "lat_us long, lon_us long, v long")
+    out = idw_accumulate(pts, res=res, value_col="v", scale=scale).collect()
+    n, base = 1 << res, 1 << (2 * res)
+    # python twin of cell_encode + ring + center + weight
+    iy = (lat_us + 90_000_000) * n // 180000001
+    ix = (lon_us + 180_000_000) * n // 360000001
+    expected = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny = min(n - 1, max(0, iy + dy))
+            nx = (ix + dx + n) % n
+            cell = base + ny * n + nx
+            lat_c = (2 * ny + 1) * 180000001 // (2 * n) - 90_000_000
+            lon_c = (2 * nx + 1) * 360000001 // (2 * n) - 180_000_000
+            d2 = (lat_us - lat_c) ** 2 + (lon_us - lon_c) ** 2
+            expected[cell] = (lat_c, lon_c, scale // (d2 + 1))
+    assert {r.cell for r in out} == set(expected)
+    for r in out:
+        lat_c, lon_c, w = expected[r.cell]
+        assert (r.lat_c_us, r.lon_c_us) == (lat_c, lon_c)
+        assert r.n_pts == 1 and r.wsum == w and r.wvsum == w * v
+
+
+def test_idw_nearest_cell_dominates(spark):
+    """The point's own cell center gets the largest weight of its ring."""
+    pts = spark.createDataFrame(
+        [(10_000_000, 20_000_000, 3)], "lat_us long, lon_us long, v long")
+    out = idw_accumulate(pts, res=5, value_col="v").collect()
+    own = cell_encode(F.lit(10_000_000), F.lit(20_000_000), 5)
+    own_cell = spark.range(1).select(own.alias("c")).collect()[0].c
+    best = max(out, key=lambda r: r.wsum)
+    assert best.cell == own_cell
+
+
+def test_idw_accumulators_additive(spark):
+    """Two points accumulate exactly the sum of their single-point
+    runs (bigint accumulation has no order hazard)."""
+    p1 = (5_000_000, 6_000_000, 2)
+    p2 = (5_100_000, 6_100_000, 9)
+    df1 = spark.createDataFrame([p1], "lat_us long, lon_us long, v long")
+    df2 = spark.createDataFrame([p2], "lat_us long, lon_us long, v long")
+    both = spark.createDataFrame([p1, p2], "lat_us long, lon_us long, v long")
+    single = {}
+    for df in (df1, df2):
+        for r in idw_accumulate(df, res=5, value_col="v").collect():
+            k = r.cell
+            acc = single.setdefault(k, [0, 0, 0])
+            acc[0] += r.n_pts
+            acc[1] += r.wsum
+            acc[2] += r.wvsum
+    merged = {r.cell: (r.n_pts, r.wsum, r.wvsum)
+              for r in idw_accumulate(both, res=5, value_col="v").collect()}
+    assert merged == {k: tuple(v) for k, v in single.items()}
+
+
+def test_gazetteer_deterministic_and_ambiguous(spark):
+    rows = synth_gazetteer(spark).collect()
+    assert len(rows) == GAZETTEER_N
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r.name, []).append(r)
+        assert -90_000_000 <= r.lat_us <= 90_000_000
+        assert -180_000_000 <= r.lon_us <= 180_000_000
+        assert 0 <= r.population < 1_000_000
+    assert len(by_name) == GAZETTEER_NAMES
+    # names collide mod 700 over 1500 rows: 100 names x3, 600 x2
+    sizes = sorted(len(v) for v in by_name.values())
+    assert sizes[0] == 2 and sizes[-1] == 3
+    # python twin of the LCG — determinism across engines/runs
+    r0 = next(r for r in rows if r.gaz_id == 0)
+    st = (0 * 48271 + 13) % 2147483647
+    st2 = (st * 48271 + 29) % 2147483647
+    assert r0.lat_us == st % 180000001 - 90_000_000
+    assert r0.lon_us == st2 % 360000001 - 180_000_000

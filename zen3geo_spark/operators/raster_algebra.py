@@ -1,0 +1,214 @@
+"""Raster map algebra over sparse pixel tables: focal (neighborhood)
+statistics and inverse-distance-weighted (IDW) grid interpolation.
+
+The reference's raster side stops at rasterize/mosaic/chip (zen3geo
+datapipes/datashader.py, stackstac.py); production raster pipelines
+additionally run MAP ALGEBRA over the burned grids — focal means for
+smoothing/hot-spot dilation (GDAL focal stats, xarray ``rolling``), and
+scattered-point → grid interpolation (IDW) for coverage surfaces. Both
+re-express as bounded-fan-out DataFrame plans over the SPARSE pixel
+representation (only non-empty pixels are rows — the only representation
+that exists at a 10^12-page world canvas):
+
+* ``focal_stats``: each pixel contributes to its (2r+1)^2 neighborhood →
+  one explode (fan-out ≤ 9 for r=1) + one (row, col) group-by. No dense
+  materialization, no window over a global sort; shuffle key is the
+  pixel coordinate, so the plan partitions spatially and scales linearly
+  in the number of NON-EMPTY pixels. Output includes empty pixels that
+  gain a value from a neighbor (the dilation of the support) — map
+  algebra with implicit-zero semantics, with ``n_present`` (non-empty
+  contributors) vs ``n_window`` (in-bounds window size) distinguishing
+  "sparse mean" from "dense mean" downstream.
+
+* ``idw_accumulate``: truncated-support IDW at grid-CELL centers from
+  scattered micro-degree points. Candidates come from the 3x3 cell ring
+  (the same bounded ring as kNN/grid-DBSCAN — an equi-join on an
+  exploded ring key, never a distance cross-join). Weights are INTEGER:
+  ``w = scale div (d2 + 1)`` with ``d2`` the squared planar
+  micro-degree distance — so the accumulated ``(wsum, wvsum)`` pair is
+  exact bigint arithmetic, bit-identical across engines (the caller
+  divides for the estimate; no FP summation-order hazard in the gate).
+
+Both carry engine-neutral SQL twins so the DuckDB oracle shares the
+exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from zen3geo_spark.functions.geo import (
+    cell_encode,
+    cell_id_sql,
+    cell_neighbors,
+)
+
+_DIV = {"spark": " div ", "duckdb": " // "}
+
+
+# ---------------------------------------------------------------------------
+# focal statistics
+# ---------------------------------------------------------------------------
+
+def focal_stats(pixels: DataFrame, width: int, height: int,
+                radius: int = 1) -> DataFrame:
+    """Neighborhood sum/max over a sparse integer raster.
+
+    ``pixels``: (row int, col int, value bigint) — non-empty pixels only.
+    Returns (row, col, focal_sum, focal_max, n_present, n_window) for
+    every in-bounds pixel whose (2r+1)^2 window contains at least one
+    non-empty pixel. Edges clamp: ``n_window`` is the count of in-bounds
+    window positions (9 interior, 6 edge, 4 corner for r=1).
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    offs = F.expr(
+        f"flatten(transform(sequence({-radius}, {radius}), "
+        f"dr -> transform(sequence({-radius}, {radius}), "
+        f"dc -> struct(dr as dr, dc as dc))))")
+    nb = (pixels
+          .select("row", "col", "value", F.explode(offs).alias("o"))
+          .select((F.col("row") + F.col("o.dr")).alias("row"),
+                  (F.col("col") + F.col("o.dc")).alias("col"),
+                  "value")
+          .filter((F.col("row") >= 0) & (F.col("row") < height)
+                  & (F.col("col") >= 0) & (F.col("col") < width)))
+    r = F.lit(radius)
+    n_rows = (F.least(F.col("row") + r, F.lit(height - 1))
+              - F.greatest(F.col("row") - r, F.lit(0)) + 1)
+    n_cols = (F.least(F.col("col") + r, F.lit(width - 1))
+              - F.greatest(F.col("col") - r, F.lit(0)) + 1)
+    return (nb.groupBy("row", "col")
+            .agg(F.sum("value").alias("focal_sum"),
+                 F.max("value").alias("focal_max"),
+                 F.count("*").alias("n_present"))
+            .withColumn("n_window", (n_rows * n_cols).cast("long")))
+
+
+def focal_stats_sql(pixels_sql: str, width: int, height: int,
+                    radius: int = 1) -> str:
+    """Engine-neutral SQL twin of :func:`focal_stats`. ``pixels_sql``
+    must be a complete SELECT yielding (row, col, value)."""
+    ds = ",".join(f"({d})" for d in range(-radius, radius + 1))
+    return f"""
+    with _px as ({pixels_sql}),
+    _nb as (
+      select _px.row + o1.d as row, _px.col + o2.d as col, _px.value as value
+      from _px, (values {ds}) o1(d), (values {ds}) o2(d)
+    )
+    select row, col,
+           sum(value) as focal_sum,
+           max(value) as focal_max,
+           count(*) as n_present,
+           cast((least(row + {radius}, {height - 1})
+                 - greatest(row - {radius}, 0) + 1)
+                * (least(col + {radius}, {width - 1})
+                   - greatest(col - {radius}, 0) + 1) as bigint) as n_window
+    from _nb
+    where row >= 0 and row < {height} and col >= 0 and col < {width}
+    group by row, col
+    """
+
+
+# ---------------------------------------------------------------------------
+# IDW grid interpolation (integer-exact accumulation)
+# ---------------------------------------------------------------------------
+
+def cell_center_us_sql(cell: str, res: int, engine: str) -> tuple[str, str]:
+    """(lat_us, lon_us) of the cell's center, closed-form bigint math
+    (midpoint of the cell's index interval under the encode's scaling)."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    d = _DIV[engine]
+    iy = f"((({cell}) - {base}){d}{n})"
+    ix = f"((({cell}) - {base}) - {iy} * {n})"
+    lat = f"(((2 * {iy} + 1) * 180000001){d}{2 * n} - 90000000)"
+    lon = f"(((2 * {ix} + 1) * 360000001){d}{2 * n} - 180000000)"
+    return lat, lon
+
+
+def idw_accumulate(points: DataFrame, res: int, value_col: str,
+                   scale: int = 10 ** 15) -> DataFrame:
+    """Truncated-support IDW accumulation at grid-cell centers.
+
+    ``points``: (lat_us bigint, lon_us bigint, <value_col> bigint).
+    Targets are every cell in the DILATED support (occupied cells plus
+    their 3x3 ring); candidates for a target are the points in the
+    target's ring. Returns (cell, lat_c_us, lon_c_us, n_pts, wsum,
+    wvsum) with ``w = scale div (d2 + 1)`` — all bigint-exact; the IDW
+    estimate is ``wvsum / wsum`` (caller-side division).
+
+    Keep ``scale * max(value)`` times the per-ring candidate count well
+    under 2^63: with scale=1e15 and values <= 9 the plan is safe for
+    ~900 candidates per ring; larger fan-ins need a smaller scale.
+    """
+    pts = points.withColumn(
+        "_pcell", cell_encode(F.col("lat_us"), F.col("lon_us"), res))
+    # each point registers under every ring cell => equi-join key is the
+    # TARGET cell id; per-target fan-in is bounded by ring occupancy
+    cand = pts.select(
+        F.explode(cell_neighbors(F.col("_pcell"), res)).alias("cell"),
+        "lat_us", "lon_us", F.col(value_col).alias("_v"))
+    n = 1 << res
+    base = 1 << (2 * res)
+    cand = (cand
+            .withColumn("lat_c_us", F.expr(
+                f"((2 * ((cell - {base}) div {n}) + 1) * 180000001) "
+                f"div {2 * n} - 90000000"))
+            .withColumn("lon_c_us", F.expr(
+                f"((2 * ((cell - {base}) - ((cell - {base}) div {n}) * {n}) + 1)"
+                f" * 360000001) div {2 * n} - 180000000")))
+    d2 = ((F.col("lat_us") - F.col("lat_c_us"))
+          * (F.col("lat_us") - F.col("lat_c_us"))
+          + (F.col("lon_us") - F.col("lon_c_us"))
+          * (F.col("lon_us") - F.col("lon_c_us")))
+    w = F.expr(f"{scale} div (_d2 + 1)")
+    return (cand.withColumn("_d2", d2.cast("long"))
+            .withColumn("_w", w)
+            .groupBy("cell", "lat_c_us", "lon_c_us")
+            .agg(F.count("*").alias("n_pts"),
+                 F.sum("_w").alias("wsum"),
+                 F.sum(F.col("_w") * F.col("_v")).alias("wvsum")))
+
+
+def idw_accumulate_sql(points_sql: str, res: int, value_col: str,
+                       scale: int = 10 ** 15) -> str:
+    """DuckDB twin of :func:`idw_accumulate`. ``points_sql`` must yield
+    (lat_us, lon_us, <value_col>). The ring join is expressed as the
+    same clamp-lat / wrap-lon adjacency predicate the Spark side's
+    exploded ``cell_neighbors`` produces."""
+    n = 1 << res
+    base = 1 << (2 * res)
+    pcell = cell_id_sql("p.lat_us", "p.lon_us", res, "duckdb")
+    return f"""
+    with _p as ({points_sql}),
+    _pc as (select *, {cell_id_sql('lat_us', 'lon_us', res, 'duckdb')} as pcell
+            from _p),
+    _grid as (select {base} + g.range as cell from range({n * n}) g),
+    _cand as (
+      select t.cell, p.lat_us, p.lon_us, p.{value_col} as _v
+      from _grid t join _pc p
+        on abs(((t.cell - {base}) // {n}) - ((p.pcell - {base}) // {n})) <= 1
+       and (abs(((t.cell - {base}) % {n}) - ((p.pcell - {base}) % {n})) <= 1
+            or abs(((t.cell - {base}) % {n}) - ((p.pcell - {base}) % {n}))
+               = {n - 1})
+    ),
+    _ctr as (
+      select *,
+             ((2 * ((cell - {base}) // {n}) + 1) * 180000001)
+               // {2 * n} - 90000000 as lat_c_us,
+             ((2 * ((cell - {base}) - ((cell - {base}) // {n}) * {n}) + 1)
+               * 360000001) // {2 * n} - 180000000 as lon_c_us
+      from _cand
+    ),
+    _w as (
+      select cell, lat_c_us, lon_c_us, _v,
+             {scale} // ((lat_us - lat_c_us) * (lat_us - lat_c_us)
+                         + (lon_us - lon_c_us) * (lon_us - lon_c_us) + 1) as w
+      from _ctr
+    )
+    select cell, lat_c_us, lon_c_us,
+           count(*) as n_pts, sum(w) as wsum, sum(w * _v) as wvsum
+    from _w
+    group by cell, lat_c_us, lon_c_us
+    """
