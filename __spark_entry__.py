@@ -2819,6 +2819,89 @@ def q_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rect_overlay_join(a, b, res=5)
 
 
+def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM-style slope/aspect map algebra over the world-points count
+    raster: central-difference gradient (gx, gy) via a fan-out-4
+    scatter + group-by (sparse, never a dense canvas or 4-way
+    self-join) and an integer aspect-octant classification — no atan2,
+    so the output is hash-exact."""
+    from zen3geo_spark.operators.raster_algebra import slope_aspect
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.col("value").cast("long").alias("value"))
+    return slope_aspect(img, width=360, height=180)
+
+
+N_SEGMENTS = 400
+
+
+def _segment_col_exprs() -> dict[str, str]:
+    """Engine-neutral reference-segment columns over bigint ``id``
+    (seg_id, x1, y1, x2, y2): LCG endpoints with extent <= ~1.4e6 udeg
+    so every segment spans O(1) res-6 cells (map_match's registration
+    contract)."""
+    s1 = "((id * 48271 + 101) % 2147483647)"
+    s2 = f"(({s1} * 48271 + 211) % 2147483647)"
+    s3 = f"(({s2} * 48271 + 307) % 2147483647)"
+    s4 = f"(({s3} * 48271 + 401) % 2147483647)"
+    x1 = f"({s1} % 360000001 - 180000000)"
+    y1 = f"({s2} % 180000001 - 90000000)"
+    return {
+        "seg_id": "id",
+        "x1": x1,
+        "y1": y1,
+        "x2": f"least(greatest({x1} + ({s3} % 2000001 - 1000000), "
+              f"-180000000), 180000000)",
+        "y2": f"least(greatest({y1} + ({s4} % 2000001 - 1000000), "
+              f"-90000000), 90000000)",
+    }
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: snap every extracted page point to its nearest
+    reference segment within the 3x3 ring at res 6 (two-sided cell
+    gate: segments register under their bbox cells, points probe their
+    ring — an equi-join, never an all-pairs distance join). The snap is
+    fixed-point integer arithmetic (T=64 projection, distance at T^2
+    scale with no division), so (t_scaled, d2) are hash-exact; the
+    oracle expresses the same gate as a direct range-overlap predicate,
+    proving the blocked decomposition exact."""
+    from zen3geo_spark.operators.map_match import map_match
+
+    pts = _points_df(spark)
+    segs = spark.range(N_SEGMENTS).selectExpr(
+        *[f"{e} as {k}" for k, e in _segment_col_exprs().items()])
+    return map_match(pts, segs, res=6)
+
+
+def q_link_geo_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotag label propagation over the link graph: coordinate-less
+    pages (the ~1/7 the extractor cannot locate) inherit the MAJORITY
+    res-3 cell of the tagged pages that link to them (one hop; count
+    desc, cell asc tie-break). Join shapes: links equi-join tagged
+    sources on page id, one (dst, cell) count, one bounded argmax
+    window — the web-graph sibling of geo_backfill's host-modal rule
+    and knn_classify's spatial vote."""
+    links = spark.range(N_PAGES).select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 2654435761) % N_PAGES).alias("dst"))
+    tagged = _points_df(spark).select(
+        F.col("point_id").alias("src"),
+        cell_encode(F.col("lat_us"), F.col("lon_us"), 3).alias("cell"))
+    votes = (links.join(tagged, "src")
+             .filter(F.col("dst") % 7 == 3)
+             .groupBy("dst", "cell").agg(F.count("*").alias("n_votes")))
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_votes").desc(), F.col("cell").asc())
+    tot = Window.partitionBy("dst")
+    return (votes
+            .withColumn("n_tagged_in", F.sum("n_votes").over(tot))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("dst").alias("page_id"), "cell",
+                    "n_votes", "n_tagged_in"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → extract → cell-encode → PIP join → per-polygon
     counts joined with world-tile counts (sf0.001-scale shapes)."""
@@ -2846,6 +2929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: raster map algebra + IDW + geocoding + trends ---
+        "map_match": q_map_match,
+        "slope_aspect": q_slope_aspect,
+        "link_geo_propagate": q_link_geo_propagate,
         "simplify_track": q_simplify_track,
         "rect_overlay": q_rect_overlay,
         "focal_stats": q_focal_stats,
@@ -4820,6 +4906,41 @@ from g5 group by 1
     rect_overlay_sql_q = rect_overlay_sql(
         _rects_sql(0, 1_500_000, "a"), _rects_sql(1, 1_000_000, "b"))
 
+    from zen3geo_spark.operators.raster_algebra import slope_aspect_sql
+    from zen3geo_spark.operators.map_match import map_match_sql
+    slope_aspect_sql_q = slope_aspect_sql(_world_px_int, width=360, height=180)
+
+    _seg_body = "select " + ", ".join(
+        f"{e} as {k}" for k, e in _segment_col_exprs().items()) + \
+        f" from (select g.range as id from range({N_SEGMENTS}) g)"
+    map_match_sql_q = map_match_sql(
+        f"{_points_cte()} select point_id, lat_us, lon_us from pts",
+        _seg_body, res=6)
+
+    _lp_cell3 = cell_id_sql("lat_us", "lon_us", 3, "duckdb")
+    link_geo_propagate_sql_q = f"""
+    {_points_cte()}
+    , links as (
+      select g.range as src, (g.range * 2654435761) % {N_PAGES} as dst
+      from range({N_PAGES}) g
+    ),
+    tsrc as (select point_id as src, {_lp_cell3} as cell from pts),
+    votes as (
+      select l.dst, t.cell, count(*) as n_votes
+      from links l join tsrc t on l.src = t.src
+      where l.dst % 7 = 3
+      group by 1, 2
+    )
+    select dst as page_id, cell, n_votes, n_tagged_in
+    from (select dst, cell, n_votes,
+                 cast(sum(n_votes) over (partition by dst) as bigint)
+                   as n_tagged_in,
+                 row_number() over (partition by dst
+                                    order by n_votes desc, cell asc) as rk
+          from votes)
+    where rk = 1
+    """
+
     _sp_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
     snapshot_prune_sql_q = f"""
     {_points_cte()}
@@ -5182,6 +5303,9 @@ from g5 group by 1
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "map_match": map_match_sql_q,
+        "slope_aspect": slope_aspect_sql_q,
+        "link_geo_propagate": link_geo_propagate_sql_q,
         "simplify_track": simplify_track_sql_q,
         "rect_overlay": rect_overlay_sql_q,
         "focal_stats": focal_stats_sql_q,

@@ -110,6 +110,87 @@ def focal_stats_sql(pixels_sql: str, width: int, height: int,
     """
 
 
+def slope_aspect(pixels: DataFrame, width: int, height: int) -> DataFrame:
+    """Central-difference gradient + aspect octant over a sparse integer
+    raster (the slope/aspect pass of DEM map algebra, implicit-zero
+    semantics).
+
+    ``gx = z(r, c+1) - z(r, c-1)``, ``gy = z(r+1, c) - z(r-1, c)``
+    (image rows grow downward, so gy is the southward difference).
+    Re-expressed sparsely: each pixel SCATTERS +v/-v to the four
+    targets whose gradient it enters (fan-out 4) and the group-by sums
+    — the same bounded-explode discipline as :func:`focal_stats`, no
+    dense materialization and no 4-way self-join. ``aspect_octant``
+    classifies the gradient direction 0..7 (E, NE, N, NW, W, SW, S,
+    SE) by integer sign and |gx| vs |gy| comparisons — no atan2, so
+    the value is hash-exact; flat cells (gx = gy = 0) get -1.
+    """
+    zero = F.lit(0).cast("long")
+    v = F.col("value").cast("long")
+    contribs = F.array(
+        F.struct(F.col("row").alias("tr"), (F.col("col") - 1).alias("tc"),
+                 v.alias("cx"), zero.alias("cy")),
+        F.struct(F.col("row").alias("tr"), (F.col("col") + 1).alias("tc"),
+                 (-v).alias("cx"), zero.alias("cy")),
+        F.struct((F.col("row") - 1).alias("tr"), F.col("col").alias("tc"),
+                 zero.alias("cx"), v.alias("cy")),
+        F.struct((F.col("row") + 1).alias("tr"), F.col("col").alias("tc"),
+                 zero.alias("cx"), (-v).alias("cy")),
+    )
+    sc = (pixels.select(F.explode(contribs).alias("s"))
+          .select(F.col("s.tr").alias("row"), F.col("s.tc").alias("col"),
+                  F.col("s.cx").alias("cx"), F.col("s.cy").alias("cy"))
+          .filter((F.col("row") >= 0) & (F.col("row") < height)
+                  & (F.col("col") >= 0) & (F.col("col") < width)))
+    g = (sc.groupBy("row", "col")
+         .agg(F.sum("cx").alias("gx"), F.sum("cy").alias("gy")))
+    ax, ay = F.abs(F.col("gx")), F.abs(F.col("gy"))
+    octant = (
+        F.when((F.col("gx") == 0) & (F.col("gy") == 0), F.lit(-1))
+        .when((F.col("gx") > 0) & (ax >= 2 * ay), F.lit(0))    # E
+        .when((F.col("gx") < 0) & (ax >= 2 * ay), F.lit(4))    # W
+        .when((F.col("gy") < 0) & (ay >= 2 * ax), F.lit(2))    # N
+        .when((F.col("gy") > 0) & (ay >= 2 * ax), F.lit(6))    # S
+        .when((F.col("gx") > 0) & (F.col("gy") < 0), F.lit(1))  # NE
+        .when((F.col("gx") < 0) & (F.col("gy") < 0), F.lit(3))  # NW
+        .when((F.col("gx") < 0) & (F.col("gy") > 0), F.lit(5))  # SW
+        .otherwise(F.lit(7)))                                    # SE
+    return g.select("row", "col", "gx", "gy",
+                    octant.cast("int").alias("aspect_octant"))
+
+
+def slope_aspect_sql(pixels_sql: str, width: int, height: int) -> str:
+    """Engine-neutral SQL twin of :func:`slope_aspect`."""
+    return f"""
+    with _px as ({pixels_sql}),
+    _sc as (
+      select _px.row + o.dr as row, _px.col + o.dc as col,
+             _px.value * o.wx as cx, _px.value * o.wy as cy
+      from _px, (values (0, -1, 1, 0), (0, 1, -1, 0),
+                        (-1, 0, 0, 1), (1, 0, 0, -1)) o(dr, dc, wx, wy)
+    ),
+    _g as (
+      select row, col, sum(cx) as gx, sum(cy) as gy
+      from _sc
+      where row >= 0 and row < {height} and col >= 0 and col < {width}
+      group by row, col
+    )
+    select row, col, gx, gy,
+           cast(case
+             when gx = 0 and gy = 0 then -1
+             when gx > 0 and abs(gx) >= 2 * abs(gy) then 0
+             when gx < 0 and abs(gx) >= 2 * abs(gy) then 4
+             when gy < 0 and abs(gy) >= 2 * abs(gx) then 2
+             when gy > 0 and abs(gy) >= 2 * abs(gx) then 6
+             when gx > 0 and gy < 0 then 1
+             when gx < 0 and gy < 0 then 3
+             when gx < 0 and gy > 0 then 5
+             else 7
+           end as int) as aspect_octant
+    from _g
+    """
+
+
 # ---------------------------------------------------------------------------
 # IDW grid interpolation (integer-exact accumulation)
 # ---------------------------------------------------------------------------
