@@ -2902,6 +2902,63 @@ def q_link_geo_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_votes", "n_tagged_in"))
 
 
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isoline extraction over the world-points count raster: every
+    4-adjacent pixel-pair crossing of the count threshold (marching-
+    squares edge test, implicit-zero semantics) — the raster→vector
+    step behind gdal_contour / heatmap outlines. Sparse fan-out-3
+    scatter + one group-by; integer values, hash-exact."""
+    from zen3geo_spark.operators.raster_algebra import contour_crossings
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.col("value").cast("long").alias("value"))
+    return contour_crossings(img, width=360, height=180, threshold=2)
+
+
+STAY_R2 = 10 ** 16  # squared planar run-continuity radius (~1e8 udeg)
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point / local-burst detection per crawl host: maximal runs
+    of consecutive geotagged pages whose hop distance stays within the
+    run radius (gaps-and-islands: break flag -> running-sum group id),
+    keeping runs of >= 3 pages with their exact integer centroid
+    (shift-before-divide keeps the floor division non-negative, so
+    Spark ``div`` and DuckDB ``//`` agree). The mobility-mining
+    primitive (stay points) applied to host geo-consistency runs."""
+    pages = synth_pages(spark, N_PAGES).select(
+        F.expr(URL_HOST_SQL).alias("host"),
+        F.expr(URL_PID_SQL).alias("pid"), "text")
+    lat_s, lon_s = extract_first_geotag(F.col("text"))
+    pts = (pages.select("host", "pid", lat_s.alias("lat_str"),
+                        lon_s.alias("lon_str"))
+           .filter(F.col("lat_str") != "")
+           .select("host", "pid",
+                   micro_from_str(F.col("lat_str")).alias("lat_us"),
+                   micro_from_str(F.col("lon_str")).alias("lon_us")))
+    w = Window.partitionBy("host").orderBy("pid")
+    dlat = F.col("lat_us") - F.lag("lat_us").over(w)
+    dlon = F.col("lon_us") - F.lag("lon_us").over(w)
+    brk = F.when(F.lag("lat_us").over(w).isNull()
+                 | (dlat * dlat + dlon * dlon > STAY_R2), 1).otherwise(0)
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (pts.withColumn("grp", grp)
+            .groupBy("host", "grp")
+            .agg(F.count("*").alias("n_pages"),
+                 F.min("pid").alias("first_pid"),
+                 F.max("pid").alias("last_pid"),
+                 F.sum("lat_us").alias("_slat"),
+                 F.sum("lon_us").alias("_slon")))
+    n = F.col("n_pages")
+    return (runs.filter(n >= 3)
+            .select("host", "first_pid", "last_pid", "n_pages",
+                    F.expr("(_slat + n_pages * 90000000) div n_pages"
+                           " - 90000000").alias("ctr_lat_us"),
+                    F.expr("(_slon + n_pages * 180000000) div n_pages"
+                           " - 180000000").alias("ctr_lon_us")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → extract → cell-encode → PIP join → per-polygon
     counts joined with world-tile counts (sf0.001-scale shapes)."""
@@ -2929,6 +2986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: raster map algebra + IDW + geocoding + trends ---
+        "contour": q_contour,
+        "stay_points": q_stay_points,
         "map_match": q_map_match,
         "slope_aspect": q_slope_aspect,
         "link_geo_propagate": q_link_geo_propagate,
@@ -4941,6 +5000,61 @@ from g5 group by 1
     where rk = 1
     """
 
+    from zen3geo_spark.operators.raster_algebra import contour_crossings_sql
+    contour_sql_q = contour_crossings_sql(
+        _world_px_int, width=360, height=180, threshold=2)
+
+    stay_points_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tagged as (
+      select regexp_extract(url, '^https?://([^/]+)/', 1) as host,
+             cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as pid,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 1) as lat_str,
+             regexp_extract(text, 'lat=(-?\\d+\\.\\d{{6}}) lon=(-?\\d+\\.\\d{{6}})', 2) as lon_str
+      from pages
+    ),
+    pt as (
+      select host, pid,
+             {micro_from_str_sql('lat_str', 'duckdb')} as lat_us,
+             {micro_from_str_sql('lon_str', 'duckdb')} as lon_us
+      from tagged where lat_str <> ''
+    ),
+    flagged as (
+      select host, pid, lat_us, lon_us,
+             case when lag(lat_us) over (partition by host order by pid)
+                    is null
+                  or (lat_us - lag(lat_us) over (partition by host
+                                                 order by pid))
+                     * (lat_us - lag(lat_us) over (partition by host
+                                                   order by pid))
+                   + (lon_us - lag(lon_us) over (partition by host
+                                                 order by pid))
+                     * (lon_us - lag(lon_us) over (partition by host
+                                                   order by pid))
+                     > {STAY_R2}
+                  then 1 else 0 end as brk
+      from pt
+    ),
+    grouped as (
+      select host, pid, lat_us, lon_us,
+             sum(brk) over (partition by host order by pid
+                            rows between unbounded preceding
+                            and current row) as grp
+      from flagged
+    ),
+    runs as (
+      select host, grp, count(*) as n_pages,
+             min(pid) as first_pid, max(pid) as last_pid,
+             cast(sum(lat_us) as bigint) as slat,
+             cast(sum(lon_us) as bigint) as slon
+      from grouped group by 1, 2
+    )
+    select host, first_pid, last_pid, n_pages,
+           (slat + n_pages * 90000000) // n_pages - 90000000 as ctr_lat_us,
+           (slon + n_pages * 180000000) // n_pages - 180000000 as ctr_lon_us
+    from runs where n_pages >= 3
+    """
+
     _sp_cell4 = cell_id_sql("lat_us", "lon_us", 4, "duckdb")
     snapshot_prune_sql_q = f"""
     {_points_cte()}
@@ -5303,6 +5417,8 @@ from g5 group by 1
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "contour": contour_sql_q,
+        "stay_points": stay_points_sql_q,
         "map_match": map_match_sql_q,
         "slope_aspect": slope_aspect_sql_q,
         "link_geo_propagate": link_geo_propagate_sql_q,

@@ -123,6 +123,44 @@ def test_idw_accumulators_additive(spark):
     assert merged == {k: tuple(v) for k, v in single.items()}
 
 
+def test_contour_lone_pixel_four_crossings(spark):
+    from zen3geo_spark.operators.raster_algebra import contour_crossings
+
+    px = spark.createDataFrame([(5, 5, 7)], "row int, col int, value long")
+    out = {(r.row, r.col, r.dir): (r.lo_value, r.hi_value)
+           for r in contour_crossings(px, 360, 180, threshold=2).collect()}
+    # the implicit-zero neighbors straddle the threshold on all 4 edges
+    assert out == {
+        (5, 4, "E"): (0, 7), (5, 5, "E"): (0, 7),
+        (4, 5, "S"): (0, 7), (5, 5, "S"): (0, 7),
+    }
+
+
+def test_contour_interior_no_crossing(spark):
+    from zen3geo_spark.operators.raster_algebra import contour_crossings
+
+    # a 2x2 plateau of 5s: crossings only on the outline, none between
+    # the equal-valued interior pairs
+    rows = [(r, c, 5) for r in (5, 6) for c in (5, 6)]
+    px = spark.createDataFrame(rows, "row int, col int, value long")
+    out = contour_crossings(px, 360, 180, threshold=3).collect()
+    inner = [r for r in out
+             if (r.row, r.col, r.dir) in
+             {(5, 5, "E"), (6, 5, "E"), (5, 5, "S"), (5, 6, "S")}]
+    assert inner == []
+    assert len(out) == 8  # the plateau's outline: 2 per side
+
+
+def test_contour_boundary_pixels_clip(spark):
+    from zen3geo_spark.operators.raster_algebra import contour_crossings
+
+    # pixel in the (0,0) corner: no W/N anchors exist, E/S pairs remain
+    px = spark.createDataFrame([(0, 0, 9)], "row int, col int, value long")
+    got = sorted((r.row, r.col, r.dir)
+                 for r in contour_crossings(px, 360, 180, 2).collect())
+    assert got == [(0, 0, "E"), (0, 0, "S")]
+
+
 def test_gazetteer_deterministic_and_ambiguous(spark):
     rows = synth_gazetteer(spark).collect()
     assert len(rows) == GAZETTEER_N

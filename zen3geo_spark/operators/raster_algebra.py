@@ -191,6 +191,99 @@ def slope_aspect_sql(pixels_sql: str, width: int, height: int) -> str:
     """
 
 
+def contour_crossings(pixels: DataFrame, width: int, height: int,
+                      threshold: int) -> DataFrame:
+    """Contour (isoline) crossing extraction over a sparse integer
+    raster — the marching-squares EDGE TEST (GDAL ``gdal_contour``'s
+    first stage) with implicit-zero semantics.
+
+    For every 4-adjacent pixel pair (east and south neighbors) whose
+    values STRADDLE the threshold (one < t, the other >= t), emit one
+    crossing: (row, col, dir, lo_value, hi_value) anchored at the pair's
+    first pixel, ``dir`` 'E' or 'S'. Missing pixels count as 0, so a
+    lone pixel >= t emits crossings against its empty neighbors —
+    exactly the contour a dense raster would draw around it.
+
+    Sparse plan: scatter each pixel to its own and its west/north
+    anchor slots (fan-out 3) and group — one shuffle on the anchor key,
+    never a dense canvas or a 2-way self-join per direction.
+    """
+    zero = F.lit(0).cast("long")
+    v = F.col("value").cast("long")
+    # slots: ('h', here) / ('e', east value seen from the west anchor)
+    # / ('s', south value seen from the north anchor)
+    slots = F.array(
+        F.struct(F.col("row").alias("ar"), F.col("col").alias("ac"),
+                 v.alias("h"), zero.alias("e"), zero.alias("s"),
+                 F.lit(1).alias("mh"), F.lit(0).alias("me"),
+                 F.lit(0).alias("ms")),
+        F.struct(F.col("row").alias("ar"), (F.col("col") - 1).alias("ac"),
+                 zero.alias("h"), v.alias("e"), zero.alias("s"),
+                 F.lit(0).alias("mh"), F.lit(1).alias("me"),
+                 F.lit(0).alias("ms")),
+        F.struct((F.col("row") - 1).alias("ar"), F.col("col").alias("ac"),
+                 zero.alias("h"), zero.alias("e"), v.alias("s"),
+                 F.lit(0).alias("mh"), F.lit(0).alias("me"),
+                 F.lit(1).alias("ms")),
+    )
+    g = (pixels.select(F.explode(slots).alias("x"))
+         .select("x.*")
+         .filter((F.col("ar") >= 0) & (F.col("ac") >= 0))
+         .groupBy("ar", "ac")
+         .agg(F.sum("h").alias("h"), F.sum("e").alias("e"),
+              F.sum("s").alias("s")))
+    t = F.lit(threshold)
+    here, east, south = F.col("h"), F.col("e"), F.col("s")
+    out_e = g.filter(
+        (F.col("ac") + 1 < width)
+        & (((here < t) & (east >= t)) | ((here >= t) & (east < t)))
+    ).select(F.col("ar").alias("row"), F.col("ac").alias("col"),
+             F.lit("E").alias("dir"),
+             F.least(here, east).alias("lo_value"),
+             F.greatest(here, east).alias("hi_value"))
+    out_s = g.filter(
+        (F.col("ar") + 1 < height)
+        & (((here < t) & (south >= t)) | ((here >= t) & (south < t)))
+    ).select(F.col("ar").alias("row"), F.col("ac").alias("col"),
+             F.lit("S").alias("dir"),
+             F.least(here, south).alias("lo_value"),
+             F.greatest(here, south).alias("hi_value"))
+    return out_e.unionAll(out_s)
+
+
+def contour_crossings_sql(pixels_sql: str, width: int, height: int,
+                          threshold: int) -> str:
+    """Engine-neutral SQL twin of :func:`contour_crossings`."""
+    return f"""
+    with _px as ({pixels_sql}),
+    _sc as (
+      select _px.row + o.dr as ar, _px.col + o.dc as ac,
+             _px.value * o.wh as h, _px.value * o.we as e,
+             _px.value * o.ws as s
+      from _px, (values (0, 0, 1, 0, 0), (0, -1, 0, 1, 0),
+                        (-1, 0, 0, 0, 1)) o(dr, dc, wh, we, ws)
+    ),
+    _g as (
+      select ar, ac, sum(h) as h, sum(e) as e, sum(s) as s
+      from _sc where ar >= 0 and ac >= 0
+      group by ar, ac
+    )
+    select ar as row, ac as col, 'E' as dir,
+           least(h, e) as lo_value, greatest(h, e) as hi_value
+    from _g
+    where ac + 1 < {width}
+      and ((h < {threshold} and e >= {threshold})
+           or (h >= {threshold} and e < {threshold}))
+    union all
+    select ar as row, ac as col, 'S' as dir,
+           least(h, s) as lo_value, greatest(h, s) as hi_value
+    from _g
+    where ar + 1 < {height}
+      and ((h < {threshold} and s >= {threshold})
+           or (h >= {threshold} and s < {threshold}))
+    """
+
+
 # ---------------------------------------------------------------------------
 # IDW grid interpolation (integer-exact accumulation)
 # ---------------------------------------------------------------------------
