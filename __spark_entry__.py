@@ -3019,8 +3019,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_diversity": q_cell_diversity,
         "cell_anomaly": q_cell_anomaly,
         # --- rotated back in: the 22 queries outside the driver's r4
-        # --- window (all hash-green in r3) lead the r5 ordering so every
-        # --- query is re-hashed at least every other round ---
+        # --- window (all hash-green in r3) follow the never-checked
+        # --- r5-new block. With 50 window slots, the tail of this
+        # --- rotation block (the longest-stable trivial fixture scans:
+        # --- mosaic, stac_item_read, raster_math, month_split) falls
+        # --- outside; their r3 hash-green records stand — never-driver-
+        # --- checked queries outrank a third re-check of a fixture scan.
         "overviews": q_overviews,
         "unigram_logppl": q_unigram_logppl,
         "session_window": q_session_window,
