@@ -2624,6 +2624,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_nodes=1000, iters=5)
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the synthetic host link graph: min hop
+    distance from the seed set (node % 100 == 0) within 4 supersteps —
+    the crawl-frontier expansion shape. Frontier-only joins + anti-join
+    vs settled set per round; all integer ⇒ bit-exact vs the unrolled
+    DuckDB twin."""
+    from zen3geo_spark.operators.linkgraph import bfs_hops, synth_host_edges
+
+    edges = synth_host_edges(spark, n_hosts=1000)
+    return bfs_hops(edges, n_nodes=1000, seed_mod=100, max_hops=4)
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs over the host link graph (hosts linked from ≥2
+    common sources) with the out-degree hot-block guard — the
+    related-domain / spam-ring signal."""
+    from zen3geo_spark.operators.linkgraph import (
+        cocitation_pairs, synth_host_edges,
+    )
+
+    edges = synth_host_edges(spark, n_hosts=1000)
+    return cocitation_pairs(edges, max_out_deg=64, min_cocite=2)
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain-blocklist pass: broadcast hash join of the pages
     scan against a (host, category) dimension — no shuffle of the corpus
@@ -2985,7 +3009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
-        # --- newest: raster map algebra + IDW + geocoding + trends ---
+        # --- newest: link-graph traversal + raster map algebra ---
+        "bfs_hops": q_bfs_hops,
+        "cocitation": q_cocitation,
         "contour": q_contour,
         "stay_points": q_stay_points,
         "map_match": q_map_match,
@@ -5008,6 +5034,14 @@ from g5 group by 1
     contour_sql_q = contour_crossings_sql(
         _world_px_int, width=360, height=180, threshold=2)
 
+    from zen3geo_spark.operators.linkgraph import (
+        bfs_hops_sql_duckdb, cocitation_sql_duckdb,
+    )
+    bfs_hops_sql_q = bfs_hops_sql_duckdb(
+        n_hosts=1000, seed_mod=100, max_hops=4)
+    cocitation_sql_q = cocitation_sql_duckdb(
+        n_hosts=1000, max_out_deg=64, min_cocite=2)
+
     stay_points_sql_q = f"""
     with pages as ({pages_cte_sql(N_PAGES)}),
     tagged as (
@@ -5421,6 +5455,8 @@ from g5 group by 1
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "bfs_hops": bfs_hops_sql_q,
+        "cocitation": cocitation_sql_q,
         "contour": contour_sql_q,
         "stay_points": stay_points_sql_q,
         "map_match": map_match_sql_q,

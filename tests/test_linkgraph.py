@@ -72,3 +72,104 @@ def test_pagerank_final_plan_constant_in_iters(spark):
         return len(df._jdf.queryExecution().executedPlan().toString()
                    .splitlines())
     assert plan_len(8) <= plan_len(2) + 5
+
+
+def _py_bfs(n, seed_mod, max_hops):
+    edges = {}
+    for h in range(n):
+        for d in ((h * 7 + 1) % n, (h * 13 + 3) % n, (h * 29 + 7) % n):
+            if d != h:
+                edges.setdefault(h, set()).add(d)
+    dist = {v: 0 for v in range(n) if v % seed_mod == 0}
+    frontier = set(dist)
+    for t in range(1, max_hops + 1):
+        nxt = {d for s in frontier for d in edges.get(s, ())} - set(dist)
+        for v in nxt:
+            dist[v] = t
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_python_reference(spark):
+    from zen3geo_spark.operators.linkgraph import bfs_hops
+    n = 300
+    got = {r["node"]: r["hop"]
+           for r in bfs_hops(synth_host_edges(spark, n), n_nodes=n,
+                             seed_mod=50, max_hops=3).collect()}
+    assert got == _py_bfs(n, 50, 3)
+
+
+def test_bfs_hops_min_distance_and_monotone(spark):
+    """hop is the MINIMUM distance: every node at hop t>0 has an
+    in-neighbor at hop t-1 and none at < t-1."""
+    from zen3geo_spark.operators.linkgraph import bfs_hops
+    n = 200
+    dist = {r["node"]: r["hop"]
+            for r in bfs_hops(synth_host_edges(spark, n), n_nodes=n,
+                              seed_mod=100, max_hops=4).collect()}
+    py = _py_bfs(n, 100, 4)
+    assert dist == py
+    for v, h in dist.items():
+        if h == 0:
+            assert v % 100 == 0
+        else:
+            preds = [s for s in range(n)
+                     if v in ((s * 7 + 1) % n, (s * 13 + 3) % n,
+                              (s * 29 + 7) % n) and s != v]
+            assert min(dist.get(p, 10 ** 9) for p in preds) == h - 1
+
+
+def test_bfs_hops_duckdb_twin(spark):
+    import duckdb as _dd
+    from zen3geo_spark.operators.linkgraph import (
+        bfs_hops, bfs_hops_sql_duckdb,
+    )
+    n = 150
+    got = sorted((r["node"], r["hop"])
+                 for r in bfs_hops(synth_host_edges(spark, n), n_nodes=n,
+                                   seed_mod=30, max_hops=3).collect())
+    want = sorted(_dd.sql(bfs_hops_sql_duckdb(n, 30, 3)).fetchall())
+    assert got == want
+
+
+def test_cocitation_matches_python_reference(spark):
+    from zen3geo_spark.operators.linkgraph import cocitation_pairs
+    n = 400
+    edges = set()
+    for h in range(n):
+        for d in ((h * 7 + 1) % n, (h * 13 + 3) % n, (h * 29 + 7) % n):
+            if d != h:
+                edges.add((h, d))
+    from collections import defaultdict
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+    counts = defaultdict(int)
+    for s, ds in out.items():
+        if len(ds) > 64:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                counts[(ds[i], ds[j])] += 1
+    want = {k: v for k, v in counts.items() if v >= 2}
+    got = {(r["host_a"], r["host_b"]): r["cocite_n"]
+           for r in cocitation_pairs(
+               synth_host_edges(spark, n), max_out_deg=64,
+               min_cocite=2).collect()}
+    assert got == want
+
+
+def test_cocitation_out_degree_guard(spark):
+    """A directory-page source with out-degree above the cap contributes
+    NO pairs (the quadratic hot block is dropped, not truncated)."""
+    from pyspark.sql import functions as F
+    from zen3geo_spark.operators.linkgraph import cocitation_pairs
+    hub = spark.range(10).select(
+        F.lit(999).alias("src"), F.col("id").alias("dst"))
+    small = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3)], "src long, dst long")
+    got = {(r["host_a"], r["host_b"]): r["cocite_n"]
+           for r in cocitation_pairs(hub.union(small), max_out_deg=5,
+                                     min_cocite=2).collect()}
+    assert got == {(2, 3): 2}

@@ -118,3 +118,103 @@ def pagerank_sql_duckdb(n_hosts: int = 1000, iters: int = 5) -> str:
             f"from nodes n left join c{t} c on n.node = c.dst)")
     return ("with " + ",\n".join(parts)
             + f"\nselect node, rank_fp from r{iters}")
+
+
+def bfs_hops(edges: DataFrame, n_nodes: int, seed_mod: int = 100,
+             max_hops: int = 4) -> DataFrame:
+    """Bounded-hop BFS over the host link graph: minimum hop distance
+    from the seed set (node % seed_mod == 0) to every node reachable in
+    ``max_hops`` supersteps → DataFrame (node, hop). The crawl-frontier
+    shape: "everything within K clicks of the seed list".
+
+    Scale shape: each superstep is one equi-join of the CURRENT frontier
+    (not the whole reach set) against the edge list plus one anti-join
+    against the settled set — |frontier| ⋈ |E| per round, the standard
+    Pregel BFS cost. All arithmetic is integer, every row either exists
+    or not (no FP), so the DuckDB unrolled-CTE twin matches bit-for-bit.
+    Per-round ``localCheckpoint(eager=False)`` keeps the plan O(1) in
+    rounds (same no-recompute caveat as ``pagerank_fixed_point``)."""
+    spark = edges.sparkSession
+    ed = edges.localCheckpoint(eager=False)
+    dist = (spark.range(n_nodes)
+            .filter(F.col("id") % seed_mod == 0)
+            .select(F.col("id").alias("node"),
+                    F.lit(0).cast("int").alias("hop")))
+    frontier = dist
+    for t in range(1, max_hops + 1):
+        nxt = (ed.join(frontier.select(F.col("node").alias("src")),
+                       on="src")
+               .select(F.col("dst").alias("node")).distinct())
+        new = (nxt.join(dist.select("node"), on="node", how="left_anti")
+               .withColumn("hop", F.lit(t).cast("int"))
+               .localCheckpoint(eager=False))
+        dist = dist.union(new).localCheckpoint(eager=False)
+        frontier = new
+    return dist
+
+
+def bfs_hops_sql_duckdb(n_hosts: int = 1000, seed_mod: int = 100,
+                        max_hops: int = 4) -> str:
+    """DuckDB twin of :func:`bfs_hops` (unrolled CTE supersteps)."""
+    parts = [
+        f"edges as ({synth_host_edges_sql_duckdb(n_hosts)})",
+        f"d0 as (select id as node, cast(0 as int) as hop "
+        f"from range({n_hosts}) t(id) where id % {seed_mod} = 0)",
+        "f0 as (select node from d0)",
+    ]
+    for t in range(1, max_hops + 1):
+        parts.append(
+            f"n{t} as (select distinct e.dst as node "
+            f"from edges e join f{t - 1} f on e.src = f.node)")
+        parts.append(
+            f"f{t} as (select n.node from n{t} n where not exists "
+            f"(select 1 from d{t - 1} d where d.node = n.node))")
+        parts.append(
+            f"d{t} as (select * from d{t - 1} union all "
+            f"select node, cast({t} as int) as hop from f{t})")
+    return "with " + ",\n".join(parts) + f"\nselect node, hop from d{max_hops}"
+
+
+def cocitation_pairs(edges: DataFrame, max_out_deg: int = 64,
+                     min_cocite: int = 2) -> DataFrame:
+    """Co-citation pairs: (a, b) host pairs linked FROM the same source,
+    counted over sources → DataFrame (host_a, host_b, cocite_n). The
+    related-domain / link-spam-ring signal crawl pipelines derive from
+    the link graph.
+
+    Scale shape: the self-join on src fans out quadratically in
+    out-degree, so sources with out-degree > ``max_out_deg`` are dropped
+    FIRST (one aggregate + semi-join) — the same hot-block guard as
+    ngram_jaccard's document-frequency prefilter; a directory page
+    linking 10^5 hosts would otherwise create 10^10 pairs. The pair join
+    itself is an equi-join on src (bounded ≤ max_out_deg² rows per
+    source), then a map-side-combinable count. All integer ⇒ bit-exact
+    vs the DuckDB twin."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ok = (edges.join(deg.filter(F.col("out_deg") <= max_out_deg)
+                     .select("src"), on="src")
+          .localCheckpoint(eager=False))
+    e1 = ok.select("src", F.col("dst").alias("host_a"))
+    e2 = ok.select("src", F.col("dst").alias("host_b"))
+    return (e1.join(e2, on="src")
+            .filter(F.col("host_a") < F.col("host_b"))
+            .groupBy("host_a", "host_b")
+            .agg(F.count("*").alias("cocite_n"))
+            .filter(F.col("cocite_n") >= min_cocite))
+
+
+def cocitation_sql_duckdb(n_hosts: int = 1000, max_out_deg: int = 64,
+                          min_cocite: int = 2) -> str:
+    """DuckDB twin of :func:`cocitation_pairs` (same out-degree guard)."""
+    return f"""
+with edges as ({synth_host_edges_sql_duckdb(n_hosts)}),
+deg as (select src from edges group by src
+        having count(*) <= {max_out_deg}),
+ok as (select e.src, e.dst from edges e join deg d using (src))
+select e1.dst as host_a, e2.dst as host_b,
+       count(*) as cocite_n
+from ok e1 join ok e2 using (src)
+where e1.dst < e2.dst
+group by 1, 2
+having count(*) >= {min_cocite}
+"""
