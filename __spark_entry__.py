@@ -2624,6 +2624,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_nodes=1000, iters=5)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the host link graph via the
+    degree-ordered orientation (each triangle enumerated once at its
+    lowest-(deg,id) corner; wedge fan-out bounded O(sqrt|E|) so hub
+    hosts can't melt a partition) — the link-farm / near-clique audit
+    signal. All integer ⇒ bit-exact vs the DuckDB twin."""
+    from zen3geo_spark.operators.linkgraph import (
+        synth_host_edges_dense, triangle_counts,
+    )
+
+    edges = synth_host_edges_dense(spark, n_hosts=1000)
+    return triangle_counts(edges)
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop BFS over the synthetic host link graph: min hop
     distance from the seed set (node % 100 == 0) within 4 supersteps —
@@ -3010,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "triangles": q_triangles,
         "bfs_hops": q_bfs_hops,
         "cocitation": q_cocitation,
         "contour": q_contour,
@@ -5040,7 +5055,9 @@ from g5 group by 1
 
     from zen3geo_spark.operators.linkgraph import (
         bfs_hops_sql_duckdb, cocitation_sql_duckdb,
+        triangle_counts_sql_duckdb,
     )
+    triangles_sql_q = triangle_counts_sql_duckdb(n_hosts=1000)
     bfs_hops_sql_q = bfs_hops_sql_duckdb(
         n_hosts=1000, seed_mod=100, max_hops=4)
     cocitation_sql_q = cocitation_sql_duckdb(
@@ -5459,6 +5476,7 @@ from g5 group by 1
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "triangles": triangles_sql_q,
         "bfs_hops": bfs_hops_sql_q,
         "cocitation": cocitation_sql_q,
         "contour": contour_sql_q,

@@ -173,3 +173,61 @@ def test_cocitation_out_degree_guard(spark):
            for r in cocitation_pairs(hub.union(small), max_out_deg=5,
                                      min_cocite=2).collect()}
     assert got == {(2, 3): 2}
+
+
+def _py_edges(n):
+    """Python twin of synth_host_edges_dense (the triangle-bearing graph)."""
+    es = set()
+    for h in range(n):
+        for d in ((h + 1) % n, (h + 2) % n, (h * 7 + 1) % n,
+                  (h * 13 + 3) % n):
+            if d != h:
+                es.add((h, d))
+    return es
+
+
+def _py_triangles(n):
+    """Brute-force per-node triangle counts over the undirected graph."""
+    und = {(min(a, b), max(a, b)) for a, b in _py_edges(n)}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle once: a < b < c
+                for v in (a, b, c):
+                    counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_counts_match_brute_force(spark):
+    from zen3geo_spark.operators.linkgraph import (
+        synth_host_edges_dense, triangle_counts,
+    )
+
+    n = 300
+    got = {r["node"]: r["tri_n"]
+           for r in triangle_counts(
+               synth_host_edges_dense(spark, n)).collect()}
+    want = _py_triangles(n)
+    assert got == want
+    assert sum(got.values()) % 3 == 0 and got  # 3 corners per triangle
+
+
+def test_triangle_duckdb_twin_matches(spark):
+    from zen3geo_spark.operators.linkgraph import (
+        triangle_counts, triangle_counts_sql_duckdb,
+    )
+
+    from zen3geo_spark.operators.linkgraph import synth_host_edges_dense
+
+    n = 240
+    got = sorted(
+        (r["node"], r["tri_n"])
+        for r in triangle_counts(
+            synth_host_edges_dense(spark, n)).collect())
+    want = sorted(map(tuple, duckdb.sql(
+        triangle_counts_sql_duckdb(n_hosts=n)).fetchall()))
+    assert got == want

@@ -53,6 +53,32 @@ select distinct src, dst from (
 """
 
 
+def synth_host_edges_dense(spark: SparkSession,
+                           n_hosts: int = 1000) -> DataFrame:
+    """Denser deterministic variant for triangle-bearing topology: the
+    pure multiplicative graph above is triangle-free at the tested
+    sizes, so this adds ring (h→h+1) and chord (h→h+2) links — every
+    {h, h+1, h+2} is a triangle — on top of two multiplicative hops."""
+    base = spark.range(n_hosts).selectExpr(
+        "id as src",
+        f"array((id+1) % {n_hosts}, (id+2) % {n_hosts}, "
+        f"(id*7+1) % {n_hosts}, (id*13+3) % {n_hosts}) as dsts")
+    return (base.select("src", F.explode("dsts").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def synth_host_edges_dense_sql_duckdb(n_hosts: int = 1000) -> str:
+    """DuckDB twin of :func:`synth_host_edges_dense`."""
+    return f"""
+select distinct src, dst from (
+  select id as src, unnest([(id+1) % {n_hosts}, (id+2) % {n_hosts},
+                            (id*7+1) % {n_hosts}, (id*13+3) % {n_hosts}]) as dst
+  from range({n_hosts}) t(id)
+) where src <> dst
+"""
+
+
 def pagerank_fixed_point(edges: DataFrame, n_nodes: int,
                          iters: int = 5) -> DataFrame:
     """``iters`` damped PageRank supersteps in 10^9 fixed-point integer
@@ -217,4 +243,75 @@ from ok e1 join ok e2 using (src)
 where e1.dst < e2.dst
 group by 1, 2
 having count(*) >= {min_cocite}
+"""
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED host
+    graph → DataFrame (node, tri_n). Triangle density separates organic
+    link neighborhoods from link farms (spam rings are near-cliques),
+    the classic web-graph audit signal.
+
+    Scale shape: the textbook degree-ordered orientation — every
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, so each triangle is enumerated EXACTLY once (at its
+    lowest-ranked corner) and the wedge fan-out per node is bounded by
+    O(sqrt(|E|)) instead of max-degree: a 10^6-degree hub host emits no
+    wedges at all unless its neighbors out-rank it, which at most
+    O(sqrt(|E|)) of them can. Plan: two equi-joins (wedge build on u,
+    closure probe on the canonical (v, w) pair) + one explode/group-by —
+    no all-pairs anywhere. All integer ⇒ bit-exact vs the DuckDB twin.
+    """
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    # a < b always holds, so a deg tie orients a→b on both engines.
+    eo = (und.join(da, on="a").join(db, on="b")
+          .select(F.when(F.col("da") <= F.col("db"), F.col("a"))
+                  .otherwise(F.col("b")).alias("u"),
+                  F.when(F.col("da") <= F.col("db"), F.col("b"))
+                  .otherwise(F.col("a")).alias("x"))
+          .localCheckpoint(eager=False))
+    e1 = eo.select("u", F.col("x").alias("v"))
+    e2 = eo.select("u", F.col("x").alias("w"))
+    wedges = (e1.join(e2, on="u")
+              .filter(F.col("v") < F.col("w")))
+    tri = wedges.join(und, (F.col("v") == F.col("a"))
+                      & (F.col("w") == F.col("b"))).select("u", "v", "w")
+    corners = (tri.select(F.col("u").alias("node"))
+               .unionAll(tri.select(F.col("v").alias("node")))
+               .unionAll(tri.select(F.col("w").alias("node"))))
+    return corners.groupBy("node").agg(F.count("*").alias("tri_n"))
+
+
+def triangle_counts_sql_duckdb(n_hosts: int = 1000) -> str:
+    """DuckDB twin of :func:`triangle_counts` (same orientation rule,
+    over the dense triangle-bearing synthetic graph)."""
+    return f"""
+with edges as ({synth_host_edges_dense_sql_duckdb(n_hosts)}),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst),
+deg as (select node, count(*) as deg from (
+          select a as node from und union all select b from und)
+        group by node),
+eo as (select case when d1.deg <= d2.deg then und.a else und.b end as u,
+              case when d1.deg <= d2.deg then und.b else und.a end as x
+       from und join deg d1 on d1.node = und.a
+                join deg d2 on d2.node = und.b),
+wedges as (select e1.u, e1.x as v, e2.x as w
+           from eo e1 join eo e2 on e1.u = e2.u and e1.x < e2.x),
+tri as (select w1.u, w1.v, w1.w from wedges w1
+        join und on w1.v = und.a and w1.w = und.b)
+select node, count(*) as tri_n from (
+  select u as node from tri
+  union all select v from tri
+  union all select w from tri)
+group by node
 """
