@@ -2624,6 +2624,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_nodes=1000, iters=5)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 snapshot-history compaction: 4 crawl epochs of a per-url
+    quality band collapsed into validity intervals (url, quality_band,
+    valid_from, valid_to) — the warehouse change-history consolidation a
+    recurring crawl accumulates. One shuffle (url-keyed windows share
+    the Exchange); per-url work bounded by epoch count. All integer ⇒
+    bit-exact vs the DuckDB twin."""
+    from zen3geo_spark.operators.temporal import scd2_compact
+
+    obs = (synth_pages(spark, N_PAGES)
+           .selectExpr("url", f"{URL_PID_SQL} as pid")
+           .selectExpr(
+               "url", "pid",
+               "explode(sequence(cast(0 as bigint), cast(3 as bigint)))"
+               " as epoch")
+           .selectExpr(
+               "url", "epoch",
+               "(pid % 7) + ((epoch * (pid % 4)) div 3) as quality_band"))
+    return scd2_compact(obs, "url", "epoch", "quality_band")
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation over the host link graph via the
     degree-ordered orientation (each triangle enumerated once at its
@@ -3024,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "scd2_history": q_scd2_history,
         "triangles": q_triangles,
         "bfs_hops": q_bfs_hops,
         "cocitation": q_cocitation,
@@ -5058,6 +5080,28 @@ from g5 group by 1
         triangle_counts_sql_duckdb,
     )
     triangles_sql_q = triangle_counts_sql_duckdb(n_hosts=1000)
+
+    scd2_history_sql_q = f"""
+with pages as ({pages_cte_sql(N_PAGES)}),
+obs as (
+  select url,
+         cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint) as pid,
+         e.epoch
+  from pages cross join (select epoch from range(4) t(epoch)) e),
+v as (select url, epoch,
+             (pid % 7) + ((epoch * (pid % 4)) // 3) as quality_band
+      from obs),
+c as (select *,
+             lag(quality_band) over (partition by url order by epoch)
+               as _prev,
+             max(epoch) over (partition by url) as _last
+      from v),
+f as (select * from c where _prev is null or quality_band <> _prev)
+select url, quality_band, epoch as valid_from,
+       coalesce(lead(epoch) over (partition by url order by epoch) - 1,
+                _last) as valid_to
+from f
+"""
     bfs_hops_sql_q = bfs_hops_sql_duckdb(
         n_hosts=1000, seed_mod=100, max_hops=4)
     cocitation_sql_q = cocitation_sql_duckdb(
@@ -5476,6 +5520,7 @@ from g5 group by 1
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "scd2_history": scd2_history_sql_q,
         "triangles": triangles_sql_q,
         "bfs_hops": bfs_hops_sql_q,
         "cocitation": cocitation_sql_q,

@@ -150,3 +150,37 @@ def test_interval_join_equals_theta_join(spark):
     assert got == want
     assert (1000, 3) in got and all(p != (1001, 5) for p in got)
     assert any(len([1 for g in got if g[0] == e]) > 1 for e, _ in evs)
+
+
+def test_scd2_compact_golden(spark):
+    """Hand-built history: runs collapse, inclusive valid_to, the open
+    current interval carries the key's max ordinal."""
+    from zen3geo_spark.operators.temporal import scd2_compact
+
+    rows = [
+        # url A: 5,5,7,7,5 → [0,1]=5 [2,3]=7 [4,4]=5
+        ("A", 0, 5), ("A", 1, 5), ("A", 2, 7), ("A", 3, 7), ("A", 4, 5),
+        # url B: constant → one open interval [0,2]
+        ("B", 0, 9), ("B", 1, 9), ("B", 2, 9),
+        # url C: single observation
+        ("C", 7, 1),
+    ]
+    obs = spark.createDataFrame(rows, "url string, epoch long, v long")
+    got = sorted(map(tuple, scd2_compact(obs, "url", "epoch", "v")
+                     .collect()))
+    assert got == sorted([
+        ("A", 5, 0, 1), ("A", 7, 2, 3), ("A", 5, 4, 4),
+        ("B", 9, 0, 2),
+        ("C", 1, 7, 7),
+    ])
+
+
+def test_scd2_compact_single_exchange(spark):
+    """Both windows ride ONE url-keyed Exchange (shared partitioning)."""
+    from zen3geo_spark.operators.temporal import scd2_compact
+
+    obs = spark.createDataFrame(
+        [("A", 0, 5), ("A", 1, 6)], "url string, epoch long, v long")
+    plan = scd2_compact(obs, "url", "epoch", "v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1

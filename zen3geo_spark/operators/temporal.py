@@ -116,3 +116,37 @@ def interval_join(events: DataFrame, intervals: DataFrame,
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) < F.col(end_col)))
             .drop("_b"))
+
+
+def scd2_compact(obs: DataFrame, key: str, ord_col: str,
+                 val_col: str) -> DataFrame:
+    """SCD-2 history compaction: collapse per-key observation history
+    into validity intervals → (key, val_col, valid_from, valid_to),
+    one row per maximal run of consecutive equal values. The
+    Iceberg-/warehouse-style "what did this url look like over time"
+    consolidation a recurring crawl accumulates; also the change-data
+    capture shape Structured Streaming sinks emit.
+
+    Scale shape: TWO windows over the SAME (key, ord) partitioning —
+    Catalyst reuses one Exchange + sort for both (change detection via
+    lag, interval close via lead) — so the whole compaction costs one
+    shuffle of the observation table. Per-key work is bounded by the
+    snapshot count (observations per url), never corpus-wide; no key is
+    hot because urls repeat at most once per epoch. All comparisons are
+    equality/integer, so the DuckDB twin matches bit-for-bit.
+    ``valid_to`` is inclusive; the open current interval carries the
+    key's max ordinal."""
+    w = Window.partitionBy(key).orderBy(ord_col)
+    chg = (obs
+           .withColumn("_prev", F.lag(val_col).over(w))
+           .withColumn("_last", F.max(ord_col).over(
+               Window.partitionBy(key)))
+           .filter(F.col("_prev").isNull()
+                   | (F.col(val_col) != F.col("_prev"))))
+    wc = Window.partitionBy(key).orderBy(ord_col)
+    return (chg
+            .withColumn("valid_to",
+                        F.coalesce(F.lead(ord_col).over(wc) - 1,
+                                   F.col("_last")))
+            .select(key, val_col,
+                    F.col(ord_col).alias("valid_from"), "valid_to"))
