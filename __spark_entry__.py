@@ -2624,6 +2624,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_nodes=1000, iters=5)
 
 
+def q_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop Bellman-Ford over the host link graph: min path cost
+    (integer fetch-latency weights) from the seed set within 4 relax
+    rounds — the weighted sibling of bfs_hops. Map-side-combinable min
+    relaxation; all integer => bit-exact vs the unrolled DuckDB twin."""
+    from zen3geo_spark.operators.linkgraph import (
+        cheapest_paths, synth_host_edges,
+    )
+
+    edges = synth_host_edges(spark, n_hosts=1000)
+    return cheapest_paths(edges, n_nodes=1000, seed_mod=100, max_hops=4)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 snapshot-history compaction: 4 crawl epochs of a per-url
     quality band collapsed into validity intervals (url, quality_band,
@@ -3045,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "cheapest_paths": q_cheapest_paths,
         "scd2_history": q_scd2_history,
         "triangles": q_triangles,
         "bfs_hops": q_bfs_hops,
@@ -5079,6 +5093,9 @@ from g5 group by 1
         bfs_hops_sql_duckdb, cocitation_sql_duckdb,
         triangle_counts_sql_duckdb,
     )
+    from zen3geo_spark.operators.linkgraph import cheapest_paths_sql_duckdb
+    cheapest_paths_sql_q = cheapest_paths_sql_duckdb(
+        n_hosts=1000, seed_mod=100, max_hops=4)
     triangles_sql_q = triangle_counts_sql_duckdb(n_hosts=1000)
 
     scd2_history_sql_q = f"""
@@ -5520,6 +5537,7 @@ from f
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "cheapest_paths": cheapest_paths_sql_q,
         "scd2_history": scd2_history_sql_q,
         "triangles": triangles_sql_q,
         "bfs_hops": bfs_hops_sql_q,

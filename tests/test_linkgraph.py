@@ -231,3 +231,32 @@ def test_triangle_duckdb_twin_matches(spark):
     want = sorted(map(tuple, duckdb.sql(
         triangle_counts_sql_duckdb(n_hosts=n)).fetchall()))
     assert got == want
+
+
+def test_cheapest_paths_match_brute_force(spark):
+    """Pure-Python bounded Bellman-Ford over the same graph/weights."""
+    from zen3geo_spark.operators.linkgraph import cheapest_paths
+
+    n, seed_mod, hops = 200, 40, 4
+    es = set()
+    for h in range(n):
+        for d in ((h * 7 + 1) % n, (h * 13 + 3) % n, (h * 29 + 7) % n):
+            if d != h:
+                es.add((h, d))
+    dist = {v: 0 for v in range(n) if v % seed_mod == 0}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for s, d in es:
+            if s in dist:
+                c = dist[s] + (s * 31 + d * 17) % 97 + 1
+                if d not in nxt or c < nxt[d]:
+                    nxt[d] = c
+        dist = nxt
+    edges = synth_host_edges(spark, n_hosts=n)
+    got = {r["node"]: r["cost"]
+           for r in cheapest_paths(edges, n_nodes=n, seed_mod=seed_mod,
+                                   max_hops=hops).collect()}
+    assert got == dist
+    # weighted min-cost never exceeds any single sampled path cost and
+    # seeds stay at 0
+    assert all(got[v] == 0 for v in range(0, n, seed_mod))

@@ -315,3 +315,58 @@ select node, count(*) as tri_n from (
   union all select w from tri)
 group by node
 """
+
+
+def cheapest_paths(edges: DataFrame, n_nodes: int, seed_mod: int = 100,
+                   max_hops: int = 4) -> DataFrame:
+    """Bounded-hop Bellman–Ford: minimum path COST (integer edge
+    weights) from the seed set (node % seed_mod == 0) over paths of at
+    most ``max_hops`` edges → DataFrame (node, cost). The weighted
+    sibling of :func:`bfs_hops` — fetch-latency-weighted crawl routing
+    instead of click distance. Edge weight is the engine-shared formula
+    ``(src*31 + dst*17) % 97 + 1``.
+
+    Scale shape: each round is one equi-join of the CURRENT distance
+    table against the edge list plus a min-combine — the relax step is
+    map-side combinable (partial min per partition), so shuffle volume
+    per round is bounded by distinct dst nodes, not by |dist ⋈ E|.
+    All integer ⇒ bit-exact vs the unrolled DuckDB twin. Per-round
+    ``localCheckpoint(eager=False)`` keeps the plan O(1) in rounds."""
+    spark = edges.sparkSession
+    ed = (edges
+          .withColumn("w", (F.col("src") * 31 + F.col("dst") * 17) % 97 + 1)
+          .localCheckpoint(eager=False))
+    dist = (spark.range(n_nodes)
+            .filter(F.col("id") % seed_mod == 0)
+            .select(F.col("id").alias("node"),
+                    F.lit(0).cast("long").alias("cost")))
+    for _ in range(max_hops):
+        relax = (ed.join(dist.select(F.col("node").alias("src"), "cost"),
+                         on="src")
+                 .select(F.col("dst").alias("node"),
+                         (F.col("cost") + F.col("w")).alias("cost")))
+        dist = (dist.unionAll(relax)
+                .groupBy("node").agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=False))
+    return dist
+
+
+def cheapest_paths_sql_duckdb(n_hosts: int = 1000, seed_mod: int = 100,
+                              max_hops: int = 4) -> str:
+    """DuckDB twin of :func:`cheapest_paths` (unrolled relax rounds)."""
+    parts = [
+        f"edges as ({synth_host_edges_sql_duckdb(n_hosts)})",
+        "ed as (select src, dst, (src*31 + dst*17) % 97 + 1 as w "
+        "from edges)",
+        f"d0 as (select id as node, cast(0 as bigint) as cost "
+        f"from range({n_hosts}) t(id) where id % {seed_mod} = 0)",
+    ]
+    for t in range(1, max_hops + 1):
+        parts.append(
+            f"d{t} as (select node, min(cost) as cost from ("
+            f"select node, cost from d{t - 1} "
+            f"union all "
+            f"select e.dst as node, d.cost + e.w as cost "
+            f"from ed e join d{t - 1} d on e.src = d.node) group by node)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect node, cost from d{max_hops}")
