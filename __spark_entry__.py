@@ -2624,6 +2624,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_nodes=1000, iters=5)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling of the dense host graph (3 rounds of
+    "drop degree<8 nodes", cascading): dense-core vs spam-tendril separation.
+    Each round = one map-side-combinable degree agg + two semi-joins,
+    O(|E|) — no fanout. Integer-exact vs the unrolled DuckDB twin."""
+    from zen3geo_spark.operators.linkgraph import (
+        kcore_peel, synth_host_edges_dense,
+    )
+
+    edges = synth_host_edges_dense(spark, n_hosts=1000)
+    return kcore_peel(edges, k=8, rounds=3)
+
+
 def q_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop Bellman-Ford over the host link graph: min path cost
     (integer fetch-latency weights) from the seed set within 4 relax
@@ -3058,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "kcore": q_kcore,
         "cheapest_paths": q_cheapest_paths,
         "scd2_history": q_scd2_history,
         "triangles": q_triangles,
@@ -5093,7 +5107,10 @@ from g5 group by 1
         bfs_hops_sql_duckdb, cocitation_sql_duckdb,
         triangle_counts_sql_duckdb,
     )
-    from zen3geo_spark.operators.linkgraph import cheapest_paths_sql_duckdb
+    from zen3geo_spark.operators.linkgraph import (
+        cheapest_paths_sql_duckdb, kcore_sql_duckdb,
+    )
+    kcore_sql_q = kcore_sql_duckdb(n_hosts=1000, k=8, rounds=3)
     cheapest_paths_sql_q = cheapest_paths_sql_duckdb(
         n_hosts=1000, seed_mod=100, max_hops=4)
     triangles_sql_q = triangle_counts_sql_duckdb(n_hosts=1000)
@@ -5537,6 +5554,7 @@ from f
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "kcore": kcore_sql_q,
         "cheapest_paths": cheapest_paths_sql_q,
         "scd2_history": scd2_history_sql_q,
         "triangles": triangles_sql_q,

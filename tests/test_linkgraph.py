@@ -260,3 +260,35 @@ def test_cheapest_paths_match_brute_force(spark):
     # weighted min-cost never exceeds any single sampled path cost and
     # seeds stay at 0
     assert all(got[v] == 0 for v in range(0, n, seed_mod))
+
+
+def test_kcore_peel_matches_brute_force(spark):
+    """Pure-Python peel over the same dense graph; cascading removal."""
+    from zen3geo_spark.operators.linkgraph import (
+        kcore_peel, synth_host_edges_dense,
+    )
+
+    n, k, rounds = 300, 8, 3
+    und = set()
+    for h in range(n):
+        for d in ((h + 1) % n, (h + 2) % n, (h * 7 + 1) % n,
+                  (h * 13 + 3) % n):
+            if d != h:
+                und.add((min(h, d), max(h, d)))
+    g = set(und)
+    for _ in range(rounds):
+        deg = {}
+        for a, b in g:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, c in deg.items() if c >= k}
+        g = {(a, b) for a, b in g if a in keep and b in keep}
+    want = {}
+    for a, b in g:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    got = {r["node"]: r["deg"]
+           for r in kcore_peel(synth_host_edges_dense(spark, n),
+                               k=k, rounds=rounds).collect()}
+    assert got == want
+    assert 0 < len(got) < n  # the peel actually removed something

@@ -370,3 +370,63 @@ def cheapest_paths_sql_duckdb(n_hosts: int = 1000, seed_mod: int = 100,
             f"from ed e join d{t - 1} d on e.src = d.node) group by node)")
     return ("with " + ",\n".join(parts)
             + f"\nselect node, cost from d{max_hops}")
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling over the UNDIRECTED host graph: ``rounds``
+    iterations of "drop every node with degree < k", returning the
+    surviving nodes with their post-peel degree → (node, deg). The
+    dense-core extraction crawl pipelines use to separate the web's
+    mutually-linked center from pendant spam tendrils (full k-core =
+    peel to fixpoint; bounded rounds keep the job's cost and the DuckDB
+    twin's unrolling finite and is the standard big-graph compromise).
+
+    Scale shape: each round is one degree aggregate (map-side
+    combinable) + two broadcast-or-shuffle semi-joins of the edge list
+    against the surviving-node set — no fanout anywhere, cost O(|E|)
+    per round. Per-round ``localCheckpoint(eager=False)`` keeps the
+    plan O(1) in rounds. All integer ⇒ bit-exact vs the twin."""
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    g = und
+    for _ in range(rounds):
+        deg = (g.select(F.col("a").alias("node"))
+               .unionAll(g.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        g = (g.join(keep.withColumnRenamed("node", "a"), on="a",
+                    how="left_semi")
+             .join(keep.withColumnRenamed("node", "b"), on="b",
+                   how="left_semi")
+             .localCheckpoint(eager=False))
+    return (g.select(F.col("a").alias("node"))
+            .unionAll(g.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg")))
+
+
+def kcore_sql_duckdb(n_hosts: int = 1000, k: int = 3,
+                     rounds: int = 3) -> str:
+    """DuckDB twin of :func:`kcore_peel` (unrolled peel rounds over the
+    dense triangle-bearing synthetic graph)."""
+    parts = [
+        f"edges as ({synth_host_edges_dense_sql_duckdb(n_hosts)})",
+        "g0 as (select distinct least(src, dst) as a, "
+        "greatest(src, dst) as b from edges where src <> dst)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"d{t} as (select node from ("
+            f"select a as node from g{t - 1} "
+            f"union all select b from g{t - 1}) "
+            f"group by node having count(*) >= {k})")
+        parts.append(
+            f"g{t} as (select g.a, g.b from g{t - 1} g "
+            f"where exists (select 1 from d{t} x where x.node = g.a) "
+            f"and exists (select 1 from d{t} y where y.node = g.b))")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect node, count(*) as deg from ("
+            + f"select a as node from g{rounds} "
+            + f"union all select b from g{rounds}) group by node")
