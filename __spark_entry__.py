@@ -2624,6 +2624,56 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_nodes=1000, iters=5)
 
 
+def q_lang_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-operator composition: fixed-point PageRank over the host
+    graph joined back onto the pages corpus — per language, page count
+    and total host-authority mass. The "how authoritative is our
+    German crawl" rollup; shows the graph operators compose with the
+    corpus scan. The 1000-row rank table broadcasts; the corpus never
+    shuffles for the join. Integer fixed-point => bit-exact."""
+    from zen3geo_spark.operators.linkgraph import (
+        pagerank_fixed_point, synth_host_edges,
+    )
+
+    ranks = pagerank_fixed_point(
+        synth_host_edges(spark, n_hosts=1000), n_nodes=1000, iters=5)
+    pages = synth_pages(spark, N_PAGES).selectExpr(
+        "lang", f"({URL_PID_SQL}) % 1000 as host_num")
+    return (pages.join(F.broadcast(
+                ranks.withColumnRenamed("node", "host_num")), "host_num")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("rank_fp").alias("authority_mass")))
+
+
+def q_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint degree distribution (degree-mixing matrix) of the host
+    graph: for every undirected edge, the (deg_lo, deg_hi) endpoint
+    pair, counted — the assortativity profile that separates
+    hub-to-leaf link-farm topologies from organic hub-to-hub webs,
+    computed without any FP correlation coefficient (the integer JDD
+    IS the sufficient statistic). One degree aggregate + two joins +
+    one group-by; all integer => bit-exact."""
+    from zen3geo_spark.operators.linkgraph import synth_host_edges_dense
+
+    edges = synth_host_edges_dense(spark, n_hosts=1000)
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    j = (und.join(deg.select(F.col("node").alias("a"),
+                             F.col("deg").alias("da")), on="a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("deg").alias("db")), on="b"))
+    return (j.select(F.least("da", "db").alias("deg_lo"),
+                     F.greatest("da", "db").alias("deg_hi"))
+            .groupBy("deg_lo", "deg_hi")
+            .agg(F.count("*").alias("n_edges")))
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling of the dense host graph (3 rounds of
     "drop degree<8 nodes", cascading): dense-core vs spam-tendril separation.
@@ -3071,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "lang_authority": q_lang_authority,
+        "degree_mixing": q_degree_mixing,
         "kcore": q_kcore,
         "cheapest_paths": q_cheapest_paths,
         "scd2_history": q_scd2_history,
@@ -5111,6 +5163,34 @@ from g5 group by 1
         cheapest_paths_sql_duckdb, kcore_sql_duckdb,
     )
     kcore_sql_q = kcore_sql_duckdb(n_hosts=1000, k=8, rounds=3)
+    from zen3geo_spark.operators.linkgraph import (
+        synth_host_edges_dense_sql_duckdb,
+    )
+    from zen3geo_spark.operators.linkgraph import pagerank_sql_duckdb
+    lang_authority_sql_q = f"""
+with pages as ({pages_cte_sql(N_PAGES)}),
+pr as ({pagerank_sql_duckdb(n_hosts=1000, iters=5)}),
+p as (select lang,
+             cast(regexp_extract(url, '/page/([0-9]+)$', 1) as bigint)
+               % 1000 as host_num
+      from pages)
+select lang, count(*) as n_pages, sum(pr.rank_fp) as authority_mass
+from p join pr on p.host_num = pr.node
+group by lang
+"""
+    degree_mixing_sql_q = f"""
+with edges as ({synth_host_edges_dense_sql_duckdb(1000)}),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst),
+deg as (select node, count(*) as deg from (
+          select a as node from und union all select b from und)
+        group by node),
+j as (select d1.deg as da, d2.deg as db from und
+      join deg d1 on d1.node = und.a join deg d2 on d2.node = und.b)
+select least(da, db) as deg_lo, greatest(da, db) as deg_hi,
+       count(*) as n_edges
+from j group by 1, 2
+"""
     cheapest_paths_sql_q = cheapest_paths_sql_duckdb(
         n_hosts=1000, seed_mod=100, max_hops=4)
     triangles_sql_q = triangle_counts_sql_duckdb(n_hosts=1000)
@@ -5554,6 +5634,8 @@ from f
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "lang_authority": lang_authority_sql_q,
+        "degree_mixing": degree_mixing_sql_q,
         "kcore": kcore_sql_q,
         "cheapest_paths": cheapest_paths_sql_q,
         "scd2_history": scd2_history_sql_q,
