@@ -3188,8 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- FIRST checks of new queries — every window slot goes to a
         # --- query with no driver record at all. The 22 below (and all
         # --- out-of-window queries) are re-verified locally this round:
-        # --- full 166-query hash sweep, log at
-        # --- BENCH/sweep_r5_final_166.log (tools/check_oracle.py, same
+        # --- full 169-query hash sweep, log at
+        # --- BENCH/sweep_r5_final_169.log (tools/check_oracle.py, same
         # --- compare as the driver).
         "overviews": q_overviews,
         "unigram_logppl": q_unigram_logppl,
