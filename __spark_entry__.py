@@ -2954,6 +2954,19 @@ def q_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rect_overlay_join(a, b, res=5)
 
 
+def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 steepest-descent flow direction over the world-points count
+    raster (hydrology routing on the DEM analogue): bounded fan-out 8 +
+    one left join back onto the pixel table + integer-encoded argmax —
+    tie-break toward the lowest direction index is inside the encoding,
+    so the map is hash-exact."""
+    from zen3geo_spark.operators.raster_algebra import flow_dir_d8
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.col("value").cast("long").alias("value"))
+    return flow_dir_d8(img, width=360, height=180)
+
+
 def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEM-style slope/aspect map algebra over the world-points count
     raster: central-difference gradient (gx, gy) via a fan-out-4
@@ -3121,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "flow_dir": q_flow_dir,
         "lang_authority": q_lang_authority,
         "degree_mixing": q_degree_mixing,
         "kcore": q_kcore,
@@ -5036,6 +5050,8 @@ from g5 group by 1
     """
     focal_stats_sql_q = focal_stats_sql(
         _world_px_int, width=360, height=180, radius=1)
+    from zen3geo_spark.operators.raster_algebra import flow_dir_d8_sql
+    flow_dir_sql_q = flow_dir_d8_sql(_world_px_int, width=360, height=180)
 
     idw_grid_sql_q = idw_accumulate_sql(
         f"{_points_cte()} select lat_us, lon_us, point_id % 10 as v from pts",
@@ -5634,6 +5650,7 @@ from f
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "flow_dir": flow_dir_sql_q,
         "lang_authority": lang_authority_sql_q,
         "degree_mixing": degree_mixing_sql_q,
         "kcore": kcore_sql_q,

@@ -180,3 +180,34 @@ def test_gazetteer_deterministic_and_ambiguous(spark):
     st2 = (st * 48271 + 29) % 2147483647
     assert r0.lat_us == st % 180000001 - 90_000_000
     assert r0.lon_us == st2 % 360000001 - 180_000_000
+
+
+def test_flow_dir_d8_matches_brute_force(spark):
+    """Brute-force D8 on a small sparse grid: steepest drop wins, ties
+    break to the lowest direction index, pits/flats get -1, off-pixels
+    are implicit zeros, out-of-grid neighbors are excluded."""
+    from zen3geo_spark.operators.raster_algebra import _D8, flow_dir_d8
+
+    w = h = 8
+    px = {(r, c): ((r * 5 + c * 3) % 11) + 1
+          for r in range(h) for c in range(w)
+          if (r * 7 + c) % 3 != 0}
+    want = {}
+    for (r, c), z in px.items():
+        best = None
+        for d, dr, dc in _D8:
+            nr, nc = r + dr, c + dc
+            if not (0 <= nr < h and 0 <= nc < w):
+                continue
+            zn = px.get((nr, nc), 0)
+            if z > zn:
+                key = (z - zn, -d)  # steepest drop, then lowest dir
+                if best is None or key > best[0]:
+                    best = (key, d)
+        want[(r, c)] = -1 if best is None else best[1]
+    df = spark.createDataFrame(
+        [(r, c, z) for (r, c), z in px.items()],
+        "row int, col int, value long")
+    got = {(x["row"], x["col"]): x["flow_dir"]
+           for x in flow_dir_d8(df, width=w, height=h).collect()}
+    assert got == want

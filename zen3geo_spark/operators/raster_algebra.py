@@ -386,3 +386,80 @@ def idw_accumulate_sql(points_sql: str, res: int, value_col: str,
     from _w
     group by cell, lat_c_us, lon_c_us
     """
+
+
+# D8 neighbor offsets, aspect-octant direction convention (0=E, CCW;
+# image rows grow downward so N is row-1): dir -> (drow, dcol).
+_D8 = [(0, 0, 1), (1, -1, 1), (2, -1, 0), (3, -1, -1),
+       (4, 0, -1), (5, 1, -1), (6, 1, 0), (7, 1, 1)]
+
+
+def flow_dir_d8(pixels: DataFrame, width: int, height: int) -> DataFrame:
+    """D8 steepest-descent flow direction over a sparse integer raster
+    (implicit-zero off-pixels, the hydrology-routing pass of DEM map
+    algebra) → (row, col, flow_dir) for every present pixel; dirs 0..7
+    = E, NE, N, NW, W, SW, S, SE, pits/flats (no lower in-grid
+    neighbor) = -1. Ties on drop break toward the LOWEST direction
+    index — encoded integer argmax ``drop·16 + (15 − dir)``, so both
+    engines agree bit-for-bit with no argmin ordering semantics in
+    play.
+
+    Scale shape: bounded fan-out 8 + one left equi-join back onto the
+    pixel table + a map-side-combinable max — the same sparse
+    discipline as :func:`focal_stats`, no dense canvas, no 8-way
+    self-join."""
+    arr = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("dir"),
+                 (F.col("row") + dr).alias("nr"),
+                 (F.col("col") + dc).alias("nc"))
+        for d, dr, dc in _D8])
+    nb = (pixels
+          .select("row", "col", F.col("value").cast("long").alias("z"),
+                  F.explode(arr).alias("s"))
+          .select("row", "col", "z", "s.dir", "s.nr", "s.nc")
+          .filter((F.col("nr") >= 0) & (F.col("nr") < height)
+                  & (F.col("nc") >= 0) & (F.col("nc") < width)))
+    zn = pixels.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
+                       F.col("value").cast("long").alias("zn"))
+    j = (nb.join(zn, ["nr", "nc"], "left")
+         .withColumn("zn", F.coalesce("zn", F.lit(0).cast("long"))))
+    best = (j.withColumn(
+                "enc",
+                F.when(F.col("z") > F.col("zn"),
+                       (F.col("z") - F.col("zn")) * 16
+                       + (F.lit(15) - F.col("dir"))))
+            .groupBy("row", "col").agg(F.max("enc").alias("bestenc")))
+    return best.select(
+        "row", "col",
+        F.when(F.col("bestenc").isNull(), F.lit(-1))
+        .otherwise(F.lit(15) - F.pmod(F.col("bestenc"), F.lit(16)))
+        .cast("int").alias("flow_dir"))
+
+
+def flow_dir_d8_sql(pixels_sql: str, width: int, height: int) -> str:
+    """Engine-neutral SQL twin of :func:`flow_dir_d8`."""
+    offs = ", ".join(f"({d}, {dr}, {dc})" for d, dr, dc in _D8)
+    return f"""
+    with _px as ({pixels_sql}),
+    _nb as (
+      select _px.row, _px.col, _px.value as z, o.dir,
+             _px.row + o.dr as nr, _px.col + o.dc as nc
+      from _px, (values {offs}) o(dir, dr, dc)
+      where _px.row + o.dr between 0 and {height - 1}
+        and _px.col + o.dc between 0 and {width - 1}
+    ),
+    _j as (
+      select n.row, n.col, n.z, n.dir, coalesce(p.value, 0) as zn
+      from _nb n left join _px p on p.row = n.nr and p.col = n.nc
+    ),
+    _b as (
+      select row, col,
+             max(case when z > zn then (z - zn) * 16 + (15 - dir) end)
+               as bestenc
+      from _j group by row, col
+    )
+    select row, col,
+           cast(case when bestenc is null then -1
+                else 15 - (bestenc % 16) end as int) as flow_dir
+    from _b
+    """
