@@ -2954,6 +2954,19 @@ def q_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rect_overlay_join(a, b, res=5)
 
 
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded D8 flow accumulation (3 routing rounds) over the
+    world-points raster: per pixel, own mass + everything arriving
+    within 3 steepest-descent steps — the upstream-contributing-area
+    approximation. One equi-join + map-side-combinable sum per round;
+    integer => bit-exact vs the unrolled twin."""
+    from zen3geo_spark.operators.raster_algebra import flow_accumulate
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.col("value").cast("long").alias("value"))
+    return flow_accumulate(img, width=360, height=180, rounds=3)
+
+
 def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 steepest-descent flow direction over the world-points count
     raster (hydrology routing on the DEM analogue): bounded fan-out 8 +
@@ -3134,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "flow_accum": q_flow_accum,
         "flow_dir": q_flow_dir,
         "lang_authority": q_lang_authority,
         "degree_mixing": q_degree_mixing,
@@ -5050,8 +5064,12 @@ from g5 group by 1
     """
     focal_stats_sql_q = focal_stats_sql(
         _world_px_int, width=360, height=180, radius=1)
-    from zen3geo_spark.operators.raster_algebra import flow_dir_d8_sql
+    from zen3geo_spark.operators.raster_algebra import (
+        flow_accumulate_sql, flow_dir_d8_sql,
+    )
     flow_dir_sql_q = flow_dir_d8_sql(_world_px_int, width=360, height=180)
+    flow_accum_sql_q = flow_accumulate_sql(
+        _world_px_int, width=360, height=180, rounds=3)
 
     idw_grid_sql_q = idw_accumulate_sql(
         f"{_points_cte()} select lat_us, lon_us, point_id % 10 as v from pts",
@@ -5650,6 +5668,7 @@ from f
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "flow_accum": flow_accum_sql_q,
         "flow_dir": flow_dir_sql_q,
         "lang_authority": lang_authority_sql_q,
         "degree_mixing": degree_mixing_sql_q,

@@ -211,3 +211,55 @@ def test_flow_dir_d8_matches_brute_force(spark):
     got = {(x["row"], x["col"]): x["flow_dir"]
            for x in flow_dir_d8(df, width=w, height=h).collect()}
     assert got == want
+
+
+def test_flow_accumulate_matches_brute_force(spark):
+    """Brute-force bounded routing: unit mass per present pixel, K
+    rounds along D8 steepest descent; pits and reached zero cells
+    absorb."""
+    from zen3geo_spark.operators.raster_algebra import (
+        _D8, flow_accumulate,
+    )
+
+    w = h = 8
+    rounds = 3
+    px = {(r, c): ((r * 5 + c * 3) % 11) + 1
+          for r in range(h) for c in range(w)
+          if (r * 7 + c) % 3 != 0}
+
+    def d8(r, c, z):
+        best = None
+        for d, dr, dc in _D8:
+            nr, nc = r + dr, c + dc
+            if not (0 <= nr < h and 0 <= nc < w):
+                continue
+            zn = px.get((nr, nc), 0)
+            if z > zn:
+                key = (z - zn, -d)
+                if best is None or key > best[0]:
+                    best = (key, (nr, nc))
+        return None if best is None else best[1]
+
+    tgt = {p: d8(*p, z) for p, z in px.items()}
+    mass = {p: 1 for p in px}
+    acc = dict(mass)
+    for _ in range(rounds):
+        nxt = {}
+        for p, m in mass.items():
+            t = tgt.get(p)  # absent cells (arrived mass) have no target
+            if t is not None:
+                nxt[t] = nxt.get(t, 0) + m
+        for p, m in nxt.items():
+            acc[p] = acc.get(p, 0) + m
+        mass = nxt
+    df = spark.createDataFrame(
+        [(r, c, z) for (r, c), z in px.items()],
+        "row int, col int, value long")
+    got = {(x["row"], x["col"]): x["acc_mass"]
+           for x in flow_accumulate(df, width=w, height=h,
+                                    rounds=rounds).collect()}
+    assert got == acc
+    # own mass is a floor; the ceiling (every unit moving every round)
+    # is only reached if nothing gets absorbed by a pit or zero cell
+    assert len(px) <= sum(got.values()) <= len(px) * (rounds + 1)
+    assert any(m > 1 for m in got.values())  # something actually flowed

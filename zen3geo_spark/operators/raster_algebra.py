@@ -463,3 +463,76 @@ def flow_dir_d8_sql(pixels_sql: str, width: int, height: int) -> str:
                 else 15 - (bestenc % 16) end as int) as flow_dir
     from _b
     """
+
+
+def _d8_case(dir_col: str) -> tuple[str, str]:
+    """(drow, dcol) SQL CASE exprs for a D8 direction column — one
+    source of truth (_D8) for both engines."""
+    dr = " ".join(f"when {dir_col} = {d} then {r}" for d, r, _ in _D8)
+    dc = " ".join(f"when {dir_col} = {d} then {c}" for d, _, c in _D8)
+    return f"case {dr} end", f"case {dc} end"
+
+
+def flow_accumulate(pixels: DataFrame, width: int, height: int,
+                    rounds: int = 3) -> DataFrame:
+    """Bounded D8 flow accumulation: every present pixel starts with
+    unit mass; each round routes all moving mass one step along
+    :func:`flow_dir_d8` (pits absorb); the result is, per pixel, its
+    own mass plus everything that ARRIVED within ``rounds`` steps →
+    (row, col, acc_mass). The upstream-contributing-area approximation
+    of DEM hydrology, bounded exactly like the BFS/Bellman–Ford
+    supersteps (full accumulation = route to fixpoint). Mass can land
+    on an ABSENT (implicit-zero) cell — downhill into the sea — and is
+    absorbed there, exactly like at a pit: the output therefore covers
+    present pixels plus reached zero cells.
+
+    Scale shape: per round ONE equi-join of the moving-mass table
+    against the (pixel → downstream-target) map + a map-side-combinable
+    sum; mass rows only ever shrink (pits absorb). Integer throughout ⇒
+    bit-exact vs the unrolled DuckDB twin. Per-round
+    ``localCheckpoint(eager=False)`` keeps the plan O(1) in rounds."""
+    fd = flow_dir_d8(pixels, width, height)
+    dr_sql, dc_sql = _d8_case("flow_dir")
+    tgt = (fd.filter(F.col("flow_dir") >= 0)
+           .selectExpr("row", "col",
+                       f"row + ({dr_sql}) as nr",
+                       f"col + ({dc_sql}) as nc")
+           .localCheckpoint(eager=False))
+    mass = pixels.select("row", "col", F.lit(1).cast("long").alias("m"))
+    acc = mass
+    for _ in range(rounds):
+        moved = (mass.join(tgt, ["row", "col"])
+                 .groupBy(F.col("nr").alias("row"),
+                          F.col("nc").alias("col"))
+                 .agg(F.sum("m").alias("m"))
+                 .localCheckpoint(eager=False))
+        acc = (acc.unionAll(moved)
+               .groupBy("row", "col").agg(F.sum("m").alias("m"))
+               .localCheckpoint(eager=False))
+        mass = moved
+    return acc.select("row", "col", F.col("m").alias("acc_mass"))
+
+
+def flow_accumulate_sql(pixels_sql: str, width: int, height: int,
+                        rounds: int = 3) -> str:
+    """Engine-neutral SQL twin of :func:`flow_accumulate` (unrolled)."""
+    dr_sql, dc_sql = _d8_case("flow_dir")
+    parts = [
+        f"_fd as ({flow_dir_d8_sql(pixels_sql, width, height)})",
+        f"_tgt as (select row, col, row + ({dr_sql}) as nr, "
+        f"col + ({dc_sql}) as nc from _fd where flow_dir >= 0)",
+        f"m0 as (select row, col, cast(1 as bigint) as m "
+        f"from ({pixels_sql}))",
+        "a0 as (select row, col, m from m0)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"m{t} as (select t.nr as row, t.nc as col, sum(x.m) as m "
+            f"from m{t - 1} x join _tgt t using (row, col) "
+            f"group by t.nr, t.nc)")
+        parts.append(
+            f"a{t} as (select row, col, sum(m) as m from ("
+            f"select row, col, m from a{t - 1} union all "
+            f"select row, col, m from m{t}) group by row, col)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect row, col, m as acc_mass from a{rounds}")
