@@ -2954,6 +2954,19 @@ def q_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rect_overlay_join(a, b, res=5)
 
 
+def q_flow_basin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed basin labeling by pointer jumping: each pixel labeled
+    with the cell its D8 flow path reaches after 2^2 = 4 routing steps
+    — 2 self-joins instead of 4 (the O(log k) doubling trick, on the
+    flow DAG). The pointee join side is unique per cell, so popular
+    termini never fan out. Integer => bit-exact vs the unrolled twin."""
+    from zen3geo_spark.operators.raster_algebra import flow_basin
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.col("value").cast("long").alias("value"))
+    return flow_basin(img, width=360, height=180, jumps=2)
+
+
 def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded D8 flow accumulation (3 routing rounds) over the
     world-points raster: per pixel, own mass + everything arriving
@@ -3147,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "flow_basin": q_flow_basin,
         "flow_accum": q_flow_accum,
         "flow_dir": q_flow_dir,
         "lang_authority": q_lang_authority,
@@ -5065,8 +5079,10 @@ from g5 group by 1
     focal_stats_sql_q = focal_stats_sql(
         _world_px_int, width=360, height=180, radius=1)
     from zen3geo_spark.operators.raster_algebra import (
-        flow_accumulate_sql, flow_dir_d8_sql,
+        flow_accumulate_sql, flow_basin_sql, flow_dir_d8_sql,
     )
+    flow_basin_sql_q = flow_basin_sql(
+        _world_px_int, width=360, height=180, jumps=2)
     flow_dir_sql_q = flow_dir_d8_sql(_world_px_int, width=360, height=180)
     flow_accum_sql_q = flow_accumulate_sql(
         _world_px_int, width=360, height=180, rounds=3)
@@ -5668,6 +5684,7 @@ from f
         "snapshot_prune": snapshot_prune_sql_q,
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
+        "flow_basin": flow_basin_sql_q,
         "flow_accum": flow_accum_sql_q,
         "flow_dir": flow_dir_sql_q,
         "lang_authority": lang_authority_sql_q,

@@ -263,3 +263,45 @@ def test_flow_accumulate_matches_brute_force(spark):
     # is only reached if nothing gets absorbed by a pit or zero cell
     assert len(px) <= sum(got.values()) <= len(px) * (rounds + 1)
     assert any(m > 1 for m in got.values())  # something actually flowed
+
+
+def test_flow_basin_pointer_jumping_equals_step_routing(spark):
+    """2 pointer jumps == 4 single routing steps, brute-forced; pits
+    and implicit-zero termini are fixpoints."""
+    from zen3geo_spark.operators.raster_algebra import _D8, flow_basin
+
+    w = h = 8
+    px = {(r, c): ((r * 5 + c * 3) % 11) + 1
+          for r in range(h) for c in range(w)
+          if (r * 7 + c) % 3 != 0}
+
+    def step(p):
+        if p not in px:          # absorbed on a zero cell
+            return p
+        r, c = p
+        z = px[p]
+        best = None
+        for d, dr, dc in _D8:
+            nr, nc = r + dr, c + dc
+            if not (0 <= nr < h and 0 <= nc < w):
+                continue
+            zn = px.get((nr, nc), 0)
+            if z > zn:
+                key = (z - zn, -d)
+                if best is None or key > best[0]:
+                    best = (key, (nr, nc))
+        return p if best is None else best[1]
+
+    want = {}
+    for p in px:
+        q = p
+        for _ in range(4):
+            q = step(q)
+        want[p] = q
+    df = spark.createDataFrame(
+        [(r, c, z) for (r, c), z in px.items()],
+        "row int, col int, value long")
+    got = {(x["row"], x["col"]): (x["basin_row"], x["basin_col"])
+           for x in flow_basin(df, width=w, height=h, jumps=2).collect()}
+    assert got == want
+    assert len(set(got.values())) < len(got)  # paths actually converge

@@ -536,3 +536,68 @@ def flow_accumulate_sql(pixels_sql: str, width: int, height: int,
             f"select row, col, m from m{t}) group by row, col)")
     return ("with " + ",\n".join(parts)
             + f"\nselect row, col, m as acc_mass from a{rounds}")
+
+
+def flow_basin(pixels: DataFrame, width: int, height: int,
+               jumps: int = 2) -> DataFrame:
+    """Watershed basin labeling by POINTER JUMPING: every present pixel
+    is labeled with the cell its D8 flow path reaches after 2^``jumps``
+    steps (pits / reached zero cells are fixpoints) → (row, col,
+    basin_row, basin_col). With enough jumps this is the watershed
+    partition; bounded jumps cost ``jumps`` self-joins for 2^jumps
+    steps of routing — the O(log path-length) trick
+    ``dedup.connected_components`` uses, here on the flow DAG (contrast
+    :func:`flow_accumulate`, which pays one join PER step because it
+    needs the arriving mass at every intermediate cell, not just the
+    terminus).
+
+    Scale shape: each doubling is one equi-join of the pointer table
+    with itself on the pointee key; the pointee side is UNIQUE per cell
+    (one pointer row per pixel), so a popular basin terminus is many
+    probe rows against one build row — a plain hash join with no
+    fanout, never a hot-key explosion. Integer ⇒ bit-exact vs the
+    unrolled DuckDB twin."""
+    fd = flow_dir_d8(pixels, width, height)
+    dr_sql, dc_sql = _d8_case("flow_dir")
+    # f(p): one routing step; pits point at themselves (fixpoint)
+    f = (fd.selectExpr(
+            "row", "col",
+            f"case when flow_dir >= 0 then row + ({dr_sql}) "
+            f"else row end as pr",
+            f"case when flow_dir >= 0 then col + ({dc_sql}) "
+            f"else col end as pc")
+         .localCheckpoint(eager=False))
+    for _ in range(jumps):
+        # f2(p) = f(f(p)); a pointee absent from f (an implicit-zero
+        # cell, absorbing) is its own fixpoint
+        g = f.select(F.col("row").alias("pr"), F.col("col").alias("pc"),
+                     F.col("pr").alias("qr"), F.col("pc").alias("qc"))
+        f = (f.join(g, ["pr", "pc"], "left")
+             .select("row", "col",
+                     F.coalesce("qr", "pr").alias("pr"),
+                     F.coalesce("qc", "pc").alias("pc"))
+             .localCheckpoint(eager=False))
+    return f.select("row", "col", F.col("pr").alias("basin_row"),
+                    F.col("pc").alias("basin_col"))
+
+
+def flow_basin_sql(pixels_sql: str, width: int, height: int,
+                   jumps: int = 2) -> str:
+    """Engine-neutral SQL twin of :func:`flow_basin` (unrolled)."""
+    dr_sql, dc_sql = _d8_case("flow_dir")
+    parts = [
+        f"_fd as ({flow_dir_d8_sql(pixels_sql, width, height)})",
+        f"f0 as (select row, col, "
+        f"case when flow_dir >= 0 then row + ({dr_sql}) else row end as pr, "
+        f"case when flow_dir >= 0 then col + ({dc_sql}) else col end as pc "
+        f"from _fd)",
+    ]
+    for t in range(1, jumps + 1):
+        parts.append(
+            f"f{t} as (select a.row, a.col, "
+            f"coalesce(b.pr, a.pr) as pr, coalesce(b.pc, a.pc) as pc "
+            f"from f{t - 1} a left join f{t - 1} b "
+            f"on a.pr = b.row and a.pc = b.col)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect row, col, pr as basin_row, pc as basin_col "
+            + f"from f{jumps}")
