@@ -292,3 +292,91 @@ def test_kcore_peel_matches_brute_force(spark):
                                k=k, rounds=rounds).collect()}
     assert got == want
     assert 0 < len(got) < n  # the peel actually removed something
+
+
+def test_hits_matches_python_reference(spark):
+    """Pure-Python HITS with the same integer max-norm recurrence."""
+    from zen3geo_spark.operators.linkgraph import hits_fixed_point
+
+    n, iters, scale = 200, 2, 1_000_000
+    edges = set()
+    for h in range(n):
+        for d in ((h * 7 + 1) % n, (h * 13 + 3) % n, (h * 29 + 7) % n):
+            if d != h:
+                edges.add((h, d))
+    hub = [scale] * n
+    auth = [0] * n
+    for _ in range(iters):
+        raw = [0] * n
+        for s, d in edges:
+            raw[d] += hub[s]
+        mx = max(raw)
+        auth = [r * scale // mx for r in raw]
+        raw = [0] * n
+        for s, d in edges:
+            raw[s] += auth[d]
+        mx = max(raw)
+        hub = [r * scale // mx for r in raw]
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits_fixed_point(
+               synth_host_edges(spark, n), n_nodes=n, iters=iters).collect()}
+    assert got == {i: (hub[i], auth[i]) for i in range(n)}
+    assert max(v[0] for v in got.values()) == scale  # max-norm hit its cap
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    """A pure directory page (links out, no in-links) must score hub>0,
+    auth=0; a pure destination the reverse."""
+    from zen3geo_spark.operators.linkgraph import hits_fixed_point
+
+    rows = [(0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    edges = spark.createDataFrame(rows, "src: long, dst: long")
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits_fixed_point(edges, n_nodes=4, iters=2).collect()}
+    assert got[0][1] == 0 and got[0][0] > 0   # pure hub
+    assert got[1][1] == 0 and got[1][0] > 0
+    assert got[3][0] == 0 and got[3][1] > 0   # pure authority (no out-links)
+
+
+def test_neighbor_jaccard_matches_brute_force(spark):
+    from zen3geo_spark.operators.linkgraph import (
+        neighbor_jaccard, synth_host_edges_dense,
+    )
+
+    n, max_deg, min_common = 300, 64, 2
+    und = set()
+    for h in range(n):
+        for d in ((h + 1) % n, (h + 2) % n, (h * 7 + 1) % n,
+                  (h * 13 + 3) % n):
+            if d != h:
+                und.add((min(h, d), max(h, d)))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    ok = {v for v, s in nbrs.items() if len(s) <= max_deg}
+    want = {}
+    from itertools import combinations
+    for c in ok:
+        for x, y in combinations(sorted(nbrs[c]), 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    want = {
+        p: (c, len(nbrs[p[0]]) + len(nbrs[p[1]]) - c)
+        for p, c in want.items() if c >= min_common
+    }
+    got = {(r["host_a"], r["host_b"]): (r["n_common"], r["n_union"])
+           for r in neighbor_jaccard(
+               synth_host_edges_dense(spark, n), max_deg=max_deg,
+               min_common=min_common).collect()}
+    assert got == want
+    assert all(c <= u for c, u in got.values())
+
+
+def test_neighbor_jaccard_hot_center_guard(spark):
+    """A star hub above max_deg contributes no wedges through itself."""
+    from zen3geo_spark.operators.linkgraph import neighbor_jaccard
+
+    rows = [(99, i) for i in range(10)]  # hub 99, degree 10
+    edges = spark.createDataFrame(rows, "src: long, dst: long")
+    out = neighbor_jaccard(edges, max_deg=5, min_common=1).collect()
+    assert out == []  # only possible wedge center is the hub, guarded off

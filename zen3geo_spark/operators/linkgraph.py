@@ -430,3 +430,158 @@ def kcore_sql_duckdb(n_hosts: int = 1000, k: int = 3,
             + f"\nselect node, count(*) as deg from ("
             + f"select a as node from g{rounds} "
             + f"union all select b from g{rounds}) group by node")
+
+
+def hits_fixed_point(edges: DataFrame, n_nodes: int,
+                     iters: int = 2) -> DataFrame:
+    """Bounded HITS (Kleinberg hubs-and-authorities) in integer
+    fixed-point → DataFrame (node, hub_fp, auth_fp). The directory-page
+    vs destination-page separation PageRank cannot express: a crawl
+    seed-list builder wants high-HUB pages (link OUT to many good
+    hosts), a quality weigher wants high-AUTHORITY ones.
+
+    Determinism: the classic L2 normalization is FP and
+    order-dependent, so each half-step instead rescales by the CURRENT
+    MAX score — ``s' = s_raw * SCALE // max(s_raw)`` — which is
+    integer, keeps every score in [0, SCALE], and preserves the
+    ranking exactly (max-norm is a valid HITS normalization; the
+    principal eigenvector direction is unchanged). int64 sums are
+    associative, so Spark's partial aggregates and DuckDB's sequential
+    sums agree bit-for-bit.
+
+    Scale shape: each half-step is one equi-join of the edge list
+    against the score table plus a map-side-combinable sum — O(|E|)
+    per round, the Pregel superstep cost — and the max is a one-row
+    aggregate broadcast back via a constant-key join (never a
+    driver-side collect of scores). Per-round
+    ``localCheckpoint(eager=False)`` keeps the plan O(1) in rounds
+    (same no-recompute caveat as :func:`pagerank_fixed_point`)."""
+    spark = edges.sparkSession
+    ed = edges.localCheckpoint(eager=False)
+    scale = 1_000_000
+    nodes = spark.range(n_nodes).withColumnRenamed("id", "node")
+    hub = nodes.withColumn("hub_fp", F.lit(scale).cast("long"))
+
+    def _rescaled(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("mx")).withColumn("k", F.lit(1))
+        return (nodes.join(raw, on="node", how="left")
+                .withColumn("k", F.lit(1))
+                .join(F.broadcast(mx), on="k")
+                .select("node",
+                        F.expr(f"coalesce(raw, 0) * {scale} div mx")
+                        .cast("long").alias(col)))
+
+    for _ in range(iters):
+        a_raw = (ed.join(hub.withColumnRenamed("node", "src"), on="src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub_fp").alias("raw")))
+        auth = _rescaled(a_raw, "auth_fp").localCheckpoint(eager=False)
+        h_raw = (ed.join(auth.withColumnRenamed("node", "dst"), on="dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth_fp").alias("raw")))
+        hub = _rescaled(h_raw, "hub_fp").localCheckpoint(eager=False)
+    return (hub.join(auth, on="node")
+            .select("node", "hub_fp", "auth_fp"))
+
+
+def hits_sql_duckdb(n_hosts: int = 1000, iters: int = 2) -> str:
+    """DuckDB twin of :func:`hits_fixed_point` (unrolled half-steps,
+    max via scalar subquery — same integer rescale)."""
+    scale = 1_000_000
+    parts = [
+        f"edges as ({synth_host_edges_sql_duckdb(n_hosts)})",
+        f"nodes as (select id as node from range({n_hosts}) t(id))",
+        f"h0 as (select node, cast({scale} as bigint) as hub_fp "
+        f"from nodes)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"ar{t} as (select e.dst as node, sum(h.hub_fp) as raw "
+            f"from edges e join h{t} h on e.src = h.node group by e.dst)")
+        parts.append(
+            f"a{t + 1} as (select n.node, cast(coalesce(r.raw, 0) * {scale}"
+            f" // (select max(raw) from ar{t}) as bigint) as auth_fp "
+            f"from nodes n left join ar{t} r on n.node = r.node)")
+        parts.append(
+            f"hr{t} as (select e.src as node, sum(a.auth_fp) as raw "
+            f"from edges e join a{t + 1} a on e.dst = a.node "
+            f"group by e.src)")
+        parts.append(
+            f"h{t + 1} as (select n.node, cast(coalesce(r.raw, 0) * {scale}"
+            f" // (select max(raw) from hr{t}) as bigint) as hub_fp "
+            f"from nodes n left join hr{t} r on n.node = r.node)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect h.node, h.hub_fp, a.auth_fp "
+            + f"from h{iters} h join a{iters} a on h.node = a.node")
+
+
+def neighbor_jaccard(edges: DataFrame, max_deg: int = 64,
+                     min_common: int = 2) -> DataFrame:
+    """Neighbor-set Jaccard link similarity over the UNDIRECTED host
+    graph: for host pairs sharing ≥ ``min_common`` neighbors, the exact
+    (n_common, n_union) sufficient statistics → DataFrame (host_a,
+    host_b, n_common, n_union). The classic link-prediction /
+    mirror-site signal: two hosts cited by the same neighborhoods are
+    related even if they never link each other. The integer pair IS the
+    Jaccard (j = n_common / n_union) — emitting the ratio would be FP
+    and break the cross-engine hash for nothing.
+
+    Scale shape: pairs are generated through the common NEIGHBOR
+    (wedge equi-join), never all-pairs, and nodes with degree >
+    ``max_deg`` are dropped from the wedge-center role first — the
+    same hot-block guard as :func:`cocitation_pairs`: a 10^5-degree
+    hub would otherwise emit 10^10 wedges. Union size comes from the
+    degree table (n_union = da + db − n_common), so no second pass
+    over neighbor sets. All integer ⇒ bit-exact vs the twin."""
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    # symmetric adjacency (node, nbr)
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr"))))
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    ok_centers = deg.filter(F.col("deg") <= max_deg).select("node")
+    cadj = adj.join(ok_centers.withColumnRenamed("node", "nbr")
+                   .select(F.col("nbr")), on="nbr", how="left_semi")
+    w1 = cadj.select(F.col("nbr").alias("c"), F.col("node").alias("host_a"))
+    w2 = cadj.select(F.col("nbr").alias("c"), F.col("node").alias("host_b"))
+    common = (w1.join(w2, on="c")
+              .filter(F.col("host_a") < F.col("host_b"))
+              .groupBy("host_a", "host_b")
+              .agg(F.count("*").alias("n_common"))
+              .filter(F.col("n_common") >= min_common))
+    da = deg.select(F.col("node").alias("host_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("host_b"), F.col("deg").alias("db"))
+    return (common.join(da, on="host_a").join(db, on="host_b")
+            .select("host_a", "host_b", "n_common",
+                    (F.col("da") + F.col("db") - F.col("n_common"))
+                    .alias("n_union")))
+
+
+def neighbor_jaccard_sql_duckdb(n_hosts: int = 1000, max_deg: int = 64,
+                                min_common: int = 2) -> str:
+    """DuckDB twin of :func:`neighbor_jaccard` (same center guard)."""
+    return f"""
+with edges as ({synth_host_edges_dense_sql_duckdb(n_hosts)}),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst),
+adj as (select a as node, b as nbr from und
+        union all select b as node, a as nbr from und),
+deg as (select node, count(*) as deg from adj group by node),
+okc as (select node from deg where deg <= {max_deg}),
+cadj as (select adj.node, adj.nbr from adj
+         where exists (select 1 from okc where okc.node = adj.nbr)),
+common as (
+  select w1.node as host_a, w2.node as host_b, count(*) as n_common
+  from cadj w1 join cadj w2 on w1.nbr = w2.nbr
+  where w1.node < w2.node
+  group by 1, 2
+  having count(*) >= {min_common})
+select c.host_a, c.host_b, c.n_common,
+       d1.deg + d2.deg - c.n_common as n_union
+from common c join deg d1 on d1.node = c.host_a
+              join deg d2 on d2.node = c.host_b
+"""
