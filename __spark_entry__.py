@@ -2993,6 +2993,66 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded chamfer-(3,4) distance transform over the world
+    count-raster (gdal_proximity shape): distance-to-nearest populated
+    tile (value ≥ 2) for everything within 3 chamfer steps. Per round a
+    fan-out-8 projection + map-side-combinable min — sparse, no dense
+    canvas. Integer chamfer units ⇒ hash-exact."""
+    from zen3geo_spark.operators.raster_algebra import distance_transform
+
+    img = (q_rasterize_world_points(spark, sf_dir)
+           .filter(F.col("value") >= 2)
+           .select("row", "col", F.col("value").cast("long").alias("value")))
+    return distance_transform(img, width=360, height=180, rounds=3)
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster polygonize (gdal_polygonize shape): 4-connected
+    equal-class regions of the density-classified world raster
+    (cls = least(value, 3)), labeled by the dedup CC kernel
+    (contraction + pointer jumping) and aggregated to (region, class,
+    pixel count, bbox). Adjacency = two shifted self-equi-joins — fanout
+    ≤ 2 per pixel; a continent-sized region costs O(log diameter)
+    rounds. Integer ⇒ hash-exact vs the recursive-CTE twin."""
+    from zen3geo_spark.operators.raster_algebra import polygonize_regions
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.least(F.col("value"), F.lit(3))
+        .cast("long").alias("cls"))
+    return polygonize_regions(img, width=360)
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded HITS hubs-and-authorities over the host link graph in
+    integer fixed-point (max-norm rescale instead of FP L2 — ranking
+    preserved, every score integer): the directory-page vs
+    destination-page separation a crawl seed-list builder needs and
+    PageRank can't express. Per half-step: one edge⋈score equi-join +
+    map-side-combinable sum + a one-row max broadcast. Bit-exact vs
+    the unrolled DuckDB twin."""
+    from zen3geo_spark.operators.linkgraph import (
+        hits_fixed_point, synth_host_edges,
+    )
+
+    edges = synth_host_edges(spark, n_hosts=1000)
+    return hits_fixed_point(edges, n_nodes=1000, iters=2)
+
+
+def q_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between host pairs over the
+    dense undirected graph (mirror-site / link-prediction signal):
+    wedge equi-join through the common neighbor with the hot-center
+    degree guard — never all-pairs; union size from the degree table.
+    Integer (n_common, n_union) sufficient statistics ⇒ hash-exact."""
+    from zen3geo_spark.operators.linkgraph import (
+        neighbor_jaccard, synth_host_edges_dense,
+    )
+
+    edges = synth_host_edges_dense(spark, n_hosts=1000)
+    return neighbor_jaccard(edges, max_deg=64, min_common=2)
+
+
 def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEM-style slope/aspect map algebra over the world-points count
     raster: central-difference gradient (gx, gy) via a fan-out-4
@@ -3160,6 +3220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "distance_transform": q_distance_transform,
+        "polygonize": q_polygonize,
+        "hits": q_hits,
+        "link_jaccard": q_link_jaccard,
         "flow_basin": q_flow_basin,
         "flow_accum": q_flow_accum,
         "flow_dir": q_flow_dir,
@@ -5205,6 +5269,16 @@ from g5 group by 1
     contour_sql_q = contour_crossings_sql(
         _world_px_int, width=360, height=180, threshold=2)
 
+    from zen3geo_spark.operators.raster_algebra import (
+        distance_transform_sql, polygonize_regions_sql_duckdb,
+    )
+    distance_transform_sql_q = distance_transform_sql(
+        f"select row, col, value from ({_world_px_int}) where value >= 2",
+        width=360, height=180, rounds=3)
+    polygonize_sql_q = polygonize_regions_sql_duckdb(
+        f"select row, col, cast(least(value, 3) as bigint) as cls "
+        f"from ({_world_px_int})", width=360)
+
     from zen3geo_spark.operators.linkgraph import (
         bfs_hops_sql_duckdb, cocitation_sql_duckdb,
         triangle_counts_sql_duckdb,
@@ -5213,6 +5287,12 @@ from g5 group by 1
         cheapest_paths_sql_duckdb, kcore_sql_duckdb,
     )
     kcore_sql_q = kcore_sql_duckdb(n_hosts=1000, k=8, rounds=3)
+    from zen3geo_spark.operators.linkgraph import (
+        hits_sql_duckdb, neighbor_jaccard_sql_duckdb,
+    )
+    hits_sql_q = hits_sql_duckdb(n_hosts=1000, iters=2)
+    link_jaccard_sql_q = neighbor_jaccard_sql_duckdb(
+        n_hosts=1000, max_deg=64, min_common=2)
     from zen3geo_spark.operators.linkgraph import (
         synth_host_edges_dense_sql_duckdb,
     )
@@ -5685,6 +5765,10 @@ from f
         "cell_diversity": cell_diversity_sql_q,
         "cell_anomaly": cell_anomaly_sql_q,
         "flow_basin": flow_basin_sql_q,
+        "hits": hits_sql_q,
+        "link_jaccard": link_jaccard_sql_q,
+        "distance_transform": distance_transform_sql_q,
+        "polygonize": polygonize_sql_q,
         "flow_accum": flow_accum_sql_q,
         "flow_dir": flow_dir_sql_q,
         "lang_authority": lang_authority_sql_q,

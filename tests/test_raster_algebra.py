@@ -305,3 +305,85 @@ def test_flow_basin_pointer_jumping_equals_step_routing(spark):
            for x in flow_basin(df, width=w, height=h, jumps=2).collect()}
     assert got == want
     assert len(set(got.values())) < len(got)  # paths actually converge
+
+
+def test_distance_transform_single_feature(spark):
+    """One feature pixel: chamfer-(3,4) distances radiate exactly —
+    orthogonal neighbors 3, diagonals 4, two orthogonal steps 6, a
+    knight's-move cell min(3+4)=7."""
+    from zen3geo_spark.operators.raster_algebra import distance_transform
+
+    px = spark.createDataFrame([(5, 5, 1)], "row int, col int, value long")
+    out = {(r.row, r.col): r.dist
+           for r in distance_transform(px, width=20, height=20,
+                                       rounds=2).collect()}
+    assert out[(5, 5)] == 0
+    assert out[(4, 5)] == out[(5, 4)] == out[(6, 5)] == out[(5, 6)] == 3
+    assert out[(4, 4)] == out[(6, 6)] == 4
+    assert out[(3, 5)] == 6          # two orthogonal steps
+    assert out[(3, 4)] == 7          # one diagonal + one orthogonal
+    assert out[(3, 3)] == 8          # two diagonals
+    assert (1, 5) not in out         # outside the 2-round band
+
+
+def test_distance_transform_two_features_min_and_bounds(spark):
+    """Distance takes the min over features; propagation clips at the
+    raster edge (no negative rows/cols)."""
+    from zen3geo_spark.operators.raster_algebra import distance_transform
+
+    px = spark.createDataFrame([(0, 0, 1), (0, 4, 1)],
+                               "row int, col int, value long")
+    out = {(r.row, r.col): r.dist
+           for r in distance_transform(px, width=6, height=3,
+                                       rounds=2).collect()}
+    assert out[(0, 2)] == 6          # 2 steps from either feature
+    assert out[(0, 1)] == 3          # nearer feature wins
+    assert min(r for r, _ in out) == 0 and min(c for _, c in out) == 0
+    assert all(0 <= r < 3 and 0 <= c < 6 for r, c in out)
+
+
+def test_distance_transform_extra_rounds_monotone(spark):
+    """Rounds only ADD cells — distances already found never change
+    (min-combine monotonicity, the exactness-within-band argument)."""
+    from zen3geo_spark.operators.raster_algebra import distance_transform
+
+    px = spark.createDataFrame([(2, 2, 1)], "row int, col int, value long")
+    d2 = {(r.row, r.col): r.dist
+          for r in distance_transform(px, 9, 9, rounds=2).collect()}
+    d3 = {(r.row, r.col): r.dist
+          for r in distance_transform(px, 9, 9, rounds=3).collect()}
+    assert set(d2) <= set(d3)
+    assert all(d3[k] == v for k, v in d2.items())
+
+
+def test_polygonize_two_regions_same_class(spark):
+    """Two diagonal pixels of one class are 4-DISCONNECTED → two
+    regions; adding the bridging pixel merges them into one."""
+    from zen3geo_spark.operators.raster_algebra import polygonize_regions
+
+    sep = spark.createDataFrame([(0, 0, 1), (1, 1, 1)],
+                                "row int, col int, cls long")
+    out = polygonize_regions(sep, width=10).collect()
+    assert len(out) == 2 and all(r.n_pixels == 1 for r in out)
+
+    bridged = spark.createDataFrame([(0, 0, 1), (0, 1, 1), (1, 1, 1)],
+                                    "row int, col int, cls long")
+    out = polygonize_regions(bridged, width=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.region_id, r.cls, r.n_pixels) == (0, 1, 3)
+    assert (r.min_row, r.min_col, r.max_row, r.max_col) == (0, 0, 1, 1)
+
+
+def test_polygonize_class_boundary_splits(spark):
+    """Adjacent pixels of DIFFERENT classes never merge: a 2x2 block
+    with a class-checkerboard yields 4 singleton regions."""
+    from zen3geo_spark.operators.raster_algebra import polygonize_regions
+
+    px = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 2), (1, 0, 2), (1, 1, 1)],
+        "row int, col int, cls long")
+    out = polygonize_regions(px, width=10).collect()
+    assert len(out) == 4 and all(r.n_pixels == 1 for r in out)
+    # region_id is the min pixel id: row*width+col
+    assert sorted(r.region_id for r in out) == [0, 1, 10, 11]

@@ -601,3 +601,159 @@ def flow_basin_sql(pixels_sql: str, width: int, height: int,
     return ("with " + ",\n".join(parts)
             + f"\nselect row, col, pr as basin_row, pc as basin_col "
             + f"from f{jumps}")
+
+
+# ---------------------------------------------------------------------------
+# chamfer distance transform (gdal_proximity shape)
+# ---------------------------------------------------------------------------
+
+_CHAMFER_OFFS = [(-1, -1, 4), (-1, 0, 3), (-1, 1, 4), (0, -1, 3),
+                 (0, 1, 3), (1, -1, 4), (1, 0, 3), (1, 1, 4)]
+
+
+def distance_transform(pixels: DataFrame, width: int, height: int,
+                       rounds: int = 3) -> DataFrame:
+    """Bounded chamfer-(3,4) distance transform over the sparse raster:
+    distance-to-nearest-FEATURE for every in-bounds cell reachable
+    within ``rounds`` propagation steps of a present pixel → (row, col,
+    dist) with dist in chamfer units (orthogonal step 3, diagonal 4 —
+    the classic integer approximation of ~3·euclidean; feature pixels
+    score 0). The gdal_proximity / "how far is every page-tile from
+    the nearest populated tile" surface, on the only representation
+    that exists at a 10^12-page world canvas (non-empty rows only).
+
+    ``rounds`` bounds the band: cells farther than ``rounds`` chamfer
+    steps stay absent (a proximity query rarely needs the far field;
+    full transform = run to fixpoint). Exactness within the band: a
+    min-path of k ≤ rounds steps is found by round k, and extra rounds
+    cannot lower it (min-combine is monotone).
+
+    Scale shape: per round one fan-out-8 projection of the CURRENT
+    band + a map-side-combinable min per cell — O(8·|band|) rows
+    shuffled on the pixel key, no dense canvas, no window over a
+    global sort. Per-round ``localCheckpoint(eager=False)`` keeps the
+    plan O(1) in rounds. All integer ⇒ bit-exact vs the unrolled
+    DuckDB twin."""
+    offs = ", ".join(f"struct({dr} as dr, {dc} as dc, {w} as w)"
+                     for dr, dc, w in _CHAMFER_OFFS)
+    cur = pixels.select("row", "col",
+                        F.lit(0).cast("long").alias("dist"))
+    for _ in range(rounds):
+        moved = (cur.selectExpr("row", "col", "dist",
+                                f"explode(array({offs})) as o")
+                 .selectExpr("row + o.dr as row", "col + o.dc as col",
+                             "dist + o.w as dist")
+                 .filter(f"row >= 0 and row < {height} "
+                         f"and col >= 0 and col < {width}"))
+        cur = (cur.unionAll(moved)
+               .groupBy("row", "col").agg(F.min("dist").alias("dist"))
+               .localCheckpoint(eager=False))
+    return cur
+
+
+def distance_transform_sql(pixels_sql: str, width: int, height: int,
+                           rounds: int = 3) -> str:
+    """Engine-neutral SQL twin of :func:`distance_transform`."""
+    offs = ", ".join(f"({dr}, {dc}, {w})" for dr, dc, w in _CHAMFER_OFFS)
+    parts = [
+        f"_o as (select * from (values {offs}) as t(dr, dc, w))",
+        f"dt0 as (select row, col, cast(0 as bigint) as dist "
+        f"from ({pixels_sql}))",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"dt{t} as (select row, col, min(dist) as dist from ("
+            f"select row, col, dist from dt{t - 1} "
+            f"union all "
+            f"select d.row + o.dr as row, d.col + o.dc as col, "
+            f"d.dist + o.w as dist from dt{t - 1} d cross join _o o"
+            f") where row >= 0 and row < {height} "
+            f"and col >= 0 and col < {width} "
+            f"group by row, col)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect row, col, dist from dt{rounds}")
+
+
+# ---------------------------------------------------------------------------
+# raster polygonize (equal-class connected regions, gdal_polygonize shape)
+# ---------------------------------------------------------------------------
+
+def polygonize_regions(pixels: DataFrame, width: int) -> DataFrame:
+    """Label 4-connected equal-CLASS regions of a sparse classified
+    raster and aggregate each region → (region_id, cls, n_pixels,
+    min_row, min_col, max_row, max_col). The gdal_polygonize shape:
+    a classified burn (land-cover band, thresholded density, …) turned
+    into discrete region features with their class and bbox;
+    region_id = min pixel id (row·width + col) in the region —
+    deterministic, so the whole table is hash-exact cross-engine.
+
+    ``pixels``: (row int, col int, cls bigint) — one row per non-empty
+    cell (absent cells are background and never merge regions).
+
+    Scale shape: adjacency comes from TWO self-equi-joins of the pixel
+    table on the shifted key ((row, col+1) / (row+1, col)) with the
+    class equality in the join condition — no fan-out beyond 2 rows per
+    pixel, no dense canvas — and the region labels come from
+    ``dedup.connected_components`` (partition-local union-find
+    contraction + pointer-jumped min-label propagation, O(log diameter)
+    rounds). A continent-sized region costs O(log diameter) rounds, not
+    O(perimeter). Reusing the dedup CC kernel for raster topology is
+    the point: one scalable component engine serves text near-dup
+    clusters, watershed basins, and region polygonize alike."""
+    from zen3geo_spark.operators.dedup import connected_components
+
+    ids = pixels.select(
+        (F.col("row") * width + F.col("col")).cast("long").alias("id"),
+        "row", "col", "cls")
+    a = ids.select(F.col("id").alias("a_id"), "row", "col", "cls")
+    b = ids.select(F.col("id").alias("b_id"),
+                   F.col("row").alias("brow"), F.col("col").alias("bcol"),
+                   F.col("cls").alias("bcls"))
+    right = a.join(b, (F.col("brow") == F.col("row"))
+                   & (F.col("bcol") == F.col("col") + 1)
+                   & (F.col("bcls") == F.col("cls")))
+    down = a.join(b, (F.col("brow") == F.col("row") + 1)
+                  & (F.col("bcol") == F.col("col"))
+                  & (F.col("bcls") == F.col("cls")))
+    edges = (right.select("a_id", "b_id")
+             .unionAll(down.select("a_id", "b_id")))
+    comp = connected_components(
+        edges, nodes=ids.select(F.col("id").alias("node")))
+    return (ids.join(comp.withColumnRenamed("node", "id"), on="id")
+            .groupBy(F.col("component").alias("region_id"), "cls")
+            .agg(F.count("*").alias("n_pixels"),
+                 F.min("row").alias("min_row"), F.min("col").alias("min_col"),
+                 F.max("row").alias("max_row"), F.max("col").alias("max_col")))
+
+
+def polygonize_regions_sql_duckdb(pixels_cls_sql: str, width: int) -> str:
+    """DuckDB twin of :func:`polygonize_regions`: recursive-CTE
+    reachability over the same 4-adjacency equal-class edges (oracle
+    scale — regions are small), aggregated identically.
+    ``pixels_cls_sql`` must be FLAT CTE-injectable (self-contained
+    select yielding (row, col, cls))."""
+    return f"""
+with recursive
+_px as ({pixels_cls_sql}),
+_ids as (select row * {width} + col as id, row, col, cls from _px),
+_e as (
+  select a.id as u, b.id as v from _ids a join _ids b
+    on b.row = a.row and b.col = a.col + 1 and b.cls = a.cls
+  union all
+  select a.id as u, b.id as v from _ids a join _ids b
+    on b.row = a.row + 1 and b.col = a.col and b.cls = a.cls
+),
+_es as (select u, v from _e union all select v as u, u as v from _e),
+reach(a, b) as (
+  select id, id from _ids
+  union
+  select r.a, e.v from reach r join _es e on e.u = r.b
+),
+comp as (select a as id, min(b) as component from reach group by a)
+select c.component as region_id, x.cls,
+       count(*) as n_pixels,
+       min(x.row) as min_row, min(x.col) as min_col,
+       max(x.row) as max_row, max(x.col) as max_col
+from comp c join _ids x on x.id = c.id
+group by c.component, x.cls
+"""
