@@ -2993,6 +2993,44 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided integer CUSUM drift screen over per-host crawl-volume
+    series (text bytes per epoch): flags sustained shifts a per-point
+    spike test misses. The sequential CUSUM recurrence is rewritten
+    closed-form as prefix-sum minus running-min — two sums + two mins
+    over ONE (host, epoch) window shuffle. All bigint ⇒ hash-exact."""
+    from zen3geo_spark.operators.temporal import cusum_screen
+
+    series = (synth_pages(spark, N_PAGES)
+              .selectExpr(f"({URL_PID_SQL}) % 50 as host_id",
+                          f"({URL_PID_SQL}) div 500 as epoch",
+                          "length(text) as tl")
+              .groupBy("host_id", "epoch")
+              .agg(F.sum("tl").alias("vol")))
+    return cusum_screen(series, "host_id", "epoch", "vol",
+                        drift_k=20, threshold=60)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (Iceberg/Delta upsert) semantics over the canonical
+    page table: fold a re-crawl change batch (update / delete / insert
+    ops, last-op-wins CDC collapse via struct-max) into the base
+    snapshot through ONE url-keyed full-outer equi-join — unique keys
+    both sides, skew-free, bucket-co-locatable at 10^12 rows. Output =
+    next snapshot + an action audit column; hash-exact."""
+    from zen3geo_spark.operators.temporal import merge_upsert
+
+    pages = synth_pages(spark, N_PAGES).selectExpr(
+        "url", f"{URL_PID_SQL} as pid", "lang")
+    base = pages.filter("pid < 4000").selectExpr(
+        "url", "lang", "pid % 7 as band")
+    upd = (pages.filter("pid >= 3000")
+           .selectExpr("url", "pid as ord",
+                       "case when pid % 10 = 0 then 'D' else 'U' end as op",
+                       "concat(lang, '2') as lang", "pid % 7 + 1 as band"))
+    return merge_upsert(base, upd, "url", "ord")
+
+
 def q_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded chamfer-(3,4) distance transform over the world
     count-raster (gdal_proximity shape): distance-to-nearest populated
@@ -3220,6 +3258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "cusum_drift": q_cusum_drift,
+        "merge_upsert": q_merge_upsert,
         "distance_transform": q_distance_transform,
         "polygonize": q_polygonize,
         "hits": q_hits,
@@ -5269,6 +5309,30 @@ from g5 group by 1
     contour_sql_q = contour_crossings_sql(
         _world_px_int, width=360, height=180, threshold=2)
 
+    from zen3geo_spark.operators.temporal import cusum_screen_sql
+    cusum_drift_sql_q = cusum_screen_sql(
+        f"""select id % 50 as host_id, id // 500 as epoch,
+                   sum(length(text)) as vol
+            from ({pages_cte_sql(N_PAGES, with_id=True)})
+            group by 1, 2""",
+        "host_id", "epoch", "vol", drift_k=20, threshold=60)
+    merge_upsert_sql_q = f"""
+with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+p as (select url, id as pid, lang from pages),
+base as (select url, lang, pid % 7 as band from p where pid < 4000),
+upd as (select url, pid as ord,
+               case when pid % 10 = 0 then 'D' else 'U' end as op,
+               concat(lang, '2') as lang, pid % 7 + 1 as band
+        from p where pid >= 3000)
+select coalesce(b.url, u.url) as url,
+       case when u.url is not null then u.lang else b.lang end as lang,
+       case when u.url is not null then u.band else b.band end as band,
+       case when u.url is null then 'keep'
+            when b.url is null then 'insert' else 'update' end as action
+from base b full outer join upd u on b.url = u.url
+where u.url is null or u.op <> 'D'
+"""
+
     from zen3geo_spark.operators.raster_algebra import (
         distance_transform_sql, polygonize_regions_sql_duckdb,
     )
@@ -5767,6 +5831,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "cusum_drift": cusum_drift_sql_q,
+        "merge_upsert": merge_upsert_sql_q,
         "distance_transform": distance_transform_sql_q,
         "polygonize": polygonize_sql_q,
         "flow_accum": flow_accum_sql_q,

@@ -184,3 +184,73 @@ def test_scd2_compact_single_exchange(spark):
     plan = scd2_compact(obs, "url", "epoch", "v") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_cusum_closed_form_equals_sequential_recurrence(spark):
+    """The prefix-sum-minus-running-min rewrite must equal the textbook
+    sequential recurrence C_t = max(0, C_{t-1} + d_t) exactly."""
+    from zen3geo_spark.operators.temporal import cusum_screen
+
+    vals = [10, 10, 11, 9, 10, 16, 17, 18, 15, 10, 4, 3, 10]
+    rows = [(1, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    out = {r.t: (r.c_plus, r.c_minus)
+           for r in cusum_screen(df, "k", "t", "v", drift_k=1,
+                                 threshold=-1).collect()}
+    mu = sum(vals) // len(vals)
+    cp = cm = 0
+    for t, v in enumerate(vals):
+        cp = max(0, cp + v - mu - 1)
+        cm = max(0, cm + mu - v - 1)
+        assert out[t] == (cp, cm), t
+
+
+def test_cusum_flags_sustained_shift_not_noise(spark):
+    """A level shift of +3 for 6 epochs crosses the alarm; alternating
+    ±1 noise around the mean never accumulates."""
+    from zen3geo_spark.operators.temporal import cusum_screen
+
+    shifted = [10] * 10 + [13] * 6 + [10] * 4
+    noisy = [10 + (1 if t % 2 else -1) for t in range(20)]
+    rows = ([(1, t, v) for t, v in enumerate(shifted)]
+            + [(2, t, v) for t, v in enumerate(noisy)])
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    out = cusum_screen(df, "k", "t", "v", drift_k=1, threshold=4).collect()
+    assert {r.k for r in out} == {1}
+    assert all(r.t >= 12 for r in out)  # alarm fires during the shift
+
+
+def test_merge_upsert_actions_golden(spark):
+    from zen3geo_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame(
+        [("a", "en", 1), ("b", "de", 2), ("c", "ja", 3)],
+        "url string, lang string, band long")
+    upd = spark.createDataFrame(
+        [("b", 10, "U", "de2", 5),     # update
+         ("c", 10, "D", "x", 0),       # delete
+         ("d", 10, "U", "fr", 7),      # insert
+         ("e", 10, "D", "x", 0)],      # delete of absent key: no-op
+        "url string, ord long, op string, lang string, band long")
+    out = {r.url: (r.lang, r.band, r.action)
+           for r in merge_upsert(base, upd, "url", "ord").collect()}
+    assert out == {"a": ("en", 1, "keep"),
+                   "b": ("de2", 5, "update"),
+                   "d": ("fr", 7, "insert")}
+
+
+def test_merge_upsert_last_op_wins_collapse(spark):
+    """Several ops per key in one batch: greatest ord wins; an ord tie
+    resolves by the struct's lexicographic order (deterministic)."""
+    from zen3geo_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame([("a", "en", 1), ("b", "de", 2)],
+                                 "url string, lang string, band long")
+    upd = spark.createDataFrame(
+        [("a", 1, "U", "v1", 5), ("a", 2, "D", "x", 0),   # later D wins
+         ("b", 1, "D", "x", 0), ("b", 2, "U", "v2", 6),   # later U wins
+         ("b", 2, "U", "v3", 7)],                         # tie: 'v3' > 'v2'
+        "url string, ord long, op string, lang string, band long")
+    out = {r.url: (r.lang, r.band, r.action)
+           for r in merge_upsert(base, upd, "url", "ord").collect()}
+    assert out == {"b": ("v3", 7, "update")}

@@ -150,3 +150,117 @@ def scd2_compact(obs: DataFrame, key: str, ord_col: str,
                                    F.col("_last")))
             .select(key, val_col,
                     F.col(ord_col).alias("valid_from"), "valid_to"))
+
+
+def cusum_screen(series: DataFrame, key_col: str, ord_col: str,
+                 val_col: str, drift_k: int = 1,
+                 threshold: int = 6) -> DataFrame:
+    """Two-sided integer CUSUM change-point screen over per-key series
+    → the flagged rows (key, t, value, c_plus, c_minus). The
+    crawl-ops drift monitor: CUSUM accumulates small sustained shifts
+    that a per-point spike test (``event_anomaly``) never sees.
+
+    The textbook recurrence ``C⁺_t = max(0, C⁺_{t−1} + v_t − μ − k)``
+    is sequential, which a distributed window cannot run directly; the
+    classic prefix-sum identity rewrites it closed-form:
+
+        C⁺_t = S_t − min(0, min_{j≤t} S_j),  S = prefix sum of (v−μ−k)
+
+    (and symmetrically C⁻ with (μ−v−k)) — so the whole screen is two
+    prefix sums + two running mins over ONE (key, t) window: a single
+    shuffle, map-side-combinable nothing, spill-safe like any window.
+    μ is the per-key floor-mean (sum div n) — integer, so every
+    quantity is exact bigint and the flagged set is hash-identical
+    cross-engine. ``drift_k`` is the slack per step, ``threshold`` the
+    alarm level, both in value units."""
+    w = (Window.partitionBy(key_col).orderBy(ord_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    mu = (series.groupBy(key_col)
+          .agg(F.expr(f"sum({val_col}) div count(*)").alias("_mu")))
+    d = (series.join(mu, on=key_col)
+         .withColumn("_dp", F.col(val_col) - F.col("_mu") - F.lit(drift_k))
+         .withColumn("_dm", F.col("_mu") - F.col(val_col) - F.lit(drift_k)))
+    s = (d.withColumn("_sp", F.sum("_dp").over(w))
+         .withColumn("_sm", F.sum("_dm").over(w))
+         .withColumn("c_plus",
+                     F.col("_sp") - F.least(F.lit(0), F.min("_sp").over(w)))
+         .withColumn("c_minus",
+                     F.col("_sm") - F.least(F.lit(0), F.min("_sm").over(w))))
+    return (s.filter((F.col("c_plus") > threshold)
+                     | (F.col("c_minus") > threshold))
+            .select(key_col, ord_col, val_col, "c_plus", "c_minus"))
+
+
+def cusum_screen_sql(series_sql: str, key_col: str, ord_col: str,
+                     val_col: str, drift_k: int = 1,
+                     threshold: int = 6) -> str:
+    """Engine-neutral SQL twin of :func:`cusum_screen` (identical
+    window frames; `//` floor-div works in DuckDB, the Spark side never
+    runs this string)."""
+    return f"""
+with _ser as ({series_sql}),
+_mu as (select {key_col}, sum({val_col}) // count(*) as _mu
+        from _ser group by {key_col}),
+_d as (select s.*, s.{val_col} - m._mu - {drift_k} as _dp,
+              m._mu - s.{val_col} - {drift_k} as _dm
+       from _ser s join _mu m using ({key_col})),
+_ps as (select {key_col}, {ord_col}, {val_col},
+               sum(_dp) over wk as _sp, sum(_dm) over wk as _sm
+        from _d
+        window wk as (partition by {key_col} order by {ord_col}
+                      rows between unbounded preceding and current row)),
+_s as (select {key_col}, {ord_col}, {val_col}, _sp, _sm,
+              min(_sp) over wk as _minsp, min(_sm) over wk as _minsm
+       from _ps
+       window wk as (partition by {key_col} order by {ord_col}
+                     rows between unbounded preceding and current row))
+select {key_col}, {ord_col}, {val_col},
+       _sp - least(0, _minsp) as c_plus,
+       _sm - least(0, _minsm) as c_minus
+from _s
+where _sp - least(0, _minsp) > {threshold}
+   or _sm - least(0, _minsm) > {threshold}
+"""
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key_col: str,
+                 ord_col: str, op_col: str = "op") -> DataFrame:
+    """MERGE INTO semantics (Iceberg/Delta upsert) as one equi-join:
+    apply a change batch (``op`` = 'U' upsert / 'D' delete) onto a
+    base snapshot → the next snapshot with an ``action`` audit column
+    ('keep' / 'update' / 'insert'; deletes drop out). The recurring
+    crawl's warehouse step: fold a day's re-crawl into the canonical
+    page table.
+
+    Change batches can carry several ops per key; the LAST one wins —
+    the standard CDC collapse — via a struct-max aggregate
+    ``max(struct(ord, op, payload…))`` (map-side combinable, not a
+    window; the struct lexicographic order makes even an ord tie
+    deterministic, so the output is hash-exact). The merge itself is a
+    url-keyed FULL OUTER equi-join: unique keys both sides ⇒ skew-free
+    and bucket-co-locatable at 10^12 rows (the same layout argument as
+    ``crawl_delta``)."""
+    payload = [c for c in updates.columns
+               if c not in (key_col, ord_col, op_col)]
+    pick = ", ".join([ord_col, op_col] + payload)
+    last = (updates.groupBy(key_col)
+            .agg(F.expr(f"max(struct({pick}))").alias("_u"))
+            .select(key_col, F.col(f"_u.{op_col}").alias("_op"),
+                    *[F.col(f"_u.{c}").alias(f"_u_{c}") for c in payload],
+                    F.lit(1).alias("_in_upd")))
+    bcols = [c for c in base.columns if c != key_col]
+    b = base.select(key_col,
+                    *[F.col(c).alias(f"_b_{c}") for c in bcols],
+                    F.lit(1).alias("_in_base"))
+    j = b.join(last, on=key_col, how="full_outer")
+    merged = j.filter(F.col("_in_upd").isNull() | (F.col("_op") != "D"))
+    out_cols = [
+        F.when(F.col("_in_upd").isNotNull(), F.col(f"_u_{c}"))
+        .otherwise(F.col(f"_b_{c}")).alias(c) if c in payload
+        else F.col(f"_b_{c}").alias(c)
+        for c in bcols
+    ]
+    action = (F.when(F.col("_in_upd").isNull(), F.lit("keep"))
+              .when(F.col("_in_base").isNull(), F.lit("insert"))
+              .otherwise(F.lit("update")))
+    return merged.select(key_col, *out_cols, action.alias("action"))
