@@ -2993,6 +2993,32 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level token co-occurrence with
+    exact integer PMI sufficient statistics (n_ab, n_a, n_b, N) — the
+    log is left to the consumer so the table is hash-exact. df band +
+    per-doc distinct-token cap guard the quadratic pair join (the
+    synthetic corpus's ~31-token ubiquitous vocab needs the band wide
+    open; production keeps it tight)."""
+    from zen3geo_spark.functions.text import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_pairs(docs, min_df=3, max_df=1_000_000, min_pair=3,
+                     max_doc_toks=80)
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword salience: integer fixed-point PageRank over the
+    word-adjacency graph (consecutive in-doc tokens, undirected) — the
+    link-graph superstep kernel composed onto text. Adjacency = one
+    per-doc lead window; each round one equi-join + combinable sum.
+    Bit-exact vs the unrolled DuckDB twin."""
+    from zen3geo_spark.functions.text import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, min_df=3, max_df=1_000_000, iters=4)
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided integer CUSUM drift screen over per-host crawl-volume
     series (text bytes per epoch): flags sustained shifts a per-point
@@ -3258,6 +3284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "pmi_pairs": q_pmi_pairs,
+        "textrank": q_textrank,
         "cusum_drift": q_cusum_drift,
         "merge_upsert": q_merge_upsert,
         "distance_transform": q_distance_transform,
@@ -5309,6 +5337,15 @@ from g5 group by 1
     contour_sql_q = contour_crossings_sql(
         _world_px_int, width=360, height=180, threshold=2)
 
+    from zen3geo_spark.functions.text import (
+        pmi_pairs_sql_duckdb, textrank_sql_duckdb,
+    )
+    pmi_pairs_sql_q = pmi_pairs_sql_duckdb(
+        "documents", min_df=3, max_df=1_000_000, min_pair=3,
+        max_doc_toks=80)
+    textrank_sql_q = textrank_sql_duckdb(
+        "documents", min_df=3, max_df=1_000_000, iters=4)
+
     from zen3geo_spark.operators.temporal import cusum_screen_sql
     cusum_drift_sql_q = cusum_screen_sql(
         f"""select id % 50 as host_id, id // 500 as epoch,
@@ -5831,6 +5868,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "pmi_pairs": pmi_pairs_sql_q,
+        "textrank": textrank_sql_q,
         "cusum_drift": cusum_drift_sql_q,
         "merge_upsert": merge_upsert_sql_q,
         "distance_transform": distance_transform_sql_q,

@@ -584,3 +584,105 @@ def test_bpe_train_matches_reference_algorithm(spark):
                     i += 1
             seqs[w] = out
     assert got == want
+
+
+def test_pmi_pairs_brute_force(spark):
+    """Exact sufficient statistics vs an itertools reference."""
+    from itertools import combinations
+
+    from zen3geo_spark.functions.text import pmi_pairs
+
+    texts = ["a b c", "a b d", "a c d", "b c d", "a b", "c d x"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    # min_df=2 drops the singleton 'x'; no doc exceeds the tok cap
+    out = {(r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.n_docs)
+           for r in pmi_pairs(docs, min_df=2, max_df=10, min_pair=1,
+                              max_doc_toks=10).collect()}
+    sets = [set(t.split()) - {"x"} for t in texts]
+    n_a = {}
+    for s in sets:
+        for t in s:
+            n_a[t] = n_a.get(t, 0) + 1
+    want = {}
+    for s in sets:
+        for x, y in combinations(sorted(s), 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    want = {p: (c, n_a[p[0]], n_a[p[1]], len(texts)) for p, c in want.items()}
+    assert out == want
+
+
+def test_pmi_pairs_hot_doc_guard(spark):
+    """A doc with too many distinct banded tokens is excluded from the
+    pair universe AND from the marginals (coherence)."""
+    from zen3geo_spark.functions.text import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "a b")],
+        "doc_id long, text string")
+    out = {(r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.n_docs)
+           for r in pmi_pairs(docs, min_df=2, max_df=10, min_pair=1,
+                              max_doc_toks=3).collect()}
+    # docs 0 and 1 carry 5 banded tokens each (> 3) -> excluded from the
+    # pair universe AND the marginals; doc 2 alone remains
+    assert out == {("a", "b"): (1, 1, 1, 1)}
+
+
+def test_textrank_matches_python_reference(spark):
+    """Pure-Python integer PageRank over the same adjacency graph."""
+    from zen3geo_spark.functions.text import textrank_keywords
+
+    texts = ["spark joins tables fast", "tables need joins",
+             "spark tables scale", "joins scale fast spark"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.token: r.rank_fp
+           for r in textrank_keywords(docs, min_df=2, max_df=10,
+                                      iters=3).collect()}
+
+    mass, dn, dd, iters = 1_000_000_000, 85, 100, 3
+    dfc = {}
+    for t in texts:
+        for tok in set(t.split()):
+            dfc[tok] = dfc.get(tok, 0) + 1
+    keep = {t for t, c in dfc.items() if 2 <= c <= 10}
+    und = set()
+    for t in texts:
+        seq = [w for w in t.split() if w in keep]
+        for x, y in zip(seq, seq[1:]):
+            if x != y:
+                und.add((min(x, y), max(x, y)))
+    nodes = sorted(keep)
+    n = len(nodes)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    r = {v: mass // n for v in nodes}
+    base = (mass - dn * mass // dd) // n
+    for _ in range(iters):
+        in_mass = {v: 0 for v in nodes}
+        for a, b in und:
+            in_mass[b] += r[a] // deg[a]
+            in_mass[a] += r[b] // deg[b]
+        r = {v: base + (dn * in_mass[v]) // dd for v in nodes}
+    assert got == r
+    # connectivity sanity: the rank spread is real, not uniform
+    assert max(got.values()) > min(got.values())
+
+
+def test_textrank_isolated_token_holds_base_mass(spark):
+    """A banded token that never survives next to another banded token
+    gets exactly the base (teleport) mass."""
+    from zen3geo_spark.functions.text import textrank_keywords
+
+    # 'z' appears in 2 docs but always alone after banding
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "z"), (3, "z")],
+        "doc_id long, text string")
+    got = {r.token: r.rank_fp
+           for r in textrank_keywords(docs, min_df=2, max_df=10,
+                                      iters=2).collect()}
+    base = (1_000_000_000 - 85 * 1_000_000_000 // 100) // 3
+    assert got["z"] == base
+    assert got["a"] == got["b"] > base

@@ -727,3 +727,208 @@ def tf_cosine_pairs_sql_duckdb(rel: str, threshold: float = 0.8,
     select a_id, b_id, dot, round(cos, 6) as cos
     from cs where cos >= {threshold}
     """
+
+
+def pmi_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
+              min_df: int = 3, max_df: int = 60, min_pair: int = 3,
+              max_doc_toks: int = 80):
+    """Document-level token co-occurrence with exact PMI sufficient
+    statistics → (tok_a, tok_b, n_ab, n_a, n_b, n_docs). The
+    collocation-mining stage of corpus analysis: PMI =
+    ln(n_ab·N / (n_a·n_b)) — the four integers ARE the statistic
+    (emitting the log would be FP and break the cross-engine hash for
+    nothing; rank or threshold downstream by cross-multiplication).
+
+    Scale shape — two hot-key guards, both BEFORE the quadratic step:
+    the df band [min_df, max_df] drops stopword-class tokens (a token
+    in 10^11 docs would join 10^22 pairs), and docs with more than
+    ``max_doc_toks`` distinct banded tokens are excluded entirely
+    (the per-doc pair fan-out is otherwise unbounded — same guard as
+    ``cocitation_pairs``'s max_out_deg). After the guards the pair
+    join is an equi-join on doc with fan-out ≤ max_doc_toks² and the
+    counts are map-side combinable. n_a/n_b/n_docs are recomputed
+    over the KEPT docs so the statistics are coherent with the pair
+    universe. All integer ⇒ bit-exact."""
+    from zen3geo_spark.operators._util import pair_all
+
+    dtok = (docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct())
+    dfc = dtok.groupBy("tok").agg(F.count("*").alias("df"))
+    band = (dtok.join(dfc.filter(F.col("df").between(min_df, max_df))
+                      .select("tok"), "tok"))
+    docsz = band.groupBy("doc").agg(F.count("*").alias("ntok"))
+    kept = (band.join(docsz.filter(F.col("ntok") <= max_doc_toks)
+                      .select("doc"), "doc"))
+    na = kept.groupBy("tok").agg(F.count("*").alias("n"))
+    ndocs = kept.select("doc").distinct().agg(
+        F.count("*").alias("n_docs"))
+    a = kept.select("doc", F.col("tok").alias("tok_a"))
+    b = kept.select("doc", F.col("tok").alias("tok_b"))
+    pairs = (a.join(b, "doc")
+             .filter(F.col("tok_a") < F.col("tok_b"))
+             .groupBy("tok_a", "tok_b")
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pair))
+    return pair_all(
+        (pairs
+         .join(na.select(F.col("tok").alias("tok_a"),
+                         F.col("n").alias("n_a")), "tok_a")
+         .join(na.select(F.col("tok").alias("tok_b"),
+                         F.col("n").alias("n_b")), "tok_b")),
+        ndocs).select("tok_a", "tok_b", "n_ab", "n_a", "n_b", "n_docs")
+
+
+def pmi_pairs_sql_duckdb(rel: str, text_col: str = "text",
+                         id_col: str = "doc_id", min_df: int = 3,
+                         max_df: int = 60, min_pair: int = 3,
+                         max_doc_toks: int = 80) -> str:
+    """DuckDB twin of :func:`pmi_pairs` (same guards, same universe)."""
+    return f"""
+    with dtok as (
+      select distinct {id_col} as doc, tok from (
+        select {id_col},
+               unnest(regexp_split_to_array(lower(trim({text_col})),
+                                            '\\s+')) as tok
+        from {rel}
+      ) where tok <> ''
+    ),
+    dfc as (select tok, count(*) as df from dtok group by tok),
+    band as (select d.doc, d.tok from dtok d join dfc using (tok)
+             where df between {min_df} and {max_df}),
+    docsz as (select doc, count(*) as ntok from band group by doc),
+    kept as (select b.doc, b.tok from band b join docsz using (doc)
+             where ntok <= {max_doc_toks}),
+    na as (select tok, count(*) as n from kept group by tok),
+    nd as (select count(distinct doc) as n_docs from kept),
+    pairs as (
+      select a.tok as tok_a, b.tok as tok_b, count(*) as n_ab
+      from kept a join kept b on a.doc = b.doc and a.tok < b.tok
+      group by 1, 2 having count(*) >= {min_pair})
+    select p.tok_a, p.tok_b, p.n_ab, x.n as n_a, y.n as n_b, nd.n_docs
+    from pairs p join na x on x.tok = p.tok_a
+                 join na y on y.tok = p.tok_b
+                 cross join nd
+    """
+
+
+def textrank_keywords(docs, text_col: str = "text", id_col: str = "doc_id",
+                      min_df: int = 3, max_df: int = 60,
+                      iters: int = 4):
+    """TextRank keyword scores (Mihalcea & Tarau 2004): integer
+    fixed-point PageRank over the word ADJACENCY graph (consecutive
+    banded tokens within a doc, undirected, distinct) →
+    (token, rank_fp). The corpus-level keyword extractor; composing
+    the link-graph PageRank kernel onto text is the point — one
+    superstep engine serves host authority and keyword salience alike.
+
+    Determinism: the same 10^9-mass floor-division recurrence as
+    ``linkgraph.pagerank_fixed_point`` — here the node universe is the
+    banded VOCAB (distinct tokens), so the init/base masses
+    ``MASS div n`` come from a one-row vocab-count broadcast joined
+    in-plan (no driver-side count). Isolated tokens (no surviving
+    neighbor) hold exactly the base mass. int64 sums associative ⇒
+    bit-exact vs the unrolled DuckDB twin.
+
+    Scale shape: the adjacency build is a per-doc lead window (one
+    shuffle on doc); each superstep is one edge⋈rank equi-join + a
+    map-side-combinable sum, O(|E|) — and |E| is bounded by the df
+    band: no stopword hub, no quadratic co-occurrence window.
+    Per-round ``localCheckpoint(eager=False)`` keeps the plan O(1)."""
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.operators._util import pair_all
+
+    mass, damp_num, damp_den = 1_000_000_000, 85, 100
+    toks = (docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("pos", "tok"))
+        .filter(F.col("tok") != ""))
+    dfc = (toks.select("doc", "tok").distinct()
+           .groupBy("tok").agg(F.count("*").alias("df")))
+    band = (toks.join(dfc.filter(F.col("df").between(min_df, max_df))
+                      .select("tok"), "tok"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    seq = band.withColumn("nxt", F.lead("tok").over(w))
+    und = (seq.filter(F.col("nxt").isNotNull()
+                      & (F.col("nxt") != F.col("tok")))
+           .select(F.least("tok", "nxt").alias("a"),
+                   F.greatest("tok", "nxt").alias("b"))
+           .distinct())
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(und.select(F.col("b").alias("u"),
+                                F.col("a").alias("v")))
+           .localCheckpoint(eager=False))
+    nodes = band.select(F.col("tok").alias("node")).distinct()
+    nvocab = nodes.agg(F.count("*").alias("n_vocab"))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    ed = sym.join(deg, "u").localCheckpoint(eager=False)
+    ranks = pair_all(nodes, nvocab).select(
+        "node", F.expr(f"{mass} div n_vocab").alias("rank_fp"), "n_vocab")
+    for _ in range(iters):
+        contrib = (ed.join(ranks.select(F.col("node").alias("u"),
+                                        "rank_fp"), "u")
+                   .select(F.col("v").alias("node"),
+                           F.expr("rank_fp div deg").alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("in_mass")))
+        base_mass = mass - damp_num * mass // damp_den  # int64-safe const
+        ranks = (pair_all(nodes, nvocab)
+                 .join(contrib, "node", "left")
+                 .select("node",
+                         F.expr(f"cast({base_mass} as bigint) div n_vocab"
+                                f" + ({damp_num} * coalesce(in_mass, 0))"
+                                f" div {damp_den}").alias("rank_fp"),
+                         "n_vocab")
+                 .localCheckpoint(eager=False))
+    return ranks.select(F.col("node").alias("token"), "rank_fp")
+
+
+def textrank_sql_duckdb(rel: str, text_col: str = "text",
+                        id_col: str = "doc_id", min_df: int = 3,
+                        max_df: int = 60, iters: int = 4) -> str:
+    """DuckDB twin of :func:`textrank_keywords` (unrolled supersteps,
+    vocab count via scalar subquery — same floor-division masses)."""
+    mass, dn, dd = 1_000_000_000, 85, 100
+    arr = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    parts = [
+        f"""toks as (
+      select doc, tok, pos from (
+        select {id_col} as doc, unnest({arr}) as tok,
+               generate_subscripts({arr}, 1) - 1 as pos
+        from {rel}
+      ) where tok <> '')""",
+        "dfc as (select tok, count(distinct doc) as df from toks "
+        "group by tok)",
+        f"band as (select t.doc, t.tok, t.pos from toks t join dfc "
+        f"using (tok) where df between {min_df} and {max_df})",
+        "seq as (select doc, tok, lead(tok) over "
+        "(partition by doc order by pos) as nxt from band)",
+        "und as (select distinct least(tok, nxt) as a, "
+        "greatest(tok, nxt) as b from seq "
+        "where nxt is not null and nxt <> tok)",
+        "sym as (select a as u, b as v from und "
+        "union all select b as u, a as v from und)",
+        "nodes as (select distinct tok as node from band)",
+        "nv as (select count(*) as n from nodes)",
+        "deg as (select u, count(*) as deg from sym group by u)",
+        "ed as (select s.u, s.v, d.deg from sym s join deg d using (u))",
+        f"r0 as (select node, {mass} // (select n from nv) as rank_fp "
+        f"from nodes)",
+    ]
+    base_mass = mass - dn * mass // dd
+    base = f"cast({base_mass} as bigint) // (select n from nv)"
+    for t in range(iters):
+        parts.append(
+            f"c{t} as (select ed.v as node, "
+            f"sum(r.rank_fp // ed.deg) as in_mass "
+            f"from ed join r{t} r on ed.u = r.node group by ed.v)")
+        parts.append(
+            f"r{t + 1} as (select n.node, cast({base} + "
+            f"({dn} * coalesce(c.in_mass, 0)) // {dd} as bigint) as rank_fp "
+            f"from nodes n left join c{t} c on n.node = c.node)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect node as token, rank_fp from r{iters}")
