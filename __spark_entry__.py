@@ -2993,6 +2993,36 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-cadence trajectory resampling of per-host geotag tracks:
+    integer linear interpolation at 64-unit grid times, outage segments
+    (gap > 1000) dropped — the guard that also bounds the per-segment
+    explode. Exact micro-degree floor-division arithmetic both engines
+    ⇒ hash-exact."""
+    from zen3geo_spark.operators.trajectory import track_resample
+
+    pts = _points_df(spark).select(
+        F.pmod(F.col("point_id"), F.lit(200)).alias("host_id"),
+        F.col("point_id").alias("t"), F.col("lon_us").alias("x"),
+        F.col("lat_us").alias("y"))
+    return track_resample(pts, "host_id", "t", "x", "y",
+                          step=64, max_gap=1000)
+
+
+def q_bearing_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host movement-bearing octant histogram over geotag tracks
+    (heading-distribution audit: a host that only ever moves east is a
+    scraper artifact). Integer sign / doubled-magnitude octants — the
+    slope_aspect discipline with geographic north-positive y."""
+    from zen3geo_spark.operators.trajectory import bearing_mix
+
+    pts = _points_df(spark).select(
+        F.pmod(F.col("point_id"), F.lit(200)).alias("host_id"),
+        F.col("point_id").alias("t"), F.col("lon_us").alias("x"),
+        F.col("lat_us").alias("y"))
+    return bearing_mix(pts, "host_id", "t", "x", "y")
+
+
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: document-level token co-occurrence with
     exact integer PMI sufficient statistics (n_ab, n_a, n_b, N) — the
@@ -3284,6 +3314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "track_resample": q_track_resample,
+        "bearing_mix": q_bearing_mix,
         "pmi_pairs": q_pmi_pairs,
         "textrank": q_textrank,
         "cusum_drift": q_cusum_drift,
@@ -5337,6 +5369,17 @@ from g5 group by 1
     contour_sql_q = contour_crossings_sql(
         _world_px_int, width=360, height=180, threshold=2)
 
+    from zen3geo_spark.operators.trajectory import (
+        bearing_mix_sql_duckdb, track_resample_sql_duckdb,
+    )
+    _track_pts = f"""{_points_cte()}
+    select point_id % 200 as host_id, point_id as t,
+           lon_us as x, lat_us as y from pts"""
+    track_resample_sql_q = track_resample_sql_duckdb(
+        _track_pts, "host_id", "t", "x", "y", step=64, max_gap=1000)
+    bearing_mix_sql_q = bearing_mix_sql_duckdb(
+        _track_pts, "host_id", "t", "x", "y")
+
     from zen3geo_spark.functions.text import (
         pmi_pairs_sql_duckdb, textrank_sql_duckdb,
     )
@@ -5868,6 +5911,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "track_resample": track_resample_sql_q,
+        "bearing_mix": bearing_mix_sql_q,
         "pmi_pairs": pmi_pairs_sql_q,
         "textrank": textrank_sql_q,
         "cusum_drift": cusum_drift_sql_q,
