@@ -2993,6 +2993,34 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization of the world count-raster: the contrast
+    stretch every tile-server styling pass runs. The CDF comes from a
+    value-cardinality histogram + one tiny window — never a global sort
+    of the pixels — and the value→level map broadcasts back. Integer ⇒
+    hash-exact."""
+    from zen3geo_spark.operators.raster_algebra import equalize_histogram
+
+    img = q_rasterize_world_points(spark, sf_dir).select(
+        "row", "col", F.col("value").cast("long").alias("value"))
+    return equalize_histogram(img, levels=16)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-pack planning over a synthetic file manifest:
+    sorted greedy fill cuts each partition's largest-first running byte
+    sum at the target size — Iceberg's BinPackStrategy as a query over
+    metadata (the manifest, never the data). Integer + deterministic
+    tie-break ⇒ hash-exact."""
+    from zen3geo_spark.plans.compaction import compaction_plan
+
+    files = spark.range(500).selectExpr(
+        "id % 20 as part", "id as file_id",
+        "((id * 48271 + 7) % 97 + 1) * 10 as mb")
+    return compaction_plan(files, "part", "file_id", "mb",
+                           target_bytes=1024)
+
+
 def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-cadence trajectory resampling of per-host geotag tracks:
     integer linear interpolation at 64-unit grid times, outage segments
@@ -3314,6 +3342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: link-graph traversal + raster map algebra ---
+        "equalize": q_equalize,
+        "compaction_plan": q_compaction_plan,
         "track_resample": q_track_resample,
         "bearing_mix": q_bearing_mix,
         "pmi_pairs": q_pmi_pairs,
@@ -5369,6 +5399,17 @@ from g5 group by 1
     contour_sql_q = contour_crossings_sql(
         _world_px_int, width=360, height=180, threshold=2)
 
+    from zen3geo_spark.operators.raster_algebra import (
+        equalize_histogram_sql,
+    )
+    equalize_sql_q = equalize_histogram_sql(_world_px_int, levels=16)
+    from zen3geo_spark.plans.compaction import compaction_plan_sql
+    compaction_plan_sql_q = compaction_plan_sql(
+        """select id % 20 as part, id as file_id,
+                  ((id * 48271 + 7) % 97 + 1) * 10 as mb
+           from range(500) t(id)""",
+        "part", "file_id", "mb", target_bytes=1024)
+
     from zen3geo_spark.operators.trajectory import (
         bearing_mix_sql_duckdb, track_resample_sql_duckdb,
     )
@@ -5911,6 +5952,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "equalize": equalize_sql_q,
+        "compaction_plan": compaction_plan_sql_q,
         "track_resample": track_resample_sql_q,
         "bearing_mix": bearing_mix_sql_q,
         "pmi_pairs": pmi_pairs_sql_q,

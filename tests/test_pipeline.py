@@ -127,3 +127,46 @@ def test_checkpoint_runner_releases_cached_blocks(spark, tmp_path):
     after_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     leaked = after_ids - before_ids
     assert not leaked, f"stage leaked persistent RDDs: {sorted(leaked)}"
+
+
+def test_compaction_plan_greedy_fill_golden(spark):
+    """Largest-first fill: sizes 600,500,400,300 at target 1000 cut
+    into run-sum bins [600,500] (runs 600,1100 -> grps 0,1? no:
+    (600-1)//1000=0, (1100-1)//1000=1) ... asserted explicitly."""
+    from zen3geo_spark.plans.compaction import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", 1, 600), ("p", 2, 500), ("p", 3, 400), ("p", 4, 300)],
+        "part string, file_id long, mb long")
+    out = {r.grp: (r.n_files, r.total_bytes, r.min_file, r.max_file)
+           for r in compaction_plan(files, "part", "file_id", "mb",
+                                    target_bytes=1000).collect()}
+    # running sums (desc order): 600, 1100, 1500, 1800
+    # grps: 0, 1, 1, 1 -> grp0 is a single file (excluded), grp1 packs 3
+    assert out == {1: (3, 1200, 2, 4)}
+
+
+def test_compaction_plan_partition_isolated_and_deterministic(spark):
+    """Bins never cross partitions; equal sizes tie-break by file id."""
+    from zen3geo_spark.plans.compaction import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 10, 100), ("a", 11, 100), ("b", 20, 100), ("b", 21, 100)],
+        "part string, file_id long, mb long")
+    out = {(r.partition, r.grp): (r.min_file, r.max_file)
+           for r in compaction_plan(files, "part", "file_id", "mb",
+                                    target_bytes=1000).collect()}
+    assert out == {("a", 0): (10, 11), ("b", 0): (20, 21)}
+
+
+def test_compaction_plan_already_compact_files_excluded(spark):
+    """A partition whose files each exceed the target produces no
+    rewrite groups (every bin is a singleton)."""
+    from zen3geo_spark.plans.compaction import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", 1, 2000), ("p", 2, 1500)],
+        "part string, file_id long, mb long")
+    out = compaction_plan(files, "part", "file_id", "mb",
+                          target_bytes=1000).collect()
+    assert out == []

@@ -387,3 +387,42 @@ def test_polygonize_class_boundary_splits(spark):
     assert len(out) == 4 and all(r.n_pixels == 1 for r in out)
     # region_id is the min pixel id: row*width+col
     assert sorted(r.region_id for r in out) == [0, 1, 10, 11]
+
+
+def test_equalize_histogram_textbook_golden(spark):
+    """Classic equalization: counts {1:4, 2:2, 3:2} over 8 pixels at 8
+    levels — eq = (cdf - cdf_min) * 7 div (n - cdf_min)."""
+    from zen3geo_spark.operators.raster_algebra import equalize_histogram
+
+    vals = [1, 1, 1, 1, 2, 2, 3, 3]
+    px = spark.createDataFrame(
+        [(0, c, v) for c, v in enumerate(vals)],
+        "row int, col int, value long")
+    out = {r.value: r.eq_value
+           for r in equalize_histogram(px, levels=8).collect()}
+    # cdf: 1->4, 2->6, 3->8; cdf_min=4, n=8
+    assert out == {1: 0, 2: (6 - 4) * 7 // 4, 3: 7}
+
+
+def test_equalize_constant_raster_maps_to_zero(spark):
+    """Single-valued raster: n == cdf_min — guard avoids div-by-zero
+    and maps everything to level 0."""
+    from zen3geo_spark.operators.raster_algebra import equalize_histogram
+
+    px = spark.createDataFrame([(0, 0, 9), (0, 1, 9)],
+                               "row int, col int, value long")
+    out = equalize_histogram(px, levels=256).collect()
+    assert {r.eq_value for r in out} == {0}
+
+
+def test_equalize_monotone_and_full_range(spark):
+    """eq_value is monotone in value and hits both endpoints."""
+    from zen3geo_spark.operators.raster_algebra import equalize_histogram
+
+    px = spark.createDataFrame(
+        [(0, i, (i % 10) + 1) for i in range(100)],
+        "row int, col int, value long")
+    out = sorted({(r.value, r.eq_value)
+                  for r in equalize_histogram(px, levels=16).collect()})
+    eqs = [e for _, e in out]
+    assert eqs == sorted(eqs) and eqs[0] == 0 and eqs[-1] == 15

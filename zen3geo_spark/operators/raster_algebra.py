@@ -757,3 +757,57 @@ select c.component as region_id, x.cls,
 from comp c join _ids x on x.id = c.id
 group by c.component, x.cls
 """
+
+
+# ---------------------------------------------------------------------------
+# histogram equalization (gdal -equalize / contrast-stretch shape)
+# ---------------------------------------------------------------------------
+
+def equalize_histogram(pixels: DataFrame, levels: int = 256) -> DataFrame:
+    """Integer histogram equalization of a sparse raster → (row, col,
+    value, eq_value) with eq_value in [0, levels−1]: the classic
+    contrast stretch ``eq = (cdf(v) − cdf_min) · (levels−1) div
+    (n − cdf_min)`` using the CUMULATIVE count of pixels at or below
+    each value. All-integer ⇒ hash-exact.
+
+    Scale shape: the rank does NOT come from a global sort window over
+    the pixels (that plan dies at 10^12 rows). Instead: one value
+    histogram (group-by value, map-side combinable), a running sum
+    over the VALUE-CARDINALITY table (thousands of distinct levels,
+    one tiny window), and a broadcast join of the value→eq_value map
+    back onto the pixel table — the corpus is touched exactly twice,
+    shuffles once, and the window never sees data-sized input."""
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.operators._util import pair_all
+
+    hist = pixels.groupBy("value").agg(F.count("*").alias("cnt"))
+    wv = (Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = hist.withColumn("cdf", F.sum("cnt").over(wv))
+    tot = cdf.agg(F.max("cdf").alias("n"), F.min("cdf").alias("cdf_min"))
+    remap = pair_all(cdf, tot).selectExpr(
+        "value",
+        f"case when n = cdf_min then 0 else "
+        f"(cdf - cdf_min) * {levels - 1} div (n - cdf_min) end as eq_value")
+    return (pixels.join(F.broadcast(remap), "value")
+            .select("row", "col", "value", "eq_value"))
+
+
+def equalize_histogram_sql(pixels_sql: str, levels: int = 256) -> str:
+    """Engine-neutral SQL twin of :func:`equalize_histogram`."""
+    return f"""
+with _px as ({pixels_sql}),
+_h as (select value, count(*) as cnt from _px group by value),
+_c as (select value, sum(cnt) over (order by value
+         rows between unbounded preceding and current row) as cdf
+       from _h),
+_t as (select max(cdf) as n, min(cdf) as cdf_min from _c),
+_m as (select value,
+              case when n = cdf_min then 0 else
+                (cdf - cdf_min) * {levels - 1} // (n - cdf_min) end
+                as eq_value
+       from _c cross join _t)
+select p.row, p.col, p.value, m.eq_value
+from _px p join _m m using (value)
+"""
