@@ -2993,6 +2993,41 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Flesch–Kincaid readability statistics per page — the
+    readability band filter of a curation pipeline. All scaled integer
+    arithmetic (vowel-group syllables, terminal-punct sentences, floor
+    divisions) in whole-stage codegen ⇒ hash-exact; the rollup the
+    caller would add is a plain groupBy."""
+    from zen3geo_spark.functions.text import readability_sql
+
+    ex = readability_sql("text", "spark")
+    return synth_pages(spark, N_PAGES).selectExpr(
+        "url", *[f"{sql} as {name}" for name, sql in ex.items()])
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level cleanup over the pages table: keep only
+    terminal-punctuation segments with ≥3 whitespace tokens, drop pages
+    with no survivor, rebuild clean_text in source order. Higher-order
+    array exprs, one scan, no shuffle — byte-stable output."""
+    from zen3geo_spark.operators.curation import c4_segment_clean
+
+    return c4_segment_clean(synth_pages(spark, N_PAGES), "url", "text",
+                            min_tokens=3)
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix over documents —
+    the metadata-trust audit (CLD-mismatch filter shape): one scan +
+    one small groupBy on the (declared, detected) pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select(F.col("lang").alias("declared"),
+                        lang_id(F.col("text")).alias("detected"))
+            .groupBy("declared", "detected")
+            .agg(F.count("*").alias("n_docs")))
+
+
 def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram equalization of the world count-raster: the contrast
     stretch every tile-server styling pass runs. The CDF comes from a
@@ -3341,7 +3376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
-        # --- newest: link-graph traversal + raster map algebra ---
+        # --- newest: curation text filters ---
+        "readability": q_readability,
+        "c4_clean": q_c4_clean,
+        "lang_mismatch": q_lang_mismatch,
+        # --- link-graph traversal + raster map algebra ---
         "equalize": q_equalize,
         "compaction_plan": q_compaction_plan,
         "track_resample": q_track_resample,
@@ -5399,6 +5438,19 @@ from g5 group by 1
     contour_sql_q = contour_crossings_sql(
         _world_px_int, width=360, height=180, threshold=2)
 
+    from zen3geo_spark.functions.text import lang_id_sql, readability_sql
+    _read_ex = readability_sql("text", "duckdb")
+    readability_sql_q = (
+        "with pages as (" + pages_cte_sql(N_PAGES) + ")\nselect url, "
+        + ", ".join(f"{sql} as {name}" for name, sql in _read_ex.items())
+        + " from pages")
+    from zen3geo_spark.operators.curation import c4_segment_clean_sql_duckdb
+    c4_clean_sql_q = c4_segment_clean_sql_duckdb(
+        pages_cte_sql(N_PAGES), "url", "text", min_tokens=3)
+    lang_mismatch_sql_q = (
+        f"select lang as declared, {lang_id_sql('text', 'duckdb')} as "
+        "detected, count(*) as n_docs from documents group by 1, 2")
+
     from zen3geo_spark.operators.raster_algebra import (
         equalize_histogram_sql,
     )
@@ -5952,6 +6004,9 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "readability": readability_sql_q,
+        "c4_clean": c4_clean_sql_q,
+        "lang_mismatch": lang_mismatch_sql_q,
         "equalize": equalize_sql_q,
         "compaction_plan": compaction_plan_sql_q,
         "track_resample": track_resample_sql_q,

@@ -331,3 +331,48 @@ def test_epoch_mix_weights(spark, docs):
     total = sum(r[2] for r in got)
     en_share = rows["en"][2] / total
     assert (rows["en"][4] > 1) == (0.30 > en_share)
+
+
+def test_c4_segment_clean_golden(spark):
+    from zen3geo_spark.operators.curation import (
+        c4_segment_clean, c4_segment_clean_sql_duckdb,
+    )
+    rows = [
+        (1, "One two three. x. Four five six seven! ok ok? a b c"),
+        (2, "tiny. no!"),                     # nothing survives -> dropped
+        (3, "  keep this line.  "),
+    ]
+    df = spark.createDataFrame(rows, "url int, text string")
+    out = {r["url"]: r for r in
+           c4_segment_clean(df, "url", "text", 3).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_segments"] == 5 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == (
+        "One two three. Four five six seven. a b c")
+    assert out[3]["clean_text"] == "keep this line"
+    # DuckDB twin on the same literal rows
+    vals = ", ".join(f"({u}, '{t}')" for u, t in rows)
+    got = _duck(c4_segment_clean_sql_duckdb(
+        f"select * from (values {vals}) t(url, text)", "url", "text", 3))
+    assert sorted(got) == sorted(
+        (r["url"], r["n_segments"], r["n_kept"], r["clean_text"])
+        for r in out.values())
+
+
+def test_readability_golden(spark):
+    from zen3geo_spark.functions.text import readability_sql
+    txt = "The quick brown fox jumps. It ran far! Done?"
+    ex = readability_sql("text", "spark")
+    row = (spark.createDataFrame([(txt,)], "text string")
+           .selectExpr(*[f"{s} as {n}" for n, s in ex.items()])
+           .collect()[0])
+    # 9 words, 10 vowel groups, 3 sentences;
+    # 390*9 div 3 + 11800*10 div 9 - 15590 = 1170 + 13111 - 15590
+    assert (row["n_words"], row["n_syll"], row["n_sents"]) == (9, 10, 3)
+    assert row["grade_milli"] == 1170 + 13111 - 15590
+    # empty text: 0 words -> NULL grade, sentences floored at 1
+    row0 = (spark.createDataFrame([("",)], "text string")
+            .selectExpr(*[f"{s} as {n}" for n, s in ex.items()])
+            .collect()[0])
+    assert row0["n_words"] == 0 and row0["n_sents"] == 1
+    assert row0["grade_milli"] is None

@@ -932,3 +932,45 @@ def textrank_sql_duckdb(rel: str, text_col: str = "text",
             f"from nodes n left join c{t} c on n.node = c.node)")
     return ("with " + ",\n".join(parts)
             + f"\nselect node as token, rank_fp from r{iters}")
+
+
+def readability_sql(col: str, engine: str) -> dict[str, str]:
+    """Engine-parameterized readability sufficient statistics + an
+    integer Flesch–Kincaid-style grade — the readability band filter of
+    a curation pipeline (alongside the Gopher/quality heuristics), kept
+    hash-exact by leaving every ratio in scaled integer arithmetic:
+
+    * ``n_words`` — whitespace tokens (``token_count_sql``),
+    * ``n_syll`` — vowel-group runs ``[aeiouy]+`` over the lowercased
+      text (the classic cheap syllable estimator; Java regex and RE2
+      agree on this pattern),
+    * ``n_sents`` — terminal-punctuation runs ``[.!?]+``, floored at 1
+      so headline-only docs count as one sentence,
+    * ``grade_milli`` — ``390*words div sents + 11800*syll div words
+      − 15590`` (FK grade × 1000 with each ratio floor-divided; all
+      operands non-negative so Spark ``div`` ≡ DuckDB ``//``), NULL for
+      word-less docs.
+
+    Everything is whole-stage-codegen string/regex arithmetic — no
+    Python, no shuffle beyond whatever rollup the caller adds."""
+    low = f"lower({col})"
+    if engine == "spark":
+        syll = f"size(regexp_extract_all({low}, '[aeiouy]+', 0))"
+        sents = f"greatest(size(regexp_extract_all({col}, '[.!?]+', 0)), 1)"
+        div = " div "
+    else:
+        syll = f"len(regexp_extract_all({low}, '[aeiouy]+'))"
+        sents = f"greatest(len(regexp_extract_all({col}, '[.!?]+')), 1)"
+        div = " // "
+    words = token_count_sql(col, engine)
+    grade = (
+        f"case when ({words}) = 0 then null else "
+        f"cast((390 * ({words})){div}({sents}) "
+        f"+ (11800 * ({syll})){div}({words}) - 15590 as bigint) end"
+    )
+    return {
+        "n_words": f"cast({words} as bigint)",
+        "n_syll": f"cast({syll} as bigint)",
+        "n_sents": f"cast({sents} as bigint)",
+        "grade_milli": grade,
+    }

@@ -658,3 +658,52 @@ select lang, n_docs, n_tokens,
        round(({case}) * tot.total / (100.0 * n_tokens), 6) as mix_weight
 from per, tot
 """
+
+
+def c4_segment_clean(pages: DataFrame, id_col: str = "url",
+                     text_col: str = "text",
+                     min_tokens: int = 3) -> DataFrame:
+    """C4-style segment-level cleanup (Raffel et al. 2020 §2.2 shape):
+    split each document into terminal-punctuation segments, keep only
+    segments with at least ``min_tokens`` whitespace tokens, drop
+    documents with no surviving segment, and re-join the survivors in
+    original order → (id, n_segments, n_kept, clean_text).
+
+    The whole pass is higher-order array expressions over one scan —
+    ``split`` → ``transform(trim)`` → ``filter`` → ``array_join`` — so
+    there is no explode, no shuffle, and no Python: per-row cost is
+    bounded by the document length and the operator is embarrassingly
+    parallel at 10^12 rows. Determinism: segment order is source order
+    (split preserves it), so ``clean_text`` is byte-stable.
+    """
+    segs = (f"filter(transform(split({text_col}, '[.!?]+'), "
+            f"s -> trim(s)), s -> length(s) > 0)")
+    kept = (f"filter({segs}, "
+            f"s -> size(split(s, '\\\\s+')) >= {min_tokens})")
+    return (pages.selectExpr(
+        id_col,
+        f"cast(size({segs}) as bigint) as n_segments",
+        f"cast(size({kept}) as bigint) as n_kept",
+        f"array_join({kept}, '. ') as clean_text")
+        .filter("n_kept > 0"))
+
+
+def c4_segment_clean_sql_duckdb(rel: str, id_col: str = "url",
+                                text_col: str = "text",
+                                min_tokens: int = 3) -> str:
+    """DuckDB twin of :func:`c4_segment_clean` (list_transform /
+    list_filter / array_to_string preserve order identically)."""
+    segs = (f"list_filter(list_transform("
+            f"regexp_split_to_array({text_col}, '[.!?]+'), "
+            f"s -> trim(s)), s -> length(s) > 0)")
+    kept = (f"list_filter({segs}, "
+            f"s -> len(regexp_split_to_array(s, '\\s+')) >= {min_tokens})")
+    return f"""
+with _p as ({rel})
+select {id_col},
+       cast(len({segs}) as bigint) as n_segments,
+       cast(len({kept}) as bigint) as n_kept,
+       array_to_string({kept}, '. ') as clean_text
+from _p
+where len({kept}) > 0
+"""
