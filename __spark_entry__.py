@@ -2993,6 +2993,41 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_seg_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper segment-intersection join: host-track segments × synthetic
+    border fences (the ST_Crosses trajectory/border primitive). PBSM
+    cell blocking + reference-point dedup + four exact orientation
+    signs; the span guard on segment extent bounds every segment's cell
+    fan-out. DuckDB twin is the direct theta join ⇒ the hash match
+    proves the blocked decomposition exact."""
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.operators.overlay import segment_intersect_join
+
+    pts = _points_df(spark).select(
+        F.pmod(F.col("point_id"), F.lit(200)).alias("host_id"),
+        F.col("point_id").alias("t"), F.col("lon_us").alias("x"),
+        F.col("lat_us").alias("y"))
+    w = Window.partitionBy("host_id").orderBy("t", "x", "y")
+    segs = (pts
+            .withColumn("_t1", F.lead("t").over(w))
+            .withColumn("_x1", F.lead("x").over(w))
+            .withColumn("_y1", F.lead("y").over(w))
+            .filter("_t1 is not null and _t1 - t <= 1000"
+                    " and abs(_x1 - x) <= 120000000"
+                    " and abs(_y1 - y) <= 120000000")
+            .selectExpr("host_id * 4000000000 + t as a_id",
+                        "x as asx0", "y as asy0",
+                        "_x1 as asx1", "_y1 as asy1"))
+    borders = spark.range(24).selectExpr(
+        "id as b_id",
+        "cast(-180000000 + id * 15000000 as bigint) as bsx0",
+        "cast(-80000000 as bigint) as bsy0",
+        "cast(-175000000 + id * 15000000 as bigint) as bsx1",
+        "cast(80000000 as bigint) as bsy1")
+    return segment_intersect_join(segs, borders, res=4)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer Flesch–Kincaid readability statistics per page — the
     readability band filter of a curation pipeline. All scaled integer
@@ -3376,7 +3411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
-        # --- newest: curation text filters ---
+        # --- newest: segment crossings + curation text filters ---
+        "seg_crossings": q_seg_crossings,
         "readability": q_readability,
         "c4_clean": q_c4_clean,
         "lang_mismatch": q_lang_mismatch,
@@ -5473,6 +5509,18 @@ from g5 group by 1
     bearing_mix_sql_q = bearing_mix_sql_duckdb(
         _track_pts, "host_id", "t", "x", "y")
 
+    from zen3geo_spark.operators.overlay import segment_intersect_sql_duckdb
+    from zen3geo_spark.operators.trajectory import track_segments_sql
+    _seg_a_sql = track_segments_sql(
+        _track_pts, "host_id", "t", "x", "y",
+        max_gap=1000, span_max=120_000_000)
+    _seg_b_sql = ("select id as b_id, "
+                  "cast(-180000000 + id * 15000000 as bigint) as bsx0, "
+                  "cast(-80000000 as bigint) as bsy0, "
+                  "cast(-175000000 + id * 15000000 as bigint) as bsx1, "
+                  "cast(80000000 as bigint) as bsy1 from range(24) t(id)")
+    seg_crossings_sql_q = segment_intersect_sql_duckdb(_seg_a_sql, _seg_b_sql)
+
     from zen3geo_spark.functions.text import (
         pmi_pairs_sql_duckdb, textrank_sql_duckdb,
     )
@@ -6004,6 +6052,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "seg_crossings": seg_crossings_sql_q,
         "readability": readability_sql_q,
         "c4_clean": c4_clean_sql_q,
         "lang_mismatch": lang_mismatch_sql_q,

@@ -109,3 +109,50 @@ def test_simplify_per_key_isolation(spark):
         key="k", seq="s", x="x", y="y", min_area2=10 ** 18)
     assert sorted((r.k, r.s) for r in out.collect()) == [
         ("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+
+
+def test_segment_intersect_planted(spark):
+    from zen3geo_spark.operators.overlay import (
+        segment_intersect_join, segment_intersect_sql_duckdb,
+    )
+    import duckdb
+    M = 1_000_000
+    a_rows = [
+        (1, -10 * M, -10 * M, 10 * M, 10 * M),   # crosses b1 at origin
+        (2, 0, 5 * M, 5 * M, 0),                  # crosses b1
+        (3, 0, 0, 10 * M, 0),                     # endpoint ON b1 -> no
+        (4, 20 * M, -5 * M, 20 * M, 5 * M),       # disjoint
+        (5, -60 * M, -60 * M, 60 * M, 60 * M),    # long: crosses b1, many cells
+    ]
+    b_rows = [
+        (1, 10 * M, -20 * M, -10 * M, 20 * M),    # steep line through origin
+        (2, -60 * M, 59 * M, 60 * M, 59 * M),     # horizontal, crosses seg 5
+        (3, -10 * M, -10 * M, 10 * M, 10 * M),    # collinear with seg 1 -> no
+    ]
+    a = spark.createDataFrame(
+        a_rows, "a_id long, asx0 long, asy0 long, asx1 long, asy1 long")
+    b = spark.createDataFrame(
+        b_rows, "b_id long, bsx0 long, bsy0 long, bsx1 long, bsy1 long")
+    got = sorted((r.a_id, r.b_id)
+                 for r in segment_intersect_join(a, b, res=4).collect())
+    # (1,1)/(5,1): proper crossings at the origin; (2,3): seg 2 crosses
+    # the y=x diagonal at (2.5M, 2.5M); (5,2): crossing at (59M, 59M).
+    # Excluded: (2,1) — supporting lines meet at x=−5M, off-segment;
+    # (3,1) — endpoint touch; (5,3) — collinear (same supporting line).
+    assert got == [(1, 1), (2, 3), (5, 1), (5, 2)]
+    # duplicate-free even though seg 5 shares many cells with b2
+    assert len(got) == len(set(got))
+    # DuckDB twin agrees on the same literals
+    av = ", ".join(str(t) for t in a_rows)
+    bv = ", ".join(str(t) for t in b_rows)
+    acast = ("select a_id, cast(asx0 as bigint) as asx0, "
+             "cast(asy0 as bigint) as asy0, cast(asx1 as bigint) as asx1, "
+             "cast(asy1 as bigint) as asy1 "
+             f"from (values {av}) t(a_id, asx0, asy0, asx1, asy1)")
+    bcast = ("select b_id, cast(bsx0 as bigint) as bsx0, "
+             "cast(bsy0 as bigint) as bsy0, cast(bsx1 as bigint) as bsx1, "
+             "cast(bsy1 as bigint) as bsy1 "
+             f"from (values {bv}) t(b_id, bsx0, bsy0, bsx1, bsy1)")
+    duck = sorted(duckdb.sql(
+        segment_intersect_sql_duckdb(acast, bcast)).fetchall())
+    assert duck == got

@@ -96,3 +96,88 @@ def rect_overlay_sql(a_sql: str, b_sql: str) -> str:
     where least(ax2, bx2) > greatest(ax1, bx1)
       and least(ay2, by2) > greatest(ay1, by1)
     """
+
+
+def _sgn(x: str) -> str:
+    return f"(case when ({x}) > 0 then 1 when ({x}) < 0 then -1 else 0 end)"
+
+
+def orient_sign_sql(px: str, py: str, qx: str, qy: str,
+                    rx: str, ry: str) -> str:
+    """Sign of the cross product (q−p) × (r−p): +1 left turn, −1 right,
+    0 collinear. Micro-degree deltas are ≤ 3.6e8 so each product stays
+    < 2^59 — exact bigint; the SIGN is taken before any further
+    multiply (a product of two raw orientations would overflow int64).
+    Engine-neutral SQL (case/arithmetic only)."""
+    return _sgn(f"({qx}-({px}))*({ry}-({py})) - ({qy}-({py}))*({rx}-({px}))")
+
+
+def proper_cross_sql(a0x, a0y, a1x, a1y, b0x, b0y, b1x, b1y) -> str:
+    """Engine-neutral predicate: segments A=(a0,a1), B=(b0,b1) cross
+    PROPERLY (one interior point each; endpoint touches and collinear
+    overlaps excluded — the sign-unambiguous integer case)."""
+    o1 = orient_sign_sql(a0x, a0y, a1x, a1y, b0x, b0y)
+    o2 = orient_sign_sql(a0x, a0y, a1x, a1y, b1x, b1y)
+    o3 = orient_sign_sql(b0x, b0y, b1x, b1y, a0x, a0y)
+    o4 = orient_sign_sql(b0x, b0y, b1x, b1y, a1x, a1y)
+    return f"(({o1}) * ({o2}) = -1 and ({o3}) * ({o4}) = -1)"
+
+
+def segment_intersect_join(a: DataFrame, b: DataFrame,
+                           res: int = 4) -> DataFrame:
+    """Proper-intersection join between two segment sets — the
+    trajectory-crosses-border primitive (PostGIS ``ST_Crosses`` for
+    LineString pairs, restricted to single segments and PROPER
+    crossings; endpoint touches and collinear overlaps do not match,
+    which keeps the integer test sign-unambiguous).
+
+    Inputs: ``a`` = (a_id, asx0, asy0, asx1, asy1), ``b`` = (b_id,
+    bsx0, bsy0, bsx1, bsy1) — raw endpoints, micro-degree bigints.
+    Scale design is the PBSM discipline of :func:`rect_overlay_join`:
+    each segment registers under every grid cell its bbox overlaps
+    (fan-out bounded by the segment's extent — callers gap-guard
+    tracks upstream so one teleporting host cannot fan out the world),
+    candidates meet via the cell EQUI-join (the border side is
+    dim-sized → broadcast), the reference-point rule — only the cell
+    containing the bbox-intersection's min corner emits the pair —
+    kills duplicates without a distinct, and the exact test is four
+    orientation signs (:func:`proper_cross_sql`). The DuckDB twin is
+    the DIRECT theta join, so a hash match proves the blocked plan
+    exact. Output: (a_id, b_id), one row per properly-crossing pair.
+    """
+    n = 1 << res
+    na = a.selectExpr("a_id", "asx0", "asy0", "asx1", "asy1",
+                      "least(asx0, asx1) as ax1",
+                      "least(asy0, asy1) as ay1",
+                      "greatest(asx0, asx1) as ax2",
+                      "greatest(asy0, asy1) as ay2")
+    nb = b.selectExpr("b_id", "bsx0", "bsy0", "bsx1", "bsy1",
+                      "least(bsx0, bsx1) as bx1",
+                      "least(bsy0, bsy1) as by1",
+                      "greatest(bsx0, bsx1) as bx2",
+                      "greatest(bsy0, bsy1) as by2")
+    ra = _cell_ids(na, res, "a")
+    rb = _cell_ids(nb, res, "b")
+    j = ra.join(F.broadcast(rb), "block")
+    # closed-interval bbox overlap (zero-width bboxes of axis-parallel
+    # segments still meet); reference point = bbox-intersection min corner
+    ref_iy = F.expr(f"((greatest(ay1, by1)) - ({_LAT_MIN})) * {n} div {_LAT_SPAN}")
+    ref_ix = F.expr(f"((greatest(ax1, bx1)) - ({_LON_MIN})) * {n} div {_LON_SPAN}")
+    cross = proper_cross_sql("asx0", "asy0", "asx1", "asy1",
+                             "bsx0", "bsy0", "bsx1", "bsy1")
+    return (j.filter((F.least("ax2", "bx2") >= F.greatest("ax1", "bx1"))
+                     & (F.least("ay2", "by2") >= F.greatest("ay1", "by1"))
+                     & (F.col("block") == ref_iy * n + ref_ix))
+            .filter(F.expr(cross))
+            .select("a_id", "b_id"))
+
+
+def segment_intersect_sql_duckdb(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin: the DIRECT theta join with the identical
+    proper-crossing predicate (exact semantics, adversarial oracle)."""
+    cross = proper_cross_sql("asx0", "asy0", "asx1", "asy1",
+                             "bsx0", "bsy0", "bsx1", "bsy1")
+    return f"""
+    with _a as ({a_sql}), _b as ({b_sql})
+    select a_id, b_id from _a, _b where {cross}
+    """

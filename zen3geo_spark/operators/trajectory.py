@@ -169,3 +169,33 @@ from _mv
 where dx is not null and (dx <> 0 or dy <> 0)
 group by 1, 2
 """
+
+
+def track_segments_sql(points_sql: str, key_col: str, t_col: str,
+                       x_col: str, y_col: str, max_gap: int,
+                       span_max: int) -> str:
+    """Engine-neutral SQL: per-key consecutive-observation segments →
+    (a_id, asx0, asy0, asx1, asy1), with the time-gap guard and a
+    SPATIAL span guard (|Δx|,|Δy| ≤ ``span_max``) — the teleport filter
+    that also bounds the PBSM cell fan-out of every downstream segment
+    join (a world-spanning segment would register under O(grid) cells).
+    a_id = key·4e9 + t is collision-free for t < 4e9. Plain lead
+    window + arithmetic — identical in Spark and DuckDB."""
+    return f"""
+    with _p as ({points_sql}),
+    _s as (
+      select {key_col}, {t_col}, {x_col}, {y_col},
+             lead({t_col}) over wk as _t1,
+             lead({x_col}) over wk as _x1,
+             lead({y_col}) over wk as _y1
+      from _p
+      window wk as (partition by {key_col}
+                    order by {t_col}, {x_col}, {y_col})
+    )
+    select {key_col} * 4000000000 + {t_col} as a_id,
+           {x_col} as asx0, {y_col} as asy0, _x1 as asx1, _y1 as asy1
+    from _s
+    where _t1 is not null and _t1 - {t_col} <= {max_gap}
+      and abs(_x1 - {x_col}) <= {span_max}
+      and abs(_y1 - {y_col}) <= {span_max}
+    """
