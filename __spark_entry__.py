@@ -2993,6 +2993,34 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg/Delta VERSION AS OF: reconstruct the page table at three
+    pinned CDC versions in ONE scan (constant version fan-out +
+    map-side-combinable last-writer-wins arg-max). Each key carries 2–3
+    ops across the version pins, so the three snapshots genuinely
+    differ."""
+    from zen3geo_spark.operators.temporal import snapshot_as_of
+
+    log = synth_pages(spark, N_PAGES).selectExpr(
+        f"concat('k', cast(({URL_PID_SQL}) % 2000 as string)) as k",
+        f"{URL_PID_SQL} as ord",
+        f"case when ({URL_PID_SQL}) % 10 = 0 then 'D' else 'U' end as op",
+        "lang", f"({URL_PID_SQL}) % 7 as band")
+    return snapshot_as_of(log, "k", "ord", [1500, 3500, 4800],
+                          ["lang", "band"])
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join through the REAL streaming engine
+    (conversion-attribution shape: purchase × trailing-2-hour views per
+    user), watermarks + event-time range condition, append-mode memory
+    sink under availableNow — must emit exactly the batch join, so the
+    stream-stream state-store path itself is value-hash-checked."""
+    from zen3geo_spark.streaming.windows import stream_pair_join_to_memory
+
+    return stream_pair_join_to_memory(spark, f"{sf_dir}/events.parquet")
+
+
 def q_seg_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proper segment-intersection join: host-track segments × synthetic
     border fences (the ST_Crosses trajectory/border primitive). PBSM
@@ -3411,7 +3439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have hash-matched in every prior round may fall outside
     the window."""
     return {
-        # --- newest: segment crossings + curation text filters ---
+        # --- newest: time travel, stream-stream join, crossings ---
+        "time_travel": q_time_travel,
+        "stream_join": q_stream_join,
         "seg_crossings": q_seg_crossings,
         "readability": q_readability,
         "c4_clean": q_c4_clean,
@@ -5521,6 +5551,23 @@ from g5 group by 1
                   "cast(80000000 as bigint) as bsy1 from range(24) t(id)")
     seg_crossings_sql_q = segment_intersect_sql_duckdb(_seg_a_sql, _seg_b_sql)
 
+    from zen3geo_spark.operators.temporal import snapshot_as_of_sql_duckdb
+    _cdc_log_sql = f"""
+    select concat('k', cast(id % 2000 as varchar)) as k, id as ord,
+           case when id % 10 = 0 then 'D' else 'U' end as op,
+           lang, id % 7 as band
+    from ({pages_cte_sql(N_PAGES, with_id=True)})"""
+    time_travel_sql_q = snapshot_as_of_sql_duckdb(
+        _cdc_log_sql, "k", "ord", [1500, 3500, 4800], ["lang", "band"])
+
+    stream_join_sql_q = """
+    select p.user_id as l_user, p.event_id as l_id, v.event_id as r_id
+    from events p join events v
+      on v.user_id = p.user_id
+     and v.ts >= p.ts - interval '2 hours' and v.ts < p.ts
+    where p.event_type = 'purchase' and v.event_type = 'view'
+    """
+
     from zen3geo_spark.functions.text import (
         pmi_pairs_sql_duckdb, textrank_sql_duckdb,
     )
@@ -6052,6 +6099,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "time_travel": time_travel_sql_q,
+        "stream_join": stream_join_sql_q,
         "seg_crossings": seg_crossings_sql_q,
         "readability": readability_sql_q,
         "c4_clean": c4_clean_sql_q,

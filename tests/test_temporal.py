@@ -254,3 +254,30 @@ def test_merge_upsert_last_op_wins_collapse(spark):
     out = {r.url: (r.lang, r.band, r.action)
            for r in merge_upsert(base, upd, "url", "ord").collect()}
     assert out == {"b": ("v3", 7, "update")}
+
+
+def test_snapshot_as_of_golden(spark):
+    import duckdb
+    from zen3geo_spark.operators.temporal import (
+        snapshot_as_of, snapshot_as_of_sql_duckdb,
+    )
+    log_rows = [
+        ("a", 1, "U", "en", 1), ("a", 5, "U", "de", 2), ("a", 9, "D", "de", 2),
+        ("b", 2, "U", "ja", 3), ("b", 8, "U", "ja", 4),
+        ("c", 7, "D", "en", 0), ("c", 10, "U", "ms", 5),
+    ]
+    log = spark.createDataFrame(
+        log_rows, "k string, ord long, op string, lang string, band long")
+    got = sorted((r.version, r.k, r.lang, r.band) for r in
+                 snapshot_as_of(log, "k", "ord", [4, 8, 12],
+                                ["lang", "band"]).collect())
+    assert got == [
+        (4, "a", "en", 1), (4, "b", "ja", 3),
+        (8, "a", "de", 2), (8, "b", "ja", 4),
+        (12, "b", "ja", 4), (12, "c", "ms", 5),
+    ]
+    vals = ", ".join(str(t) for t in log_rows)
+    duck = sorted(duckdb.sql(snapshot_as_of_sql_duckdb(
+        f"select * from (values {vals}) t(k, ord, op, lang, band)",
+        "k", "ord", [4, 8, 12], ["lang", "band"])).fetchall())
+    assert duck == got

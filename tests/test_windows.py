@@ -141,3 +141,26 @@ def test_windowed_anomaly_planted_spike(spark):
     # baseline-less first window: NULL trail, never flagged
     assert out[0]["trail_avg"] is None and out[0]["is_spike"] == 0
     assert all(out[h]["is_spike"] == 0 for h in (0, 1, 2, 3))
+
+
+def test_stream_pair_join_equals_batch(spark):
+    """The stream-stream join (append mode, availableNow) over a bounded
+    input must emit exactly the batch join."""
+    from zen3geo_spark.streaming.windows import stream_pair_join_to_memory
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = sorted(map(tuple, stream_pair_join_to_memory(
+        spark, path, lookback="2 hours",
+        name="t_stream_pair").collect()))
+    ev = spark.read.parquet(path)
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id as l_id", "user_id as l_user",
+        "cast(ts as timestamp) as l_ts")
+    v = ev.filter("event_type = 'view'").selectExpr(
+        "event_id as r_id", "user_id as r_user",
+        "cast(ts as timestamp) as r_ts")
+    batch = sorted(map(tuple, p.join(
+        v, (p.l_user == v.r_user)
+        & (v.r_ts >= p.l_ts - F.expr("interval 2 hours"))
+        & (v.r_ts < p.l_ts)).select("l_user", "l_id", "r_id").collect()))
+    assert got == batch and len(got) > 0

@@ -264,3 +264,54 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_col: str,
               .when(F.col("_in_base").isNull(), F.lit("insert"))
               .otherwise(F.lit("update")))
     return merged.select(key_col, *out_cols, action.alias("action"))
+
+
+def snapshot_as_of(log: DataFrame, key_col: str, ord_col: str,
+                   versions: list[int],
+                   payload_cols: list[str]) -> DataFrame:
+    """Time-travel read (Iceberg/Delta ``VERSION AS OF``): reconstruct
+    the table state as of EACH requested version from a CDC op log
+    ``(key, ord, op, payload…)`` — op 'D' deletes the key, anything
+    else upserts — in ONE scan: a constant fan-out explode of the
+    version list, then per (version, key) the last-writer-wins arg-max
+    on ``ord`` (``max_by`` — a map-side-combinable hash aggregate, no
+    window sort), dropping keys whose last op is a delete.
+
+    Cost is |log| × |versions| into one shuffle on (version, key) —
+    at 10^12 rows the version list is the handful a reader pins, and
+    the aggregate combines map-side, so this beats replaying the log
+    once per version by the version count. ``ord`` must be unique per
+    key (CDC sequence number), which makes the arg-max deterministic
+    and the output hash-exact."""
+    vs = ", ".join(str(v) for v in versions)
+    pay = [F.col(f"_last.{c}").alias(c) for c in payload_cols]
+    lg = (log.selectExpr(f"explode(array({vs})) as version", "*")
+          .filter(F.col(ord_col) <= F.col("version")))
+    agg = lg.groupBy("version", key_col).agg(
+        F.max_by(F.struct(F.col("op"),
+                          *[F.col(c) for c in payload_cols]),
+                 F.col(ord_col)).alias("_last"))
+    return (agg.filter("_last.op <> 'D'")
+            .select("version", key_col, *pay))
+
+
+def snapshot_as_of_sql_duckdb(log_sql: str, key_col: str, ord_col: str,
+                              versions: list[int],
+                              payload_cols: list[str]) -> str:
+    """DuckDB twin of :func:`snapshot_as_of` — the window-argmax form
+    (row_number over ord desc); equivalent because ``ord`` is unique
+    per key."""
+    vs = ", ".join(str(v) for v in versions)
+    pays = ", ".join(payload_cols)
+    return f"""
+    with _log as ({log_sql}),
+    _x as (
+      select v.version, l.*,
+             row_number() over (partition by v.version, l.{key_col}
+                                order by l.{ord_col} desc) as _rk
+      from _log l, (select unnest([{vs}]) as version) v
+      where l.{ord_col} <= v.version
+    )
+    select version, {key_col}, {pays}
+    from _x where _rk = 1 and op <> 'D'
+    """

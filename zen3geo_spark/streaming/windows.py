@@ -288,3 +288,65 @@ def stream_dedup_to_memory(spark, docs_dir: str, text_col: str = "text",
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_pair_join_to_memory(spark, events_path: str,
+                               left_type: str = "purchase",
+                               right_type: str = "view",
+                               lookback: str = "2 hours",
+                               name: str = "stream_pair_join_out"):
+    """Stream-STREAM inner join through the real streaming engine: two
+    ``readStream`` views of the bounded events source (conversion
+    attribution shape — each LEFT event joins the RIGHT events of the
+    same user in the trailing ``lookback``), watermarks on both sides +
+    an event-time range condition (what bounds the join state in
+    production), append-mode memory sink under ``availableNow``.
+
+    The watermark delay is set to 365 days — far beyond the bounded
+    input's span — so NO row can be evicted before it pairs, and the
+    append-mode stream output must equal the batch/SQL join exactly;
+    that makes the stream-stream join execution path itself
+    value-hash-checkable against the DuckDB twin. Output is id pairs
+    only (ints ⇒ hash-exact), driver-sized at the test scale.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = spark.read.parquet(events_path).schema
+    src_dir = events_path
+    if os.path.isfile(events_path):
+        tag = hashlib.md5(events_path.encode()).hexdigest()[:12]
+        src_dir = f"/tmp/zen3geo_stream_src_{tag}"
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, "part-0.parquet")
+        if not os.path.lexists(link):
+            os.symlink(events_path, link)
+
+    def side(tp, pfx):
+        # watermarks require TIMESTAMP (LTZ); the parquet source is NTZ.
+        # The cast shifts both sides by the same session-tz offset, and
+        # the output carries ids only, so the pairing is tz-invariant.
+        return (spark.readStream.schema(schema).parquet(src_dir)
+                .filter(F.col("event_type") == tp)
+                .selectExpr(f"event_id as {pfx}_id",
+                            f"user_id as {pfx}_user",
+                            f"cast(ts as timestamp) as {pfx}_ts")
+                .withWatermark(f"{pfx}_ts", "365 days"))
+
+    left, right = side(left_type, "l"), side(right_type, "r")
+    joined = left.join(
+        right,
+        F.expr(f"l_user = r_user and r_ts >= l_ts - interval {lookback} "
+               "and r_ts < l_ts"))
+    q = (joined.select("l_user", "l_id", "r_id")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="zsj_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
