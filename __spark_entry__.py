@@ -2993,6 +2993,39 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster change detection between two crawl-epoch density rasters
+    (even/odd page ids): per-pixel class (density capped at 3) →
+    full-outer pixel join → class-transition matrix. The join key is
+    the unique pixel — skew-free at any scale; output is classes²."""
+    from zen3geo_spark.operators.raster_algebra import change_matrix
+
+    pts = _points_df(spark)
+
+    def epoch(parity: int) -> DataFrame:
+        return (pts.filter(F.expr(f"point_id % 2 = {parity}"))
+                .selectExpr(
+                    "least((lat_us + 90000000) div 10000000, 17) as row",
+                    "least((lon_us + 180000000) div 10000000, 35) as col")
+                .groupBy("row", "col")
+                .agg(F.least(F.count("*"), F.lit(3))
+                     .cast("long").alias("cls")))
+
+    return change_matrix(epoch(0), epoch(1))
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-intersection sketch: Jaccard + distinct-union estimates
+    between the en and de corpus vocabularies from a k-minimum-values
+    sample — two vocabulary aggregates + a TakeOrdered, nothing
+    data-sized on the wire."""
+    from zen3geo_spark.functions.sketch import kmv_intersect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kmv_intersect(docs.filter("lang = 'en'"),
+                         docs.filter("lang = 'de'"), k=256)
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg/Delta VERSION AS OF: reconstruct the page table at three
     pinned CDC versions in ONE scan (constant version fan-out +
@@ -3440,6 +3473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "change_detect": q_change_detect,
+        "kmv_intersect": q_kmv_intersect,
         "time_travel": q_time_travel,
         "stream_join": q_stream_join,
         "seg_crossings": q_seg_crossings,
@@ -5568,6 +5603,22 @@ from g5 group by 1
     where p.event_type = 'purchase' and v.event_type = 'view'
     """
 
+    from zen3geo_spark.operators.raster_algebra import change_matrix_sql
+
+    def _epoch_raster_sql(parity: int) -> str:
+        return f"""{_points_cte()}
+        select least((lat_us + 90000000) // 10000000, 17) as row,
+               least((lon_us + 180000000) // 10000000, 35) as col,
+               least(count(*), 3) as cls
+        from pts where point_id % 2 = {parity} group by 1, 2"""
+    change_detect_sql_q = change_matrix_sql(
+        _epoch_raster_sql(0), _epoch_raster_sql(1))
+
+    from zen3geo_spark.functions.sketch import kmv_intersect_sql_duckdb
+    kmv_intersect_sql_q = kmv_intersect_sql_duckdb(
+        "(select * from documents where lang = 'en')",
+        "(select * from documents where lang = 'de')", k=256)
+
     from zen3geo_spark.functions.text import (
         pmi_pairs_sql_duckdb, textrank_sql_duckdb,
     )
@@ -6099,6 +6150,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "change_detect": change_detect_sql_q,
+        "kmv_intersect": kmv_intersect_sql_q,
         "time_travel": time_travel_sql_q,
         "stream_join": stream_join_sql_q,
         "seg_crossings": seg_crossings_sql_q,

@@ -275,3 +275,22 @@ def test_semantic_dedup_drop_is_lower_id_anchored(spark):
     kept = sorted(r["vec_id"] for r in
                   semantic_dedup(emb, n_lists=1, threshold=0.9).collect())
     assert kept == [0]
+
+
+def test_kmv_intersect_small_sets_exact(spark):
+    """With vocabularies smaller than k, the KMV sample IS the union —
+    the Jaccard estimate must be exact."""
+    from zen3geo_spark.functions.sketch import (
+        kmv_intersect, kmv_intersect_sql_duckdb,
+    )
+    import duckdb
+    a = spark.createDataFrame([("w1 w2 w3 w4",)], "text string")
+    b = spark.createDataFrame([("w3 w4 w5 w6 w7 w8",)], "text string")
+    row = kmv_intersect(a, b, k=256).collect()[0]
+    assert row["k_used"] == 8 and row["n_both"] == 2
+    assert row["jaccard_milli"] == 1000 * 2 // 8
+    duck = duckdb.sql(kmv_intersect_sql_duckdb(
+        "(select 'w1 w2 w3 w4' as text)",
+        "(select 'w3 w4 w5 w6 w7 w8' as text)", k=256)).fetchall()[0]
+    assert duck == (row["k_used"], row["n_both"], row["jaccard_milli"],
+                    row["union_est"])

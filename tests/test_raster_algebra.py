@@ -426,3 +426,24 @@ def test_equalize_monotone_and_full_range(spark):
                   for r in equalize_histogram(px, levels=16).collect()})
     eqs = [e for _, e in out]
     assert eqs == sorted(eqs) and eqs[0] == 0 and eqs[-1] == 15
+
+
+def test_change_matrix_golden(spark):
+    import duckdb
+    from zen3geo_spark.operators.raster_algebra import (
+        change_matrix, change_matrix_sql,
+    )
+    a_rows = [(0, 0, 1), (0, 1, 2), (1, 0, 3)]
+    b_rows = [(0, 0, 1), (1, 0, 1), (2, 2, 2)]
+    a = spark.createDataFrame(a_rows, "row long, col long, cls long")
+    b = spark.createDataFrame(b_rows, "row long, col long, cls long")
+    got = sorted((r.cls_a, r.cls_b, r.n_pixels)
+                 for r in change_matrix(a, b).collect())
+    # (0,0): 1->1 stable; (0,1): 2->nodata; (1,0): 3->1; (2,2): nodata->2
+    assert got == [(0, 2, 1), (1, 1, 1), (2, 0, 1), (3, 1, 1)]
+    av = ", ".join(str(t) for t in a_rows)
+    bv = ", ".join(str(t) for t in b_rows)
+    duck = sorted(duckdb.sql(change_matrix_sql(
+        f"select * from (values {av}) t(row, col, cls)",
+        f"select * from (values {bv}) t(row, col, cls)")).fetchall())
+    assert duck == got

@@ -483,3 +483,68 @@ from (
   {"group by " + gby if gby else ""}
 )
 """
+
+
+def kmv_intersect(a_docs: DataFrame, b_docs: DataFrame, k: int = 256,
+                  text_col: str = "text") -> DataFrame:
+    """KMV set-intersection sketch between two corpora's token
+    vocabularies (Beyer et al. 2007 §4): keep the ``k`` minimum hash
+    values of the UNION vocabulary (tie-broken by token — total order,
+    so the sample is deterministic), count how many of those sample
+    tokens live in both sides, and derive
+
+    * ``jaccard_milli``  = 1000·|sample ∩ both| // k_used   (the KMV
+      Jaccard estimator — the sample is a uniform draw of the union),
+    * ``union_est``      = (k_used−1)·2^40 // h_k  (k-th minimum
+      spacing estimator of the distinct-union cardinality),
+    * exact ``n_both`` over the sample for the audit.
+
+    Scale shape: each side is one distinct-vocabulary aggregate (map-
+    side combinable), the union merge is a vocabulary-sized groupBy,
+    and the k-minimum cut is a TakeOrdered (per-partition top-k then a
+    k-sized driver merge) — nothing data-sized crosses the wire. The
+    shared 40-bit polynomial hash makes every value cross-engine exact.
+    """
+    def side(docs, flag):
+        return (corpus_tokens(docs, text_col).select("token").distinct()
+                .select("token", F.lit(flag).alias("_side")))
+
+    u = (side(a_docs, 0).unionByName(side(b_docs, 1))
+         .groupBy("token")
+         .agg(F.max(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("in_a"),
+              F.max(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("in_b"))
+         .withColumn("h", gram_hash40(F.col("token"), 1)))
+    topk = u.orderBy("h", "token").limit(k)
+    return topk.agg(
+        F.count("*").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.expr("cast(1000 * sum(in_a * in_b) div count(*) as bigint)")
+        .alias("jaccard_milli"),
+        F.expr("cast((count(*) - 1) * 1099511627776 div max(h) as bigint)")
+        .alias("union_est"))
+
+
+def kmv_intersect_sql_duckdb(a_rel: str, b_rel: str, k: int = 256,
+                             text_col: str = "text") -> str:
+    """DuckDB twin of :func:`kmv_intersect` (same tokenization, same
+    hash, same (h, token) total order)."""
+    h = hash40_sql_duckdb("token", 1)
+    def toks(rel, flag):
+        return (f"select token, {flag} as _side from ("
+                f"select distinct unnest(string_split(lower({text_col}), ' ')) as token "
+                f"from {rel}) where token <> ''")
+    return f"""
+with _u as (
+  select token, max(case when _side = 0 then 1 else 0 end) as in_a,
+         max(case when _side = 1 then 1 else 0 end) as in_b
+  from ({toks(a_rel, 0)} union all {toks(b_rel, 1)})
+  group by token
+),
+_h as (select token, in_a, in_b, {h} as h from _u),
+_k as (select * from _h order by h, token limit {k})
+select count(*) as k_used,
+       sum(in_a * in_b) as n_both,
+       cast(1000 * sum(in_a * in_b) // count(*) as bigint) as jaccard_milli,
+       cast((count(*) - 1) * 1099511627776 // max(h) as bigint) as union_est
+from _k
+"""
