@@ -2993,6 +2993,16 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM perplexity per document (Laplace-smoothed
+    — the CCNet perplexity filter one order up from unigram_logppl)."""
+    from zen3geo_spark.functions.text import bigram_logppl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logppl(docs).select(
+        "doc", F.round("logppl", 6).alias("logppl"))
+
+
 def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster change detection between two crawl-epoch density rasters
     (even/odd page ids): per-pixel class (density capped at 3) →
@@ -3473,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "bigram_logppl": q_bigram_logppl,
         "change_detect": q_change_detect,
         "kmv_intersect": q_kmv_intersect,
         "time_travel": q_time_travel,
@@ -5614,6 +5625,11 @@ from g5 group by 1
     change_detect_sql_q = change_matrix_sql(
         _epoch_raster_sql(0), _epoch_raster_sql(1))
 
+    from zen3geo_spark.functions.text import bigram_logppl_sql_duckdb
+    bigram_logppl_sql_q = (
+        "select doc, round(logppl, 6) as logppl from ("
+        + bigram_logppl_sql_duckdb("documents") + ")")
+
     from zen3geo_spark.functions.sketch import kmv_intersect_sql_duckdb
     kmv_intersect_sql_q = kmv_intersect_sql_duckdb(
         "(select * from documents where lang = 'en')",
@@ -6150,6 +6166,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "bigram_logppl": bigram_logppl_sql_q,
         "change_detect": change_detect_sql_q,
         "kmv_intersect": kmv_intersect_sql_q,
         "time_travel": time_travel_sql_q,

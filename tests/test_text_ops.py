@@ -686,3 +686,24 @@ def test_textrank_isolated_token_holds_base_mass(spark):
     base = (1_000_000_000 - 85 * 1_000_000_000 // 100) // 3
     assert got["z"] == base
     assert got["a"] == got["b"] > base
+
+
+def test_bigram_logppl_golden(spark):
+    import math
+
+    from zen3geo_spark.functions.text import bigram_logppl
+
+    # corpus: doc1 = "a b a b", doc2 = "a a"
+    # unigram counts: a=4, b=2; V=2; bigrams: (a,b)=2 (b,a)=1 (a,a)=1
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a a")],
+                               "doc_id long, text string")
+    got = {r.doc: r.logppl for r in bigram_logppl(df).collect()}
+    p_ab = (2 + 1) / (4 + 2)   # c(a,b)+1 / c(a)+V
+    p_ba = (1 + 1) / (2 + 2)
+    p_aa = (1 + 1) / (4 + 2)
+    exp1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    exp2 = -math.log(p_aa)
+    assert abs(got[1] - exp1) < 1e-12 and abs(got[2] - exp2) < 1e-12
+    # repeated boilerplate scores LESS perplexing than it would under
+    # the unigram model alone: doc1's (a,b) transitions are predictable
+    assert got[2] > 0 and got[1] > 0

@@ -974,3 +974,63 @@ def readability_sql(col: str, engine: str) -> dict[str, str]:
         "n_sents": f"cast({sents} as bigint)",
         "grade_milli": grade,
     }
+
+
+def bigram_logppl(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Bigram-LM log-perplexity (the CCNet perplexity filter upgraded
+    one order): per-doc mean −ln p(w_i | w_{i−1}) with add-one (Laplace)
+    smoothing over the observed vocabulary,
+    ``p(b|a) = (c(a,b) + 1) / (c(a) + V)`` — self-trained on the corpus
+    like :func:`unigram_logppl`, so no external LM ships with the job.
+
+    Plan shape: one posexplode, one per-doc lead window (the only
+    doc-keyed shuffle) to form bigram occurrences, two count aggregates
+    (bigram and unigram tables — map-side combinable), the scalar V by
+    constant-key broadcast, then equi-joins back and a per-doc mean.
+    Every join key is a token or token pair — the same cardinality
+    class as the corpus vocabulary, no all-pairs anywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.operators._util import pair_all
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    big = (toks.withColumn("nxt", F.lead("tok").over(w))
+           .filter(F.col("nxt").isNotNull()))
+    cab = big.groupBy("tok", "nxt").agg(F.count("*").alias("cnt_ab"))
+    ca = toks.groupBy("tok").agg(F.count("*").alias("cnt_a"))
+    vocab = toks.select("tok").distinct().agg(F.count("*").alias("vocab"))
+    scored = (pair_all(big.join(cab, ["tok", "nxt"]).join(ca, "tok"), vocab))
+    return scored.groupBy("doc").agg(
+        F.avg(-F.log((F.col("cnt_ab") + 1)
+                     / (F.col("cnt_a") + F.col("vocab"))))
+        .alias("logppl"))
+
+
+def bigram_logppl_sql_duckdb(rel: str, id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_logppl` (same window, same
+    smoothing)."""
+    arr = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    return f"""
+    with toks as (
+      select {id_col} as doc, unnest({arr}) as tok,
+             generate_subscripts({arr}, 1) as pos from {rel}
+    ),
+    big as (
+      select doc, tok, lead(tok) over (partition by doc order by pos) as nxt
+      from toks
+    ),
+    bign as (select * from big where nxt is not null),
+    cab as (select tok, nxt, count(*) as cnt_ab from bign group by 1, 2),
+    ca as (select tok, count(*) as cnt_a from toks group by 1),
+    vocab as (select count(distinct tok) as vocab from toks)
+    select doc,
+           avg(-ln((cnt_ab + 1) / cast(cnt_a + vocab as double))) as logppl
+    from bign join cab using (tok, nxt) join ca using (tok), vocab
+    group by doc
+    """
