@@ -2993,6 +2993,21 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_poly_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects polygon×polygon join (diamonds × squares): PBSM
+    bbox blocking + reference-point dedup, then the classical
+    decomposition — proper edge crossing ∪ first-vertex containment
+    either way. Oracle is the direct theta join ⇒ hash match proves
+    the blocked plan exact."""
+    from zen3geo_spark.operators.overlay import (
+        polygon_intersect_join, synth_poly_edges_sql,
+    )
+
+    ea = spark.sql(synth_poly_edges_sql(120, 11, "diamond", "a"))
+    eb = spark.sql(synth_poly_edges_sql(120, 23, "square", "b"))
+    return polygon_intersect_join(ea, eb, res=4)
+
+
 def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram-LM perplexity per document (Laplace-smoothed
     — the CCNet perplexity filter one order up from unigram_logppl)."""
@@ -3483,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "poly_intersect": q_poly_intersect,
         "bigram_logppl": q_bigram_logppl,
         "change_detect": q_change_detect,
         "kmv_intersect": q_kmv_intersect,
@@ -5625,6 +5641,13 @@ from g5 group by 1
     change_detect_sql_q = change_matrix_sql(
         _epoch_raster_sql(0), _epoch_raster_sql(1))
 
+    from zen3geo_spark.operators.overlay import (
+        polygon_intersect_sql, synth_poly_edges_sql,
+    )
+    poly_intersect_sql_q = polygon_intersect_sql(
+        synth_poly_edges_sql(120, 11, "diamond", "a"),
+        synth_poly_edges_sql(120, 23, "square", "b"))
+
     from zen3geo_spark.functions.text import bigram_logppl_sql_duckdb
     bigram_logppl_sql_q = (
         "select doc, round(logppl, 6) as logppl from ("
@@ -6166,6 +6189,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "poly_intersect": poly_intersect_sql_q,
         "bigram_logppl": bigram_logppl_sql_q,
         "change_detect": change_detect_sql_q,
         "kmv_intersect": kmv_intersect_sql_q,

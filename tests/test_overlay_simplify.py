@@ -156,3 +156,38 @@ def test_segment_intersect_planted(spark):
     duck = sorted(duckdb.sql(
         segment_intersect_sql_duckdb(acast, bcast)).fetchall())
     assert duck == got
+
+
+def test_polygon_intersect_planted(spark):
+    from zen3geo_spark.operators.overlay import polygon_intersect_join
+
+    M = 1_000_000
+
+    def diamond(pid, cx, cy, r, pfx):
+        vs = [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)]
+        rows = []
+        for k in range(4):
+            x0, y0 = vs[k]
+            x1, y1 = vs[(k + 1) % 4]
+            rows.append((pid, x0, y0, x1, y1, vs[0][0], vs[0][1]))
+        return rows
+
+    # a1: big diamond at origin; a2: far away; a3: tiny inside b2
+    a_rows = (diamond(1, 0, 0, 10 * M, "a")
+              + diamond(2, 100 * M, 0, 2 * M, "a")
+              + diamond(3, 50 * M, 50 * M, 1 * M, "a"))
+    # b1 crosses a1's boundary; b2 CONTAINS a3; b3 is INSIDE a1; b4 disjoint
+    b_rows = (diamond(1, 9 * M, 0, 3 * M, "b")
+              + diamond(2, 50 * M, 50 * M, 20 * M, "b")
+              + diamond(3, 0, 0, 2 * M, "b")
+              + diamond(4, -100 * M, -50 * M, 2 * M, "b"))
+    ea = spark.createDataFrame(
+        a_rows, "a_id long, aex0 long, aey0 long, aex1 long, aey1 long, "
+                "avx long, avy long")
+    eb = spark.createDataFrame(
+        b_rows, "b_id long, bex0 long, bey0 long, bex1 long, bey1 long, "
+                "bvx long, bvy long")
+    got = sorted((r.a_id, r.b_id)
+                 for r in polygon_intersect_join(ea, eb, res=4).collect())
+    # (1,1) boundary crossing; (3,2) a inside b; (1,3) b inside a
+    assert got == [(1, 1), (1, 3), (3, 2)]

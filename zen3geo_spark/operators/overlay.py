@@ -181,3 +181,150 @@ def segment_intersect_sql_duckdb(a_sql: str, b_sql: str) -> str:
     with _a as ({a_sql}), _b as ({b_sql})
     select a_id, b_id from _a, _b where {cross}
     """
+
+
+def polygon_intersect_join(ea: DataFrame, eb: DataFrame,
+                           res: int = 4) -> DataFrame:
+    """ST_Intersects join between two SIMPLE-polygon sets given their
+    edge tables — the polygon-overlay join family member that
+    :func:`rect_overlay_join` (rect×rect) and the PIP join (point×poly)
+    don't cover.
+
+    Inputs: ``ea`` = (a_id, aex0, aey0, aex1, aey1, avx, avy) — one row
+    per directed boundary edge, with (avx, avy) the polygon's FIRST
+    vertex repeated on every edge row; ``eb`` likewise b-prefixed.
+    Micro-degree bigints.
+
+    Predicate (general position — no vertex-on-edge/edge-overlap
+    degeneracies, same contract as :func:`proper_cross_sql`): polygons
+    intersect iff (i) some edge pair properly crosses, or (ii) A's
+    first vertex lies inside B (even–odd crossing number), or (iii)
+    B's first vertex lies inside A. If no boundary crossing exists the
+    polygons are disjoint or nested, and nesting is decided by any
+    single representative vertex — the classical decomposition.
+
+    Scale shape: per-polygon bbox aggregate (map-side combinable) →
+    PBSM cell registration → candidate pairs via the cell EQUI-join
+    with reference-point dedup (no distinct) → per-candidate work
+    bounded by E_a·E_b edge pairs (quads ⇒ 16) and E_b parity terms.
+    One final pair-keyed aggregate unions the three conditions. The
+    DuckDB twin (:func:`polygon_intersect_sql`) is the direct theta
+    join, so a hash match proves the blocked plan exact.
+    """
+    n = 1 << res
+
+    def meta(e, pid, pfx):
+        x0, y0, x1, y1 = (f"{pfx}ex0", f"{pfx}ey0", f"{pfx}ex1", f"{pfx}ey1")
+        return e.groupBy(pid).agg(
+            F.expr(f"min(least({x0}, {x1}))").alias(f"{pfx}x1"),
+            F.expr(f"min(least({y0}, {y1}))").alias(f"{pfx}y1"),
+            F.expr(f"max(greatest({x0}, {x1}))").alias(f"{pfx}x2"),
+            F.expr(f"max(greatest({y0}, {y1}))").alias(f"{pfx}y2"),
+            F.min(f"{pfx}vx").alias(f"{pfx}vx"),
+            F.min(f"{pfx}vy").alias(f"{pfx}vy"))
+
+    ma, mb = meta(ea, "a_id", "a"), meta(eb, "b_id", "b")
+    ca = _cell_ids(ma, res, "a")
+    cb = _cell_ids(mb, res, "b")
+    ref_iy = F.expr(f"((greatest(ay1, by1)) - ({_LAT_MIN})) * {n} div {_LAT_SPAN}")
+    ref_ix = F.expr(f"((greatest(ax1, bx1)) - ({_LON_MIN})) * {n} div {_LON_SPAN}")
+    cand = (ca.join(F.broadcast(cb), "block")
+            .filter((F.least("ax2", "bx2") >= F.greatest("ax1", "bx1"))
+                    & (F.least("ay2", "by2") >= F.greatest("ay1", "by1"))
+                    & (F.col("block") == ref_iy * n + ref_ix))
+            .select("a_id", "b_id", "avx", "avy", "bvx", "bvy")
+            .localCheckpoint(eager=False))
+
+    cross = (cand.join(ea, "a_id").join(eb, "b_id")
+             .filter(F.expr(proper_cross_sql(
+                 "aex0", "aey0", "aex1", "aey1",
+                 "bex0", "bey0", "bex1", "bey1")))
+             .select("a_id", "b_id"))
+
+    def inside(cnd, vx, vy, edges, key, x0, y0, x1, y1):
+        xint = (f"cast({x1} - {x0} as double) * cast({vy} - {y0} as double)"
+                f" / cast({y1} - {y0} as double) + {x0}")
+        return (cnd.join(edges, key)
+                .filter(F.expr(f"({y0} > {vy}) != ({y1} > {vy})"))
+                .groupBy("a_id", "b_id")
+                .agg(F.expr(f"sum(case when {vx} < {xint} then 1 else 0 end)"
+                            " % 2").alias("_par"))
+                .filter("_par = 1").select("a_id", "b_id"))
+
+    a_in_b = inside(cand, "avx", "avy", eb, "b_id",
+                    "bex0", "bey0", "bex1", "bey1")
+    b_in_a = inside(cand, "bvx", "bvy", ea, "a_id",
+                    "aex0", "aey0", "aex1", "aey1")
+    return (cross.unionByName(a_in_b).unionByName(b_in_a)
+            .groupBy("a_id", "b_id").agg(F.lit(1).alias("_one"))
+            .select("a_id", "b_id"))
+
+
+def polygon_intersect_sql(ea_sql: str, eb_sql: str) -> str:
+    """Twin of :func:`polygon_intersect_join`: the DIRECT theta join
+    (engine-neutral SQL — doubles mirror the kernel's arithmetic order
+    exactly)."""
+    cross = proper_cross_sql("aex0", "aey0", "aex1", "aey1",
+                             "bex0", "bey0", "bex1", "bey1")
+
+    def inside(vx, vy, edges, key, x0, y0, x1, y1, va):
+        xint = (f"cast(e.{x1} - e.{x0} as double)"
+                f" * cast(v.{vy} - e.{y0} as double)"
+                f" / cast(e.{y1} - e.{y0} as double) + e.{x0}")
+        return f"""
+      select v.a_id, v.b_id from {va} v join {edges} e on v.{key} = e.{key}
+      where (e.{y0} > v.{vy}) != (e.{y1} > v.{vy})
+      group by v.a_id, v.b_id
+      having sum(case when v.{vx} < {xint} then 1 else 0 end) % 2 = 1"""
+
+    return f"""
+    with _ea as ({ea_sql}), _eb as ({eb_sql}),
+    _va as (select distinct a_id, avx, avy from _ea),
+    _vb as (select distinct b_id, bvx, bvy from _eb),
+    _vab as (select _va.*, b_id from _va, (select distinct b_id from _eb) x),
+    _vba as (select _vb.*, a_id from _vb, (select distinct a_id from _ea) x),
+    _u as (
+      select a_id, b_id from _ea, _eb where {cross}
+      union all
+      {inside("avx", "avy", "_eb", "b_id",
+              "bex0", "bey0", "bex1", "bey1", "_vab")}
+      union all
+      {inside("bvx", "bvy", "_ea", "a_id",
+              "aex0", "aey0", "aex1", "aey1", "_vba")}
+    )
+    select distinct a_id, b_id from _u
+    """
+
+
+def synth_poly_edges_sql(n: int, seed: int, kind: str, pfx: str) -> str:
+    """Engine-neutral synthetic polygon EDGE table (runs verbatim on
+    Spark SQL and DuckDB — ``range(n) as t(i)`` and integer arithmetic
+    agree): ``n`` ``kind`` ∈ {diamond, square} polygons with
+    LCG-scattered centers in ±140e6 × ±60e6 µdeg and radii 1–5.8 Mµdeg.
+    Columns ({pfx}_id, {pfx}ex0…, {pfx}vx, {pfx}vy): one row per
+    directed CCW edge + the repeated first vertex."""
+    idc = f"{pfx}_id"
+    e = lambda c: f"{pfx}e{c}"
+    cx = f"(((i * 48271 + {seed}) % 2147483647) % 280000001 - 140000000)"
+    cy = f"((((i * 48271 + {seed}) * 48271 + 7) % 2147483647) % 120000001 - 60000000)"
+    r = "(1000000 + (i % 5) * 1200000)"
+    if kind == "diamond":
+        verts = [("cx + r", "cy"), ("cx", "cy + r"),
+                 ("cx - r", "cy"), ("cx", "cy - r")]
+    elif kind == "square":
+        verts = [("cx + r", "cy + r"), ("cx - r", "cy + r"),
+                 ("cx - r", "cy - r"), ("cx + r", "cy - r")]
+    else:
+        raise ValueError(f"unknown kind: {kind}")
+    vx0, vy0 = verts[0]
+    parts = []
+    for k in range(4):
+        x0, y0 = verts[k]
+        x1, y1 = verts[(k + 1) % 4]
+        parts.append(
+            f"select pid as {idc}, {x0} as {e('x0')}, {y0} as {e('y0')}, "
+            f"{x1} as {e('x1')}, {y1} as {e('y1')}, "
+            f"{vx0} as {pfx}vx, {vy0} as {pfx}vy from _c{pfx}")
+    u = " union all ".join(parts)
+    return (f"with _c{pfx} as (select i as pid, {cx} as cx, {cy} as cy, "
+            f"{r} as r from range({n}) as t(i)) {u}")
