@@ -2993,6 +2993,19 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix-array construction (Manber–Myers prefix
+    doubling) over the corpus token stream — the ExactSubstr-dedup
+    infrastructure (Lee et al. 2022). 8 doubling rounds (covers
+    254-token docs; sentinels bound comparisons at doc ends), each one
+    offset equi-join + distinct-pair dense rank via the scale-safe
+    global numbering."""
+    from zen3geo_spark.operators.suffix import suffix_ranks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return suffix_ranks(docs, rounds=8)
+
+
 def q_poly_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Intersects polygon×polygon join (diamonds × squares): PBSM
     bbox blocking + reference-point dedup, then the classical
@@ -3498,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "suffix_ranks": q_suffix_ranks,
         "poly_intersect": q_poly_intersect,
         "bigram_logppl": q_bigram_logppl,
         "change_detect": q_change_detect,
@@ -5641,6 +5655,9 @@ from g5 group by 1
     change_detect_sql_q = change_matrix_sql(
         _epoch_raster_sql(0), _epoch_raster_sql(1))
 
+    from zen3geo_spark.operators.suffix import suffix_ranks_sql_duckdb
+    suffix_ranks_sql_q = suffix_ranks_sql_duckdb("documents", rounds=8)
+
     from zen3geo_spark.operators.overlay import (
         polygon_intersect_sql, synth_poly_edges_sql,
     )
@@ -6189,6 +6206,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "suffix_ranks": suffix_ranks_sql_q,
         "poly_intersect": poly_intersect_sql_q,
         "bigram_logppl": bigram_logppl_sql_q,
         "change_detect": change_detect_sql_q,
