@@ -2993,6 +2993,30 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→click→purchase funnel over the events table
+    (earliest-completion semantics): k conditional aggregates sharing
+    one user-key partitioning — no per-event window, no explode."""
+    from zen3geo_spark.operators.temporal import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over crawl epochs: cohort = a host's
+    first-seen epoch; cell (cohort, epoch) = hosts of that cohort still
+    crawled in that epoch. Two host-keyed aggregates + one join — the
+    classic product-analytics rollup re-expressed on crawl activity."""
+    pages = synth_pages(spark, N_PAGES).selectExpr(
+        f"{URL_HOST_SQL} as host", f"({URL_PID_SQL}) div 500 as epoch")
+    act = pages.groupBy("host", "epoch").agg(F.count("*").alias("n"))
+    first = act.groupBy("host").agg(F.min("epoch").alias("cohort"))
+    return (act.join(first, "host")
+            .groupBy("cohort", "epoch")
+            .agg(F.countDistinct("host").alias("n_hosts")))
+
+
 def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed suffix-array construction (Manber–Myers prefix
     doubling) over the corpus token stream — the ExactSubstr-dedup
@@ -3511,6 +3535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "suffix_ranks": q_suffix_ranks,
         "poly_intersect": q_poly_intersect,
         "bigram_logppl": q_bigram_logppl,
@@ -5658,6 +5684,21 @@ from g5 group by 1
     from zen3geo_spark.operators.suffix import suffix_ranks_sql_duckdb
     suffix_ranks_sql_q = suffix_ranks_sql_duckdb("documents", rounds=8)
 
+    from zen3geo_spark.operators.temporal import funnel_counts_sql
+    funnel_sql_q = funnel_counts_sql(
+        "events", ["signup", "view", "click", "purchase"])
+    retention_cohorts_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+    act as (
+      select {URL_HOST_SQL} as host, id // 500 as epoch, count(*) as n
+      from pages group by 1, 2
+    ),
+    first as (select host, min(epoch) as cohort from act group by host)
+    select cohort, epoch, count(distinct a.host) as n_hosts
+    from act a join first f on a.host = f.host
+    group by 1, 2
+    """
+
     from zen3geo_spark.operators.overlay import (
         polygon_intersect_sql, synth_poly_edges_sql,
     )
@@ -6206,6 +6247,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "funnel": funnel_sql_q,
+        "retention_cohorts": retention_cohorts_sql_q,
         "suffix_ranks": suffix_ranks_sql_q,
         "poly_intersect": poly_intersect_sql_q,
         "bigram_logppl": bigram_logppl_sql_q,

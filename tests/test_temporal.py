@@ -281,3 +281,37 @@ def test_snapshot_as_of_golden(spark):
         f"select * from (values {vals}) t(k, ord, op, lang, band)",
         "k", "ord", [4, 8, 12], ["lang", "band"])).fetchall())
     assert duck == got
+
+
+def test_funnel_ordering_constraint(spark):
+    import duckdb
+    from zen3geo_spark.operators.temporal import (
+        funnel_counts, funnel_counts_sql,
+    )
+    rows = [
+        # u1: full ordered chain
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 00:30:00", "purchase"),
+        (2, "2024-01-01 01:00:00", "click"),
+        # u3: never signed up -> counts nowhere
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 01:00:00", "purchase"),
+        # u4: signup only
+        (4, "2024-01-01 05:00:00", "signup"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows],
+        "user_id long, ts string, event_type string").selectExpr(
+        "user_id", "cast(ts as timestamp) as ts", "event_type")
+    got = {r.stage: r.n_users for r in funnel_counts(
+        ev, ["signup", "click", "purchase"]).collect()}
+    assert got == {"signup": 3, "click": 2, "purchase": 1}
+    vals = ", ".join(f"({u}, timestamp '{t}', '{e}')" for u, t, e in rows)
+    duck = dict((s, n) for _, s, n in duckdb.sql(funnel_counts_sql(
+        f"(select * from (values {vals}) t(user_id, ts, event_type))",
+        ["signup", "click", "purchase"])).fetchall())
+    assert duck == got

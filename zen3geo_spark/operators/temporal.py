@@ -315,3 +315,57 @@ def snapshot_as_of_sql_duckdb(log_sql: str, key_col: str, ord_col: str,
     select version, {key_col}, {pays}
     from _x where _rk = 1 and op <> 'D'
     """
+
+
+def funnel_counts(events: DataFrame, stages: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis (the event-analytics staple): how many
+    users reached stage k — where reaching stage k means an ordered
+    chain e_1 < e_2 < … < e_k of events of the stage types, each
+    STRICTLY after the user's earliest completion of the previous
+    stage (the greedy/earliest-completion semantics every funnel engine
+    uses; greedy is optimal here, so it equals "any ordered chain").
+
+    Plan: one conditional aggregate per stage on the SAME user key —
+    k sequential hash aggregates + joins that all share one
+    partitioning (no per-event window, no explode). Output:
+    (stage_idx, stage, n_users) with n_users non-increasing.
+    """
+    cur = (events.filter(F.col(type_col) == stages[0])
+           .groupBy(user_col)
+           .agg(F.min(ts_col).alias("_t0")))
+    out = [(0, stages[0], cur)]
+    for i, st in enumerate(stages[1:], start=1):
+        nxt = (events.filter(F.col(type_col) == st)
+               .join(out[-1][2].select(user_col, F.col("_t0")), user_col)
+               .filter(F.col(ts_col) > F.col("_t0"))
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("_t0")))
+        out.append((i, st, nxt))
+    rows = None
+    for i, st, df in out:
+        r = df.agg(F.count("*").alias("n_users")).selectExpr(
+            f"{i} as stage_idx", f"'{st}' as stage", "n_users")
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def funnel_counts_sql(rel: str, stages: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> str:
+    """Engine-neutral twin of :func:`funnel_counts`."""
+    parts = [f"""s0 as (
+      select {user_col}, min({ts_col}) as t0 from {rel}
+      where {type_col} = '{stages[0]}' group by {user_col})"""]
+    for i, st in enumerate(stages[1:], start=1):
+        parts.append(f"""s{i} as (
+      select e.{user_col}, min(e.{ts_col}) as t0
+      from {rel} e join s{i - 1} p on e.{user_col} = p.{user_col}
+      where e.{type_col} = '{st}' and e.{ts_col} > p.t0
+      group by e.{user_col})""")
+    sels = " union all ".join(
+        f"select {i} as stage_idx, '{st}' as stage, "
+        f"(select count(*) from s{i}) as n_users"
+        for i, st in enumerate(stages))
+    return "with " + ",\n".join(parts) + "\n" + sels
