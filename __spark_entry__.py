@@ -2993,6 +2993,18 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_geo_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the extracted geotag points
+    (POI/hotspot clustering): broadcast-literal argmin assignment +
+    k-row centroid updates per round — the IVF coarse-quantizer
+    training pattern on geographic coordinates, bit-identical to the
+    DuckDB unrolled twin."""
+    from zen3geo_spark.operators.geo_cluster import geo_kmeans
+
+    return geo_kmeans(_points_df(spark).select("lon_us", "lat_us"),
+                      k=12, rounds=3)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered signup→view→click→purchase funnel over the events table
     (earliest-completion semantics): k conditional aggregates sharing
@@ -3535,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "geo_kmeans": q_geo_kmeans,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "suffix_ranks": q_suffix_ranks,
@@ -5684,6 +5697,11 @@ from g5 group by 1
     from zen3geo_spark.operators.suffix import suffix_ranks_sql_duckdb
     suffix_ranks_sql_q = suffix_ranks_sql_duckdb("documents", rounds=8)
 
+    from zen3geo_spark.operators.geo_cluster import geo_kmeans_sql_duckdb
+    geo_kmeans_sql_q = geo_kmeans_sql_duckdb(
+        f"{_points_cte()} select lon_us, lat_us from pts",
+        k=12, rounds=3)
+
     from zen3geo_spark.operators.temporal import funnel_counts_sql
     funnel_sql_q = funnel_counts_sql(
         "events", ["signup", "view", "click", "purchase"])
@@ -6247,6 +6265,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "geo_kmeans": geo_kmeans_sql_q,
         "funnel": funnel_sql_q,
         "retention_cohorts": retention_cohorts_sql_q,
         "suffix_ranks": suffix_ranks_sql_q,
