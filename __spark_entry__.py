@@ -2993,6 +2993,33 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_image_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xbatcher chipping over REAL decoded netpbm rasters (floor
+    semantics, trailing partials dropped) with per-chip stats — decode
+    + XbatcherSlicer composed in one Arrow pass; the oracle recomputes
+    every chip from the synthetic pixel formula."""
+    from zen3geo_spark.operators.multimodal import (
+        chip_image_stats, synth_media,
+    )
+
+    out = chip_image_stats(synth_media(spark, 300), chip=8)
+    return out.select("media_id", "chip_row", "chip_col",
+                      F.round("mean_px", 6).alias("mean_px"),
+                      "min_px", "max_px")
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (6 h length, 2 h slide — the overlap
+    variant tumbling_window doesn't cover): per (window, event_type)
+    counts via F.window's multi-assignment."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"),
+                       "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n"))
+
+
 def q_geo_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd k-means over the extracted geotag points
     (POI/hotspot clustering): broadcast-literal argmin assignment +
@@ -3547,6 +3574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "image_chips": q_image_chips,
+        "sliding_window": q_sliding_window,
         "geo_kmeans": q_geo_kmeans,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
@@ -5697,6 +5726,46 @@ from g5 group by 1
     from zen3geo_spark.operators.suffix import suffix_ranks_sql_duckdb
     suffix_ranks_sql_q = suffix_ranks_sql_duckdb("documents", rounds=8)
 
+    # image-chip oracle: synth_media P6 pixel i = (media_id·7 + i·13)
+    # mod 256 at flat index ((y·w + x)·3 + c); chips = floor grid of
+    # 8x8 windows, trailing partials dropped (xbatcher semantics)
+    image_chips_sql_q = """
+    with media as (
+      select id as media_id, cast(16 + id % 16 as int) as w,
+             cast(16 + id % 8 as int) as h
+      from range(300) t(id) where id % 3 = 0
+    ),
+    chips as (
+      select media_id, w, h, cy.cy as chip_row, cx.cx as chip_col
+      from media,
+           lateral (select unnest(generate_series(0, h // 8 - 1)) as cy) cy,
+           lateral (select unnest(generate_series(0, w // 8 - 1)) as cx) cx
+    ),
+    px as (
+      select media_id, chip_row, chip_col,
+             cast((media_id * 7
+                   + (((chip_row * 8 + dy.dy) * w
+                       + (chip_col * 8 + dx.dx)) * 3 + c.c) * 13) % 256
+                  as double) as v
+      from chips,
+           (select unnest(generate_series(0, 7)) as dy) dy,
+           (select unnest(generate_series(0, 7)) as dx) dx,
+           (select unnest(generate_series(0, 2)) as c) c
+    )
+    select media_id, chip_row, chip_col,
+           round(avg(v), 6) as mean_px, min(v) as min_px, max(v) as max_px
+    from px group by 1, 2, 3
+    """
+
+    # sliding windows: every event lands in length/slide = 3 windows
+    sliding_window_sql_q = """
+    select make_timestamp(((cast(floor(epoch(ts)) as bigint) // 7200) - k.k) * 7200 * 1000000)
+             as window_start,
+           event_type, count(*) as n
+    from events, (select unnest(generate_series(0, 2)) as k) k
+    group by 1, 2
+    """
+
     from zen3geo_spark.operators.geo_cluster import geo_kmeans_sql_duckdb
     geo_kmeans_sql_q = geo_kmeans_sql_duckdb(
         f"{_points_cte()} select lon_us, lat_us from pts",
@@ -6265,6 +6334,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "image_chips": image_chips_sql_q,
+        "sliding_window": sliding_window_sql_q,
         "geo_kmeans": geo_kmeans_sql_q,
         "funnel": funnel_sql_q,
         "retention_cohorts": retention_cohorts_sql_q,

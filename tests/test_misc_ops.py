@@ -369,3 +369,34 @@ def test_open_asset_zarr_like_engine(spark, tmp_path):
     full = open_asset(spark, store, engine="zarr_like")
     assert full.count() == h * w
     assert full.agg(F.min("value")).first()[0] >= 0.0  # no -9 padding leaked
+
+
+def test_chip_image_stats_floor_semantics(spark):
+    """Chips follow xbatcher floor semantics: a 20x17 image at chip=8
+    yields 2x2 chips (trailing 4-col / 1-row partials dropped), and each
+    chip's stats match a direct numpy slice of the decoded raster."""
+    import numpy as np
+
+    from zen3geo_spark.operators.multimodal import (
+        chip_image_stats, parse_ppm, synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    out = [r for r in chip_image_stats(media, chip=8).collect()]
+    rows = {(r.media_id, r.chip_row, r.chip_col): r for r in out}
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter("kind = 'image'")
+                .select("media_id", "payload").collect()}
+    assert payloads and rows
+    for mid, buf in payloads.items():
+        img = parse_ppm(buf)
+        h, w = img.shape[0], img.shape[1]
+        n_chips = (h // 8) * (w // 8)
+        mine = [k for k in rows if k[0] == mid]
+        assert len(mine) == n_chips
+        for _, cy, cx in mine:
+            blk = img[cy * 8:(cy + 1) * 8, cx * 8:(cx + 1) * 8]
+            r = rows[(mid, cy, cx)]
+            assert r.mean_px == float(np.mean(blk))
+            assert r.min_px == float(blk.min())
+            assert r.max_px == float(blk.max())

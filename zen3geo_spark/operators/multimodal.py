@@ -359,3 +359,43 @@ def image_stats(decoded: DataFrame) -> DataFrame:
         F.min("_v").alias("min_px"),
         F.max("_v").alias("max_px"),
     )
+
+
+def chip_image_stats(media: DataFrame, chip: int = 8) -> DataFrame:
+    """xbatcher-style fixed-stride chipping over REAL decoded rasters:
+    decode each netpbm image and slice it into non-overlapping
+    ``chip``×``chip`` windows with the reference's floor semantics
+    (trailing partial windows DROPPED — zen3geo
+    datapipes/xbatcher.py:105-116), emitting per-chip mean/min/max over
+    all 3 channels → (media_id, chip_row, chip_col, mean_px, min_px,
+    max_px). Composes the two reference cores — raster decode +
+    XbatcherSlicer — in ONE Arrow pass: the UDF ships chip STATS, never
+    pixels, so bytes-on-the-wire per image is chips×3 doubles.
+
+    Exactness: chip sums are integer (uint8 pixels, ≤ 3·chip² terms
+    < 2^53), so mean = sum/len is bit-identical in any engine and the
+    DuckDB oracle recomputes it from the synthetic pixel formula."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = parse_ppm(bytes(payload))
+                h, w = img.shape[0], img.shape[1]
+                for cy in range(h // chip):
+                    for cx in range(w // chip):
+                        blk = img[cy * chip:(cy + 1) * chip,
+                                  cx * chip:(cx + 1) * chip]
+                        recs.append((int(mid), cy, cx,
+                                     float(blk.mean()), float(blk.min()),
+                                     float(blk.max())))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "chip_row", "chip_col",
+                "mean_px", "min_px", "max_px"])
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema=(
+                "media_id long, chip_row int, chip_col int, "
+                "mean_px double, min_px double, max_px double")))
