@@ -2993,6 +2993,38 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over the WARC shards: SURT url keys + byte
+    offsets from the REAL serialized record lengths (per-shard cumsum
+    in page-id order — exactly the blob concatenation order). The twin
+    recomputes lengths symbolically from the WARC/1.0 grammar, so the
+    hash re-proves the byte framing."""
+    from zen3geo_spark.sources.warc import cdx_index
+
+    return cdx_index(synth_pages(spark, N_PAGES), records_per_file=200)
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling of the crawl frontier: queue rank
+    per host (window row_number) × host crawl-delay → deterministic
+    fetch slots and worker assignment — the frontier→fetcher planning
+    pass of a distributed crawler, all window/arithmetic codegen."""
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.operators.dedup import gram_hash40
+
+    pages = synth_pages(spark, N_PAGES).selectExpr(
+        "url", f"{URL_HOST_SQL} as host", f"{URL_PID_SQL} as pid")
+    w = Window.partitionBy("host").orderBy("pid")
+    return (pages
+            .withColumn("slot", F.row_number().over(w) - 1)
+            .withColumn("_h", gram_hash40(F.col("host"), 1))
+            .selectExpr(
+                "url", "host", "slot",
+                "slot * (1 + _h % 5) as sched_s",
+                "_h % 32 as worker"))
+
+
 def q_image_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xbatcher chipping over REAL decoded netpbm rasters (floor
     semantics, trailing partials dropped) with per-chip stats — decode
@@ -3574,6 +3606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "cdx_index": q_cdx_index,
+        "fetch_schedule": q_fetch_schedule,
         "image_chips": q_image_chips,
         "sliding_window": q_sliding_window,
         "geo_kmeans": q_geo_kmeans,
@@ -5726,6 +5760,26 @@ from g5 group by 1
     from zen3geo_spark.operators.suffix import suffix_ranks_sql_duckdb
     suffix_ranks_sql_q = suffix_ranks_sql_duckdb("documents", rounds=8)
 
+    from zen3geo_spark.sources.warc import cdx_index_sql_duckdb
+    cdx_index_sql_q = cdx_index_sql_duckdb(
+        pages_cte_sql(N_PAGES, with_id=True), records_per_file=200)
+
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb as _h40
+    fetch_schedule_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+    q as (
+      select url, {URL_HOST_SQL} as host, id as pid from pages
+    ),
+    r as (
+      select url, host,
+             row_number() over (partition by host order by pid) - 1 as slot,
+             {_h40("host", 1)} as h
+      from q
+    )
+    select url, host, slot, slot * (1 + h % 5) as sched_s, h % 32 as worker
+    from r
+    """
+
     # image-chip oracle: synth_media P6 pixel i = (media_id·7 + i·13)
     # mod 256 at flat index ((y·w + x)·3 + c); chips = floor grid of
     # 8x8 windows, trailing partials dropped (xbatcher semantics)
@@ -6334,6 +6388,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "cdx_index": cdx_index_sql_q,
+        "fetch_schedule": fetch_schedule_sql_q,
         "image_chips": image_chips_sql_q,
         "sliding_window": sliding_window_sql_q,
         "geo_kmeans": geo_kmeans_sql_q,

@@ -68,3 +68,26 @@ def test_serialize_is_jvm_only(spark):
     plan = warc_serialize(synth_pages(spark, 5))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_cdx_offsets_slice_real_blobs(spark):
+    """A CDX row must range-request its record out of the REAL
+    assembled WARC blob: blob[offset : offset+rec_len] is a complete
+    record naming the right URL."""
+    from zen3geo_spark.sources.pages import synth_pages
+    from zen3geo_spark.sources.warc import cdx_index, warc_blobs, warc_serialize
+
+    pages = synth_pages(spark, 120)
+    blobs = {r.file_id: bytes(r.blob) for r in
+             warc_blobs(warc_serialize(pages), records_per_file=50).collect()}
+    rows = cdx_index(pages, records_per_file=50).collect()
+    assert len(rows) == 120
+    for r in rows:
+        blob = blobs[r.file_id]
+        rec = blob[r.offset:r.offset + r.rec_len]
+        assert rec.startswith(b"WARC/1.0\r\n")
+        assert rec.endswith(b"\r\n\r\n")
+        # SURT key test,example-<h>)/page/<p> names the record's URI
+        host_rev, _, path = r.urlkey.partition(")")
+        host = ".".join(reversed(host_rev.split(",")))
+        assert f"WARC-Target-URI: https://{host}{path}\r\n".encode() in rec

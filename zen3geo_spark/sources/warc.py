@@ -137,3 +137,71 @@ def warc_parse(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
 def warc_roundtrip(pages: DataFrame, records_per_file: int = 200) -> DataFrame:
     """serialize → blob-assemble → parse, end to end."""
     return warc_parse(warc_blobs(warc_serialize(pages), records_per_file))
+
+
+def cdx_index(pages: DataFrame, records_per_file: int = 200) -> DataFrame:
+    """CDX capture index over the serialized WARC shards — the lookup
+    structure every web archive pairs with its WARC files (CDXJ /
+    OpenWayback): one row per record with its SURT url key, 14-digit
+    timestamp, shard id, BYTE OFFSET inside the shard, and record
+    length, so a reader can range-request one record from a 1 GB shard.
+
+    Offsets come from the REAL serialized record lengths (the same
+    ``warc_serialize`` bytes that build the shards) via one per-shard
+    cumulative-sum window ordered by page id — the exact order
+    ``warc_blobs`` concatenates, so offset arithmetic is provably the
+    framing's. SURT key = reversed host labels + path (the standard
+    sort-friendly form). Everything is JVM string/window arithmetic;
+    the DuckDB twin recomputes record lengths symbolically from the
+    header grammar, so a hash match re-proves the byte framing."""
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.sources.pages import URL_PID_SQL
+
+    recs = warc_serialize(pages)
+    keyed = (recs.join(pages.select("url", "warc_ts"), "url")
+             .selectExpr(
+                 "url", "warc_ts", f"{URL_PID_SQL} as pid",
+                 f"{URL_PID_SQL} div {records_per_file} as file_id",
+                 "length(record) as rec_len"))
+    w = (Window.partitionBy("file_id").orderBy("pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    surt = ("concat(array_join(reverse(split("
+            "regexp_extract(url, '^https?://([^/]+)/', 1), '\\\\.')), ','), "
+            "')', regexp_extract(url, '^https?://[^/]+(/.*)$', 1))")
+    return (keyed
+            .withColumn("offset",
+                        F.coalesce(F.sum("rec_len").over(w), F.lit(0)))
+            .selectExpr(f"{surt} as urlkey",
+                        "date_format(warc_ts, 'yyyyMMddHHmmss') as cdx_ts",
+                        "file_id", "offset", "rec_len"))
+
+
+def cdx_index_sql_duckdb(pages_sql: str,
+                         records_per_file: int = 200) -> str:
+    """DuckDB twin: record length recomputed symbolically from the
+    WARC/1.0 header grammar (10 + 21 + 17+|url|+2 + 11+20+2 +
+    16+digits(|payload|)+2 + 2 + |payload| + 4) — independent
+    arithmetic, same framing."""
+    surt = ("array_to_string(list_reverse(string_split("
+            "regexp_extract(url, '^https?://([^/]+)/', 1), '.')), ',') "
+            "|| ')' || regexp_extract(url, '^https?://[^/]+(/.*)$', 1)")
+    plen = "octet_length(html)"
+    rec_len = (f"(10 + 21 + 17 + length(url) + 2 + 11 + 20 + 2 + 16 "
+               f"+ length(cast({plen} as varchar)) + 2 + 2 + {plen} + 4)")
+    return f"""
+    with pages as ({pages_sql}),
+    keyed as (
+      select {surt} as urlkey,
+             strftime(warc_ts, '%Y%m%d%H%M%S') as cdx_ts,
+             id as pid, id // {records_per_file} as file_id,
+             {rec_len} as rec_len
+      from pages
+    )
+    select urlkey, cdx_ts, file_id,
+           coalesce(sum(rec_len) over (
+             partition by file_id order by pid
+             rows between unbounded preceding and 1 preceding), 0) as offset,
+           rec_len
+    from keyed
+    """
