@@ -2993,6 +2993,19 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible random-walk sampling over the host graph (the
+    DeepWalk corpus pass): hash-argmin neighbor choice per step — a
+    pure function of (edge, step), so the walk corpus is identical
+    across engines, retries, and cluster sizes."""
+    from zen3geo_spark.operators.linkgraph import (
+        deterministic_walks, synth_host_edges,
+    )
+
+    return deterministic_walks(synth_host_edges(spark, 1000),
+                               n_nodes=1000, steps=4)
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index over the WARC shards: SURT url keys + byte
     offsets from the REAL serialized record lengths (per-shard cumsum
@@ -3606,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "graph_walks": q_graph_walks,
         "cdx_index": q_cdx_index,
         "fetch_schedule": q_fetch_schedule,
         "image_chips": q_image_chips,
@@ -5760,6 +5774,12 @@ from g5 group by 1
     from zen3geo_spark.operators.suffix import suffix_ranks_sql_duckdb
     suffix_ranks_sql_q = suffix_ranks_sql_duckdb("documents", rounds=8)
 
+    from zen3geo_spark.operators.linkgraph import (
+        deterministic_walks_sql_duckdb, synth_host_edges_sql_duckdb,
+    )
+    graph_walks_sql_q = deterministic_walks_sql_duckdb(
+        synth_host_edges_sql_duckdb(1000), n_nodes=1000, steps=4)
+
     from zen3geo_spark.sources.warc import cdx_index_sql_duckdb
     cdx_index_sql_q = cdx_index_sql_duckdb(
         pages_cte_sql(N_PAGES, with_id=True), records_per_file=200)
@@ -6388,6 +6408,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "graph_walks": graph_walks_sql_q,
         "cdx_index": cdx_index_sql_q,
         "fetch_schedule": fetch_schedule_sql_q,
         "image_chips": image_chips_sql_q,

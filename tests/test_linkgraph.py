@@ -380,3 +380,24 @@ def test_neighbor_jaccard_hot_center_guard(spark):
     edges = spark.createDataFrame(rows, "src: long, dst: long")
     out = neighbor_jaccard(edges, max_deg=5, min_common=1).collect()
     assert out == []  # only possible wedge center is the hub, guarded off
+
+
+def test_deterministic_walks_follow_edges_and_repeat(spark):
+    from zen3geo_spark.operators.linkgraph import (
+        deterministic_walks, synth_host_edges,
+    )
+
+    edges = synth_host_edges(spark, 50)
+    eset = {(r.src, r.dst) for r in edges.collect()}
+    out = deterministic_walks(edges, n_nodes=50, steps=3)
+    rows = {(r.walk_id, r.step): r.node for r in out.collect()}
+    # every step moves along a real edge
+    for (wid, step), node in rows.items():
+        if step == 0:
+            assert node == wid
+        else:
+            assert (rows[(wid, step - 1)], node) in eset
+    # rerun is bit-identical (reproducibility is the whole point)
+    again = {(r.walk_id, r.step): r.node
+             for r in deterministic_walks(edges, 50, steps=3).collect()}
+    assert again == rows

@@ -585,3 +585,73 @@ select c.host_a, c.host_b, c.n_common,
 from common c join deg d1 on d1.node = c.host_a
               join deg d2 on d2.node = c.host_b
 """
+
+
+def deterministic_walks(edges: DataFrame, n_nodes: int,
+                        steps: int = 4) -> DataFrame:
+    """Random-walk corpus sampling over the link graph (the
+    DeepWalk/node2vec preprocessing pass) made REPRODUCIBLE: one walk
+    starts at every node, and step t moves to the out-neighbor
+    minimizing the shared 40-bit polynomial hash of "cur|dst|t" —
+    pseudo-random neighbor choice that is a pure function of the edge
+    and step, so the walk corpus is identical across engines, retries,
+    and cluster sizes (``rand()``-seeded samplers are not, which is why
+    stratified_sample uses the same discipline).
+
+    Per step: one equi-join walks⋈edges on the current node + one
+    per-walk argmin aggregate (map-side combinable min_by) — cost
+    |walks|·avg_degree rows, never materializing multi-step paths.
+    Walks ending on a sink node simply stop (inner join drops them —
+    mirrored by the twin). Output: (walk_id, step, node) for every
+    visited position.
+    """
+    from zen3geo_spark.operators.dedup import gram_hash40
+
+    spark = edges.sparkSession
+    cur = spark.range(n_nodes).selectExpr("id as walk_id", "id as node")
+    frames = [cur.selectExpr("walk_id", "cast(0 as int) as step", "node")]
+    for t in range(1, steps + 1):
+        h = gram_hash40(
+            F.concat_ws("|", F.col("node").cast("string"),
+                        F.col("dst").cast("string"), F.lit(str(t))), 1)
+        nxt = (cur.join(edges, cur["node"] == edges["src"])
+               .withColumn("_h", h)
+               .groupBy("walk_id")
+               .agg(F.min_by(F.col("dst"),
+                             F.struct(F.col("_h"), F.col("dst")))
+                    .alias("node"))
+               .localCheckpoint(eager=False))
+        frames.append(nxt.selectExpr(
+            "walk_id", f"cast({t} as int) as step", "node"))
+        cur = nxt
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def deterministic_walks_sql_duckdb(edges_sql: str, n_nodes: int,
+                                   steps: int = 4) -> str:
+    """DuckDB twin of :func:`deterministic_walks` (same hash, same
+    (h, dst) argmin, unrolled)."""
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb
+
+    h = hash40_sql_duckdb(
+        "concat(cast(w.node as varchar), '|', cast(e.dst as varchar), "
+        "'|', '{t}')", 1)
+    parts = [f"_e as ({edges_sql})",
+             f"w0 as (select id as walk_id, id as node "
+             f"from range({n_nodes}) t(id))"]
+    for t in range(1, steps + 1):
+        ht = h.replace("'{t}'", f"'{t}'")
+        parts.append(f"""w{t} as (
+      select walk_id, dst as node from (
+        select w.walk_id, e.dst,
+               row_number() over (partition by w.walk_id
+                                  order by {ht}, e.dst) as rk
+        from w{t - 1} w join _e e on w.node = e.src
+      ) where rk = 1)""")
+    sels = " union all ".join(
+        f"select walk_id, cast({t} as int) as step, node from w{t}"
+        for t in range(steps + 1))
+    return "with " + ",\n".join(parts) + "\n" + sels
