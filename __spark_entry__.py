@@ -2993,6 +2993,45 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_dir_d8(img, width=360, height=180)
 
 
+_IOU_GT_SQL = """
+    select i.i as image_id, i.i * 4 + k.k as gt_id,
+           (i.i * 17 + k.k * 29) % 800 as gx1,
+           (i.i * 23 + k.k * 31) % 800 as gy1,
+           (i.i * 17 + k.k * 29) % 800 + 40 + (i.i * 3 + k.k * 7) % 60 as gx2,
+           (i.i * 23 + k.k * 31) % 800 + 40 + (i.i * 5 + k.k * 11) % 60 as gy2
+    from range(50) as i(i), range(4) as k(k)
+"""
+
+_IOU_PRED_SQL = """
+    select i.i as image_id, i.i * 4 + k.k as pred_id,
+           case when k.k < 3
+             then (i.i * 17 + k.k * 29) % 800 + (i.i + k.k) % 15 - 7
+             else (i.i * 53 + 13) % 800 end as px1,
+           case when k.k < 3
+             then (i.i * 23 + k.k * 31) % 800 + (i.i * 2 + k.k) % 15 - 7
+             else (i.i * 59 + 17) % 800 end as py1,
+           case when k.k < 3
+             then (i.i * 17 + k.k * 29) % 800 + 40 + (i.i * 3 + k.k * 7) % 60
+                  + (i.i + k.k) % 15 - 7
+             else (i.i * 53 + 13) % 800 + 50 end as px2,
+           case when k.k < 3
+             then (i.i * 23 + k.k * 31) % 800 + 40 + (i.i * 5 + k.k * 11) % 60
+                  + (i.i * 2 + k.k) % 15 - 7
+             else (i.i * 59 + 17) % 800 + 50 end as py2
+    from range(50) as i(i), range(4) as k(k)
+"""
+
+
+def q_iou_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best IoU matching of predicted vs ground-truth boxes
+    per image — the detection-eval pairing downstream of the
+    reference's object-detection box pipeline. Exact integer IoU,
+    mutual-argmax matching, one image-keyed shuffle."""
+    from zen3geo_spark.operators.overlay import iou_match
+
+    return iou_match(spark.sql(_IOU_PRED_SQL), spark.sql(_IOU_GT_SQL))
+
+
 def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible random-walk sampling over the host graph (the
     DeepWalk corpus pass): hash-argmin neighbor choice per step — a
@@ -3619,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "iou_match": q_iou_match,
         "graph_walks": q_graph_walks,
         "cdx_index": q_cdx_index,
         "fetch_schedule": q_fetch_schedule,
@@ -5774,6 +5814,9 @@ from g5 group by 1
     from zen3geo_spark.operators.suffix import suffix_ranks_sql_duckdb
     suffix_ranks_sql_q = suffix_ranks_sql_duckdb("documents", rounds=8)
 
+    from zen3geo_spark.operators.overlay import iou_match_sql_duckdb
+    iou_match_sql_q = iou_match_sql_duckdb(_IOU_PRED_SQL, _IOU_GT_SQL)
+
     from zen3geo_spark.operators.linkgraph import (
         deterministic_walks_sql_duckdb, synth_host_edges_sql_duckdb,
     )
@@ -6408,6 +6451,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "iou_match": iou_match_sql_q,
         "graph_walks": graph_walks_sql_q,
         "cdx_index": cdx_index_sql_q,
         "fetch_schedule": fetch_schedule_sql_q,

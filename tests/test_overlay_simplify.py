@@ -191,3 +191,22 @@ def test_polygon_intersect_planted(spark):
                  for r in polygon_intersect_join(ea, eb, res=4).collect())
     # (1,1) boundary crossing; (3,2) a inside b; (1,3) b inside a
     assert got == [(1, 1), (1, 3), (3, 2)]
+
+
+def test_iou_match_reciprocal_semantics(spark):
+    from zen3geo_spark.operators.overlay import iou_match
+
+    # image 1: pred 10 overlaps BOTH gts but best-matches gt 1; pred 11
+    # only gt 2. gt 1 <-> pred 10 and gt 2 <-> pred 11 are mutual bests.
+    preds = spark.createDataFrame(
+        [(1, 10, 0, 0, 10, 10), (1, 11, 20, 0, 32, 10),
+         (1, 12, 500, 500, 510, 510)],              # spurious, no overlap
+        "image_id long, pred_id long, px1 long, py1 long, px2 long, py2 long")
+    gts = spark.createDataFrame(
+        [(1, 1, 1, 1, 11, 11), (1, 2, 21, 0, 30, 9)],
+        "image_id long, gt_id long, gx1 long, gy1 long, gx2 long, gy2 long")
+    got = {(r.gt_id, r.pred_id): r.iou_milli
+           for r in iou_match(preds, gts).collect()}
+    assert set(got) == {(1, 10), (2, 11)}
+    # gt1 x pred10: inter 9x9=81, union 100+100-81=119 -> 680
+    assert got[(1, 10)] == 1000 * 81 // 119

@@ -328,3 +328,77 @@ def synth_poly_edges_sql(n: int, seed: int, kind: str, pfx: str) -> str:
     u = " union all ".join(parts)
     return (f"with _c{pfx} as (select i as pid, {cx} as cx, {cy} as cy, "
             f"{r} as r from range({n}) as t(i)) {u}")
+
+
+def iou_match(preds: DataFrame, gts: DataFrame) -> DataFrame:
+    """Reciprocal-best IoU matching between predicted and ground-truth
+    boxes per image — the detection-evaluation pairing step downstream
+    of the reference's object-detection box pipeline (zen3geo
+    docs/object-detection-boxes.md builds exactly these (image, bbox)
+    pairs). A pred matches a gt iff each is the other's best partner by
+    (IoU desc, id asc) among positive-IoU pairs — the deterministic
+    mutual-argmax relaxation of greedy matching (identical to greedy
+    whenever best choices don't collide, and window-expressible, unlike
+    sequential greedy).
+
+    Inputs: (image_id, pred_id, px1, py1, px2, py2) and (image_id,
+    gt_id, gx1, gy1, gx2, gy2) — integer pixel boxes, x1<x2, y1<y2.
+    Candidates meet on the image EQUI-join (per-image box counts are
+    bounded), IoU is exact bigint inter/union with iou_milli =
+    1000·inter div union. One shuffle on image_id + two small argmax
+    windows over the positive-IoU pair table.
+    """
+    from pyspark.sql.window import Window
+
+    j = preds.join(gts, "image_id")
+    ix = F.least("px2", "gx2") - F.greatest("px1", "gx1")
+    iy = F.least("py2", "gy2") - F.greatest("py1", "gy1")
+    inter = F.greatest(ix, F.lit(0)) * F.greatest(iy, F.lit(0))
+    area_p = (F.col("px2") - F.col("px1")) * (F.col("py2") - F.col("py1"))
+    area_g = (F.col("gx2") - F.col("gx1")) * (F.col("gy2") - F.col("gy1"))
+    pairs = (j.withColumn("_inter", inter)
+             .filter(F.col("_inter") > 0)
+             .withColumn("_union", area_p + area_g - F.col("_inter"))
+             .withColumn("iou_milli",
+                         F.expr("1000 * _inter div _union"))
+             .select("image_id", "pred_id", "gt_id", "iou_milli")
+             .localCheckpoint(eager=False))
+    wg = Window.partitionBy("image_id", "gt_id").orderBy(
+        F.col("iou_milli").desc(), F.col("pred_id"))
+    wp = Window.partitionBy("image_id", "pred_id").orderBy(
+        F.col("iou_milli").desc(), F.col("gt_id"))
+    return (pairs
+            .withColumn("_rg", F.row_number().over(wg))
+            .withColumn("_rp", F.row_number().over(wp))
+            .filter("_rg = 1 and _rp = 1")
+            .select("image_id", "gt_id", "pred_id", "iou_milli"))
+
+
+def iou_match_sql_duckdb(preds_sql: str, gts_sql: str) -> str:
+    """DuckDB twin of :func:`iou_match` (`//` ≡ Spark `div` here —
+    every operand is non-negative)."""
+    return f"""
+    with _p as ({preds_sql}), _g as ({gts_sql}),
+    pairs as (
+      select p.image_id, p.pred_id, g.gt_id,
+             1000 * (greatest(least(px2, gx2) - greatest(px1, gx1), 0)
+                     * greatest(least(py2, gy2) - greatest(py1, gy1), 0))
+             // ((px2 - px1) * (py2 - py1) + (gx2 - gx1) * (gy2 - gy1)
+                 - greatest(least(px2, gx2) - greatest(px1, gx1), 0)
+                   * greatest(least(py2, gy2) - greatest(py1, gy1), 0))
+               as iou_milli
+      from _p p join _g g on p.image_id = g.image_id
+      where greatest(least(px2, gx2) - greatest(px1, gx1), 0)
+            * greatest(least(py2, gy2) - greatest(py1, gy1), 0) > 0
+    ),
+    rk as (
+      select *,
+             row_number() over (partition by image_id, gt_id
+                                order by iou_milli desc, pred_id) as rg,
+             row_number() over (partition by image_id, pred_id
+                                order by iou_milli desc, gt_id) as rp
+      from pairs
+    )
+    select image_id, gt_id, pred_id, iou_milli
+    from rk where rg = 1 and rp = 1
+    """
