@@ -3022,6 +3022,21 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over synthetic
+    3xx chains (page pid redirects to pid−1 except every 16th — chains
+    up to 15 hops, resolved in 5 doublings). The oracle is the CLOSED
+    FORM final = pid − pid%16, hops = pid%16 — a fully independent
+    derivation, so the hash proves the iterative kernel exact."""
+    from zen3geo_spark.operators.linkgraph import resolve_redirects
+
+    edges = (synth_pages(spark, N_PAGES)
+             .selectExpr(f"{URL_PID_SQL} as src")
+             .filter("src % 16 != 0")
+             .selectExpr("src", "src - 1 as dst"))
+    return resolve_redirects(edges, rounds=5)
+
+
 def q_iou_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-best IoU matching of predicted vs ground-truth boxes
     per image — the detection-eval pairing downstream of the
@@ -3658,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "redirect_resolve": q_redirect_resolve,
         "iou_match": q_iou_match,
         "graph_walks": q_graph_walks,
         "cdx_index": q_cdx_index,
@@ -5817,6 +5833,14 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import iou_match_sql_duckdb
     iou_match_sql_q = iou_match_sql_duckdb(_IOU_PRED_SQL, _IOU_GT_SQL)
 
+    # closed-form twin — independent of the pointer-doubling recurrence
+    redirect_resolve_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)})
+    select id as src, id - id % 16 as final,
+           cast(id % 16 as bigint) as hops
+    from pages where id % 16 != 0
+    """
+
     from zen3geo_spark.operators.linkgraph import (
         deterministic_walks_sql_duckdb, synth_host_edges_sql_duckdb,
     )
@@ -6451,6 +6475,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "redirect_resolve": redirect_resolve_sql_q,
         "iou_match": iou_match_sql_q,
         "graph_walks": graph_walks_sql_q,
         "cdx_index": cdx_index_sql_q,

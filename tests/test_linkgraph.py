@@ -401,3 +401,17 @@ def test_deterministic_walks_follow_edges_and_repeat(spark):
     again = {(r.walk_id, r.step): r.node
              for r in deterministic_walks(edges, 50, steps=3).collect()}
     assert again == rows
+
+
+def test_resolve_redirects_chains_and_cycle_sentinel(spark):
+    from zen3geo_spark.operators.linkgraph import resolve_redirects
+
+    # chain 5->4->3->2->1->0 (0 terminal), plus a 2-cycle 10<->11
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (10, 11), (11, 10)],
+        "src long, dst long")
+    out = {r.src: (r.final, r.hops)
+           for r in resolve_redirects(edges, rounds=4).collect()}
+    assert out[5] == (0, 5) and out[1] == (0, 1) and out[3] == (0, 3)
+    # cycle members report the 2^rounds hop sentinel (never terminal)
+    assert out[10][1] == 16 and out[11][1] == 16

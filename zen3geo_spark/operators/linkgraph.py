@@ -655,3 +655,32 @@ def deterministic_walks_sql_duckdb(edges_sql: str, n_nodes: int,
         f"select walk_id, cast({t} as int) as step, node from w{t}"
         for t in range(steps + 1))
     return "with " + ",\n".join(parts) + "\n" + sels
+
+
+def resolve_redirects(edges: DataFrame, rounds: int = 5) -> DataFrame:
+    """HTTP redirect-chain resolution — the canonical-URL fixup every
+    crawl ingest runs (Common Crawl resolves 3xx chains before
+    indexing). ``edges`` = (src, dst) with AT MOST one outgoing edge
+    per src (a page redirects to one target); returns (src, final,
+    hops) following each chain to its non-redirecting terminal.
+
+    Pointer DOUBLING, not step-by-step walking: each round composes the
+    mapping with itself (one self-equi-join on the unique src key +
+    hop-count addition), so chains of length L resolve in ⌈log2 L⌉
+    rounds — 5 rounds cover 32-hop chains at any corpus size, and each
+    round's join is skew-free (unique keys both sides). Per-round
+    ``localCheckpoint`` keeps the final plan O(1) in round count.
+    Cycles (redirect loops) never terminate semantically; after
+    ``rounds`` doublings a loop member reports 2^rounds accumulated
+    hops — callers cap/flag on that sentinel (mirrored by the twin).
+    """
+    m = edges.selectExpr("src", "dst as nxt", "cast(1 as long) as hops")
+    for _ in range(rounds):
+        m2 = m.selectExpr("src as _j_src", "nxt as _j_nxt",
+                          "hops as _j_hops")
+        m = (m.join(m2, m["nxt"] == m2["_j_src"], "left")
+             .selectExpr("src",
+                         "coalesce(_j_nxt, nxt) as nxt",
+                         "hops + coalesce(_j_hops, 0) as hops")
+             .localCheckpoint(eager=False))
+    return m.selectExpr("src", "nxt as final", "hops")
