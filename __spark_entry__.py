@@ -3022,6 +3022,28 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization training + code assignment (Jégou et al.
+    2011) over int8-quantized embeddings: fully distributed join-based
+    Lloyd per subspace, zero driver collects, integer-exact vs the
+    unrolled twin."""
+    from zen3geo_spark.operators.similarity import pq_train_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_train_codes(emb, m=4, dsub=16, k=16, rounds=2)
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over the PQ codes: per-query m×k distance
+    table ⋈ code words — the scan never touches raw vectors. Each
+    query ranks itself first at its quantization-error floor (queries
+    stay in the corpus)."""
+    from zen3geo_spark.operators.similarity import pq_search_adc
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_search_adc(emb, n_queries=3, top_k=5)
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling over synthetic
     3xx chains (page pid redirects to pid−1 except every 16th — chains
@@ -3673,6 +3695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "pq_codes": q_pq_codes,
+        "pq_search": q_pq_search,
         "redirect_resolve": q_redirect_resolve,
         "iou_match": q_iou_match,
         "graph_walks": q_graph_walks,
@@ -5833,6 +5857,14 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import iou_match_sql_duckdb
     iou_match_sql_q = iou_match_sql_duckdb(_IOU_PRED_SQL, _IOU_GT_SQL)
 
+    from zen3geo_spark.operators.similarity import (
+        pq_search_sql_duckdb, pq_train_sql_duckdb,
+    )
+    pq_codes_sql_q = (pq_train_sql_duckdb("embeddings", rounds=2)
+                      + "\nselect id as vec_id, s, code from codes2")
+    pq_search_sql_q = pq_search_sql_duckdb("embeddings", n_queries=3,
+                                           top_k=5, rounds=2)
+
     # closed-form twin — independent of the pointer-doubling recurrence
     redirect_resolve_sql_q = f"""
     with pages as ({pages_cte_sql(N_PAGES, with_id=True)})
@@ -6475,6 +6507,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "pq_codes": pq_codes_sql_q,
+        "pq_search": pq_search_sql_q,
         "redirect_resolve": redirect_resolve_sql_q,
         "iou_match": iou_match_sql_q,
         "graph_walks": graph_walks_sql_q,

@@ -294,3 +294,31 @@ def test_kmv_intersect_small_sets_exact(spark):
         "(select 'w3 w4 w5 w6 w7 w8' as text)", k=256)).fetchall()[0]
     assert duck == (row["k_used"], row["n_both"], row["jaccard_milli"],
                     row["union_est"])
+
+
+def test_pq_self_query_rank1_zero(spark):
+    """ADC sanity anchor: each query ranks ITSELF first — its own
+    codes minimize every per-subspace distance term, so ADC(q,q) (the
+    quantization error) is the attainable minimum."""
+    from zen3geo_spark.operators.similarity import pq_search_adc
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_search_adc(emb, n_queries=2, top_k=3).collect()
+    top = {r.qid: r.vec_id for r in out if r.rk == 1}
+    assert top == {0: 0, 1: 1}
+    # and every other hit is at >= the self (quantization-error) floor
+    floor = {r.qid: r.adc_dist for r in out if r.rk == 1}
+    for r in out:
+        assert r.adc_dist >= floor[r.qid]
+
+
+def test_pq_codes_cover_all_subspaces(spark):
+    from zen3geo_spark.operators.similarity import pq_train_codes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    out = pq_train_codes(emb, m=4, dsub=16, k=8, rounds=1)
+    rows = out.collect()
+    assert len(rows) == n * 4
+    assert {r.s for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r.code < 8 for r in rows)

@@ -596,3 +596,194 @@ where not exists (
     and list_cosine_similarity(a.tv, b.tv) >= {threshold}
 )
 """
+
+
+# ---------------------------------------------------------------- PQ ---
+
+def _pq_q8d(emb: DataFrame, dsub: int, vec_col: str,
+            id_col: str) -> DataFrame:
+    """(id, s, d, val): int8-quantized coordinates keyed by subspace."""
+    return (emb.select(F.col(id_col).alias("id"),
+                       F.posexplode(quantize_int8(F.col(vec_col)))
+                       .alias("i", "val"))
+            .selectExpr("id", f"i div {dsub} as s", f"i % {dsub} as d",
+                        "cast(val as bigint) as val"))
+
+
+def _pq_seed_cent(spark, m: int, dsub: int, k: int):
+    return spark.sql(f"""
+      select s.s, c.c, d.d,
+             cast((s.s * 131 + c.c * 31 + d.d * 17) % 256 - 128 as bigint)
+               as cval
+      from range({m}) as s(s), range({k}) as c(c), range({dsub}) as d(d)""")
+
+
+def _pq_lloyd(q8d: DataFrame, cent: DataFrame, rounds: int):
+    """Shared join-based Lloyd loop → (codes, final centroids)."""
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.operators.trajectory import floor_div_sql
+
+    w = Window.partitionBy("id", "s").orderBy("dist2", "c")
+    codes = None
+    for r in range(rounds + 1):
+        codes = (q8d.join(F.broadcast(cent), ["s", "d"])
+                 .groupBy("id", "s", "c")
+                 .agg(F.sum((F.col("val") - F.col("cval"))
+                            * (F.col("val") - F.col("cval"))).alias("dist2"))
+                 .withColumn("_rk", F.row_number().over(w))
+                 .filter("_rk = 1")
+                 .select("id", "s", F.col("c").alias("code"))
+                 .localCheckpoint(eager=False))
+        if r == rounds:
+            break
+        cent = (q8d.join(codes, ["id", "s"])
+                .groupBy("s", F.col("code").alias("c"), "d")
+                .agg(F.sum("val").alias("_sv"), F.count("*").alias("_n"))
+                .selectExpr("s", "c", "d",
+                            floor_div_sql("_sv", "_n", "spark")
+                            + " as cval")
+                .localCheckpoint(eager=False))
+    return codes, cent
+
+
+def pq_train_codes(emb: DataFrame, m: int = 4, dsub: int = 16,
+                   k: int = 16, rounds: int = 2,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Product quantization (Jégou, Douze & Schmid 2011) over
+    int8-quantized vectors: split each vector into ``m`` subspaces of
+    ``dsub`` dims, k-means each subspace, and emit every vector's code
+    word per subspace → (vec_id, s, code). With ``m`` codes of
+    ``log2(k)`` bits a 64-dim float vector compresses 256 B → 2 B — the
+    memory structure behind IVF-PQ indexes at 10^12-vector scale.
+
+    The Lloyd recurrence here is FULLY distributed, join-based, and
+    integer-exact: assignment = coordinate explode ⋈ centroid table
+    (m·k·dsub rows — dimension-sized, broadcastable) → per-(vector,
+    subspace) squared-distance aggregate → argmin window keyed by
+    (vector, subspace); update = one group-by producing the next
+    m·k·dsub centroid table with FLOOR-division means (non-negative
+    rewrite, Spark div ≡ DuckDB //). No driver collect anywhere —
+    unlike the IVF trainer's codebook collect, the centroid state
+    stays a DataFrame. Seeds are a deterministic int8 formula
+    ((s·131 + c·31 + d·17) mod 256 − 128), so both engines start and
+    therefore stay identical.
+    """
+    spark = emb.sparkSession
+    q8d = _pq_q8d(emb, dsub, vec_col, id_col).localCheckpoint(eager=False)
+    codes, cent = _pq_lloyd(q8d, _pq_seed_cent(spark, m, dsub, k),
+                            rounds)
+    return codes.selectExpr("id as vec_id", "s", "code")
+
+
+def pq_train_sql_duckdb(rel: str, m: int = 4, dsub: int = 16,
+                        k: int = 16, rounds: int = 2,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`pq_train_codes`: identical recurrence,
+    unrolled; returns the CTE prefix ending in ``codes{rounds}`` and
+    ``cent{rounds}`` so callers can select codes or compose ADC search
+    on top."""
+    from zen3geo_spark.operators.trajectory import floor_div_sql
+
+    q8 = (f"select {id_col} as id, generate_subscripts(e, 1) - 1 as i, "
+          f"cast(greatest(-128, least(127, "
+          f"floor(cast(unnest(e) as double) * 256))) as bigint) as val "
+          f"from (select {id_col}, {vec_col} as e from {rel})")
+    parts = [
+        f"q8d as (select id, i // {dsub} as s, i % {dsub} as d, val "
+        f"from ({q8}))",
+        f"""cent0 as (
+      select s.s, c.c, d.d,
+             cast((s.s * 131 + c.c * 31 + d.d * 17) % 256 - 128 as bigint)
+               as cval
+      from range({m}) as s(s), range({k}) as c(c), range({dsub}) as d(d))""",
+    ]
+    for r in range(rounds + 1):
+        parts.append(f"""codes{r} as (
+      select id, s, c as code from (
+        select q.id, q.s, ct.c,
+               sum((q.val - ct.cval) * (q.val - ct.cval)) as dist2,
+               row_number() over (
+                 partition by q.id, q.s
+                 order by sum((q.val - ct.cval) * (q.val - ct.cval)),
+                          ct.c) as rk
+        from q8d q join cent{r} ct on q.s = ct.s and q.d = ct.d
+        group by q.id, q.s, ct.c
+      ) where rk = 1)""")
+        if r == rounds:
+            break
+        cd = floor_div_sql("sv", "n", "duckdb")
+        parts.append(f"""cent{r + 1} as (
+      select s, code as c, d, {cd} as cval from (
+        select q.s, cd.code, q.d, sum(q.val) as sv, count(*) as n
+        from q8d q join codes{r} cd on q.id = cd.id and q.s = cd.s
+        group by q.s, cd.code, q.d
+      ))""")
+    return "with " + ",\n".join(parts)
+
+
+def pq_search_adc(emb: DataFrame, n_queries: int = 3, top_k: int = 5,
+                  m: int = 4, dsub: int = 16, k: int = 16,
+                  rounds: int = 2, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ codes: each
+    query's exact int8 subvector computes one m·k distance TABLE
+    against the trained centroids (dimension-sized join), target
+    distances are then Σ_s table[s, code_s] — one join on the
+    (s, code) pair + a per-query sum; the scan never touches raw
+    vectors. Integer throughout ⇒ hash-exact. Queries are the first
+    ``n_queries`` vec_ids (they remain in the corpus, so each query
+    ranks ITSELF first — its own codes minimize every per-subspace
+    term, so ADC(q,q) = the quantization error is the attainable
+    minimum — the standard sanity anchor).
+    """
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    q8d = _pq_q8d(emb, dsub, vec_col, id_col).localCheckpoint(eager=False)
+    codes, cent = _pq_lloyd(q8d, _pq_seed_cent(spark, m, dsub, k),
+                            rounds)
+    dtab = (q8d.filter(F.col("id") < n_queries)
+            .join(F.broadcast(cent), ["s", "d"])
+            .groupBy(F.col("id").alias("qid"), "s", "c")
+            .agg(F.sum((F.col("val") - F.col("cval"))
+                       * (F.col("val") - F.col("cval"))).alias("d2")))
+    wq = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (codes.join(dtab.withColumnRenamed("c", "code"), ["s", "code"])
+            .groupBy("qid", F.col("id").alias("vec_id"))
+            .agg(F.sum("d2").alias("adc_dist"))
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= top_k)
+            .select("qid", "rk", "vec_id", "adc_dist"))
+
+
+def pq_search_sql_duckdb(rel: str, n_queries: int = 3, top_k: int = 5,
+                         m: int = 4, dsub: int = 16, k: int = 16,
+                         rounds: int = 2, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`pq_search_adc` built on the training CTE
+    prefix."""
+    prefix = pq_train_sql_duckdb(rel, m, dsub, k, rounds, vec_col, id_col)
+    return f"""{prefix},
+    dtab as (
+      select q.id as qid, q.s, ct.c,
+             sum((q.val - ct.cval) * (q.val - ct.cval)) as d2
+      from q8d q join cent{rounds} ct on q.s = ct.s and q.d = ct.d
+      where q.id < {n_queries}
+      group by q.id, q.s, ct.c
+    ),
+    adc as (
+      select t.qid, cd.id as vec_id, sum(t.d2) as adc_dist
+      from codes{rounds} cd join dtab t
+        on cd.s = t.s and cd.code = t.c
+      group by t.qid, cd.id
+    )
+    select qid, rk, vec_id, adc_dist from (
+      select qid, vec_id, adc_dist,
+             row_number() over (partition by qid
+                                order by adc_dist, vec_id) as rk
+      from adc
+    ) where rk <= {top_k}
+    """
