@@ -3022,6 +3022,91 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_dom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML structure statistics over the html BINARY column: tag
+    count, distinct tag names, and MAX NESTING DEPTH via a per-page
+    running sum over the tag stream (+1 open / −1 close, ordered by
+    byte position) — the DOM-shape boilerplate signal, computed
+    without a DOM parser: one regexp extract + one per-page window."""
+    from pyspark.sql.window import Window
+
+    pages = synth_pages(spark, N_PAGES)
+    tags = (pages.selectExpr(
+        "url",
+        "regexp_extract_all(cast(html as string), '</?[a-zA-Z]+', 0)"
+        " as _tags")
+        .select("url", F.posexplode("_tags").alias("pos", "tag")))
+    w = (Window.partitionBy("url").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    depth = F.sum(F.when(F.col("tag").startswith("</"), -1)
+                  .otherwise(1)).over(w)
+    return (tags.withColumn("_d", depth)
+            .groupBy("url")
+            .agg(F.count("*").alias("n_tags"),
+                 F.countDistinct(
+                     F.regexp_replace("tag", "[</]", "")).alias("n_names"),
+                 F.max("_d").alias("max_depth")))
+
+
+def q_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget allocation by largest-remainder apportionment
+    (Hamilton method): distribute a fixed fetch budget across hosts
+    proportionally to integer value scores — floor shares exactly sum
+    to ≤ B, and the B − Σfloor leftover units go to the largest
+    remainders. The remainder rank uses the scale-safe global
+    numbering (with_global_pos), never a single-partition window, so
+    the plan survives 10^8 hosts; Σ alloc == B exactly."""
+    from zen3geo_spark.operators._util import pair_all
+    from zen3geo_spark.operators.combinators import with_global_pos
+
+    B = 10_000
+    hosts = (synth_pages(spark, N_PAGES)
+             .selectExpr(f"{URL_HOST_SQL} as host",
+                         "length(text) as score")
+             .groupBy("host").agg(F.sum("score").alias("score")))
+    tot = hosts.agg(F.sum("score").alias("tot"))
+    base = (pair_all(hosts, tot)
+            .selectExpr("host", "score",
+                        f"(score * {B}) div tot as floor_share",
+                        f"(score * {B}) % tot as rem",
+                        f"tot - ((score * {B}) % tot) as negrem"))
+    left = base.agg((F.lit(B) - F.sum("floor_share")).alias("leftover"))
+    ranked = with_global_pos(pair_all(base, left), ["negrem", "host"],
+                             "_rk")
+    return ranked.selectExpr(
+        "host", "score",
+        "floor_share + case when _rk <= leftover then 1 else 0 end"
+        " as alloc")
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of the URL space:
+    shard = argmax over shards of hash(url, shard). The consistency
+    property — adding one shard moves only ~1/(S+1) of keys — is
+    AUDITED in the output: per-shard counts at S=8 plus how many of
+    each shard's keys move under S=9. Pure hash arithmetic, the
+    shard loop is a constant-fanout explode."""
+    from zen3geo_spark.operators.dedup import gram_hash40
+
+    pages = synth_pages(spark, N_PAGES).select("url")
+
+    def with_shard(df, n, out):
+        cands = F.array(*[
+            F.struct(gram_hash40(
+                F.concat_ws("#", F.col("url"), F.lit(str(s))), 1).alias("h"),
+                F.lit(s).alias("s"))
+            for s in range(n)])
+        pick = F.expr("array_sort(_cand)[size(_cand) - 1].s")
+        return (df.withColumn("_cand", cands).withColumn(out, pick)
+                .drop("_cand"))
+
+    both = with_shard(with_shard(pages, 8, "shard8"), 9, "shard9")
+    return (both.groupBy("shard8")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum(F.when(F.col("shard8") != F.col("shard9"), 1)
+                       .otherwise(0)).alias("n_moved")))
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization training + code assignment (Jégou et al.
     2011) over int8-quantized embeddings: fully distributed join-based
@@ -3695,6 +3780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "dom_stats": q_dom_stats,
+        "budget_alloc": q_budget_alloc,
+        "rendezvous_shards": q_rendezvous_shards,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
         "redirect_resolve": q_redirect_resolve,
@@ -5857,6 +5945,71 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import iou_match_sql_duckdb
     iou_match_sql_q = iou_match_sql_duckdb(_IOU_PRED_SQL, _IOU_GT_SQL)
 
+    dom_stats_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    tags as (
+      select url, u.tag, u.pos
+      from pages,
+           lateral (select unnest(regexp_extract_all(decode(html),
+                      '</?[a-zA-Z]+')) as tag,
+                    generate_subscripts(regexp_extract_all(decode(html),
+                      '</?[a-zA-Z]+'), 1) as pos) u
+    ),
+    d as (
+      select url, tag,
+             sum(case when tag like '</%' then -1 else 1 end)
+               over (partition by url order by pos) as depth
+      from tags
+    )
+    select url, count(*) as n_tags,
+           count(distinct replace(replace(tag, '<', ''), '/', ''))
+             as n_names,
+           max(depth) as max_depth
+    from d group by url
+    """
+
+    budget_alloc_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    hosts as (
+      select {URL_HOST_SQL} as host, sum(length(text)) as score
+      from pages group by 1
+    ),
+    tot as (select sum(score) as tot from hosts),
+    base as (
+      select host, score,
+             (score * 10000) // tot as floor_share,
+             (score * 10000) % tot as rem
+      from hosts, tot
+    ),
+    lf as (select 10000 - sum(floor_share) as leftover from base),
+    rk as (
+      select *, row_number() over (order by rem desc, host) as _rk
+      from base
+    )
+    select host, score,
+           floor_share + case when _rk <= leftover then 1 else 0 end
+             as alloc
+    from rk, lf
+    """
+
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb as _h40b
+    def _rdv_pick(n: int) -> str:
+        h = _h40b("concat(url, '#', cast(s.s as varchar))", 1)
+        return f"""(
+      select s.s from range({n}) as s(s)
+      order by {h} desc, s.s desc limit 1
+    )"""
+    rendezvous_shards_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    sh as (
+      select url, {_rdv_pick(8)} as shard8, {_rdv_pick(9)} as shard9
+      from pages
+    )
+    select shard8, count(*) as n_urls,
+           sum(case when shard8 <> shard9 then 1 else 0 end) as n_moved
+    from sh group by shard8
+    """
+
     from zen3geo_spark.operators.similarity import (
         pq_search_sql_duckdb, pq_train_sql_duckdb,
     )
@@ -6507,6 +6660,9 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "dom_stats": dom_stats_sql_q,
+        "budget_alloc": budget_alloc_sql_q,
+        "rendezvous_shards": rendezvous_shards_sql_q,
         "pq_codes": pq_codes_sql_q,
         "pq_search": pq_search_sql_q,
         "redirect_resolve": redirect_resolve_sql_q,

@@ -400,3 +400,38 @@ def test_chip_image_stats_floor_semantics(spark):
             assert r.mean_px == float(np.mean(blk))
             assert r.min_px == float(blk.min())
             assert r.max_px == float(blk.max())
+
+
+def test_budget_alloc_sums_exactly(spark):
+    import __spark_entry__ as E
+
+    out = E.q_budget_alloc(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert sum(r.alloc for r in rows) == 10_000
+    # every host gets floor or floor+1 of its proportional share
+    tot = sum(r.score for r in rows)
+    for r in rows:
+        fl = r.score * 10_000 // tot
+        assert r.alloc in (fl, fl + 1)
+
+
+def test_rendezvous_movement_bounded(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_rendezvous_shards(spark, "/root/testdata/sf0.001").collect()
+    n = sum(r.n_urls for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    assert n == 5000 and len(rows) == 8
+    # rendezvous property: adding shard 9 moves ~1/9 of keys; allow 2x
+    assert moved < 2 * n / 9
+
+
+def test_dom_depth_golden(spark):
+    from pyspark.sql import functions as F
+    import __spark_entry__ as E
+
+    out = E.q_dom_stats(spark, "/root/testdata/sf0.001")
+    r = out.orderBy("url").first()
+    # every synthetic page is <html><body>...</body></html>: depth 2,
+    # 4 tags, 2 distinct names
+    assert (r.n_tags, r.n_names, r.max_depth) == (4, 2, 2)
