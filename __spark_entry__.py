@@ -3022,6 +3022,31 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_ip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match IP geolocation of crawl hosts against a
+    synthetic CIDR table — constant-fanout prefix registration +
+    broadcast equi-join + per-host most-specific argmax (the GeoIP
+    lookup without a range join)."""
+    from zen3geo_spark.functions.web import ip_geo_join, synth_cidr_sql
+    from zen3geo_spark.operators.dedup import gram_hash40
+
+    hosts = (synth_pages(spark, N_PAGES)
+             .selectExpr(f"{URL_HOST_SQL} as host").distinct()
+             .withColumn("ip", F.pmod(gram_hash40(F.col("host"), 1),
+                                      F.lit(4294967296))))
+    cidr = spark.sql(synth_cidr_sql(600, "spark"))
+    return ip_geo_join(hosts, cidr)
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive corpus integrity checksum (bit_xor fold of
+    per-row canonical digests) — one aggregate, overflow-free at any
+    scale, identical under any partitioning or row order."""
+    from zen3geo_spark.functions.web import table_checksum
+
+    return table_checksum(synth_pages(spark, N_PAGES))
+
+
 def q_dom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML structure statistics over the html BINARY column: tag
     count, distinct tag names, and MAX NESTING DEPTH via a per-page
@@ -3780,6 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "ip_geo": q_ip_geo,
+        "table_checksum": q_table_checksum,
         "dom_stats": q_dom_stats,
         "budget_alloc": q_budget_alloc,
         "rendezvous_shards": q_rendezvous_shards,
@@ -5945,6 +5972,19 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import iou_match_sql_duckdb
     iou_match_sql_q = iou_match_sql_duckdb(_IOU_PRED_SQL, _IOU_GT_SQL)
 
+    from zen3geo_spark.functions.web import (
+        ip_geo_sql_duckdb, synth_cidr_sql, table_checksum_sql_duckdb,
+    )
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb as _h40b
+    _hosts_ip_sql = f"""
+    select host, {_h40b("host", 1)} % 4294967296 as ip from (
+      select distinct {URL_HOST_SQL} as host
+      from ({pages_cte_sql(N_PAGES)})
+    )"""
+    ip_geo_sql_q = ip_geo_sql_duckdb(_hosts_ip_sql,
+                                     synth_cidr_sql(600, "duckdb"))
+    table_checksum_sql_q = table_checksum_sql_duckdb(pages_cte_sql(N_PAGES))
+
     dom_stats_sql_q = f"""
     with pages as ({pages_cte_sql(N_PAGES)}),
     tags as (
@@ -6660,6 +6700,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "ip_geo": ip_geo_sql_q,
+        "table_checksum": table_checksum_sql_q,
         "dom_stats": dom_stats_sql_q,
         "budget_alloc": budget_alloc_sql_q,
         "rendezvous_shards": rendezvous_shards_sql_q,

@@ -221,3 +221,40 @@ def test_qsketch_small_values_are_exact(spark):
                              (50, 100), ("g",)).collect()}
     assert got[50] == (32, 32)   # ceil(0.5·63) = 32
     assert got[100] == (63, 63)
+
+
+def test_ip_geo_lpm_prefers_longest(spark):
+    from pyspark.sql import functions as F
+
+    from zen3geo_spark.functions.web import ip_geo_join
+
+    hosts = spark.createDataFrame(
+        [("a.test", 0x0A0A0A0A), ("b.test", 0xDEADBEEF)],
+        "host string, ip long")
+    # /8 covers both 10.x and 222.x? no: pick /8 for 10.0.0.0 and a /16
+    # nested inside it — LPM must pick the /16 for a.test
+    cidr = spark.createDataFrame(
+        [(1, 8, 0x0A000000, "C8"), (2, 16, 0x0A0A0000, "C16")],
+        "block_id long, prefix_len int, prefix long, country string")
+    out = {r.host: (r.prefix_len, r.country)
+           for r in ip_geo_join(hosts, cidr).collect()}
+    assert out == {"a.test": (16, "C16")}
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from zen3geo_spark.functions.web import table_checksum
+    from zen3geo_spark.sources.pages import synth_pages
+
+    a = table_checksum(synth_pages(spark, 300)).collect()[0]
+    # different partitioning + reversed generation order, same content
+    b = table_checksum(
+        synth_pages(spark, 300, partitions=7)
+        .orderBy("url", ascending=False)).collect()[0]
+    assert (a.n_rows, a.xor1, a.xor2) == (b.n_rows, b.xor1, b.xor2)
+    # any single-row mutation flips the checksum
+    c = table_checksum(
+        synth_pages(spark, 300).withColumn(
+            "lang", F.expr(
+                "case when url like '%/page/7' then 'xx' else lang end"))
+    ).collect()[0]
+    assert (c.xor1, c.xor2) != (a.xor1, a.xor2)

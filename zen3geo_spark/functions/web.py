@@ -273,3 +273,113 @@ select host,
 from decided where rn = 1
 group by host
 """
+
+
+def synth_cidr_sql(n_blocks: int, engine: str) -> str:
+    """Engine-parameterized synthetic CIDR block table (block_id,
+    prefix_len 4–16, prefix, country): Knuth-hash-scattered prefixes;
+    overlapping blocks are resolved by longest-prefix match downstream.
+    ``cast(power(2, 32−len))`` is exact (≤ 2^20 fits a double)."""
+    d = " div " if engine == "spark" else " // "
+    return f"""
+    select b.b as block_id, 4 + b.b % 13 as prefix_len,
+           ((b.b * 2654435761) % 4294967296)
+             {d} cast(power(2, 32 - (4 + b.b % 13)) as bigint)
+             * cast(power(2, 32 - (4 + b.b % 13)) as bigint) as prefix,
+           concat('C', cast(b.b % 50 as {'string' if engine == 'spark'
+                                         else 'varchar'})) as country
+    from range({n_blocks}) as b(b)
+    """
+
+
+def ip_geo_join(hosts: DataFrame, cidr: DataFrame) -> DataFrame:
+    """Longest-prefix-match IP geolocation — the MaxMind/GeoIP lookup
+    as a bounded relational plan: each host IP registers under every
+    candidate prefix length (constant fan-out: the 13 lengths the block
+    table uses), candidates meet via an EQUI-join on (prefix_len,
+    truncated prefix) — the dim side broadcasts — and one per-host
+    argmax window keeps the most specific block. No range/theta join,
+    no per-row loop; the same trick as the robots longest-prefix
+    matcher but on bit prefixes.
+
+    ``hosts``: (host, ip) with ip an int in [0, 2^32); ``cidr``:
+    (block_id, prefix_len, prefix, country). Returns (host, ip,
+    prefix_len, country) for matched hosts.
+    """
+    from pyspark.sql.window import Window
+
+    lens = F.array(*[F.struct(F.lit(l).alias("prefix_len"),
+                              F.lit(1 << (32 - l)).alias("m"))
+                     for l in range(4, 17)])
+    cand = (hosts.withColumn("_l", F.explode(lens))
+            .selectExpr("host", "ip", "_l.prefix_len as prefix_len",
+                        "ip div _l.m * _l.m as prefix"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("prefix_len").desc(), F.col("block_id"))
+    return (cand.join(F.broadcast(cidr), ["prefix_len", "prefix"])
+            .withColumn("_rk", F.row_number().over(w))
+            .filter("_rk = 1")
+            .select("host", "ip", "prefix_len", "country"))
+
+
+def ip_geo_sql_duckdb(hosts_sql: str, cidr_sql: str) -> str:
+    """DuckDB twin of :func:`ip_geo_join`."""
+    return f"""
+    with _h as ({hosts_sql}), _c as ({cidr_sql}),
+    cand as (
+      select h.host, h.ip, l.l as prefix_len,
+             h.ip // cast(power(2, 32 - l.l) as bigint)
+               * cast(power(2, 32 - l.l) as bigint) as prefix
+      from _h h, (select unnest(generate_series(4, 16)) as l) l
+    )
+    select host, ip, prefix_len, country from (
+      select cand.host, cand.ip, cand.prefix_len, c.country,
+             row_number() over (partition by cand.host
+                                order by cand.prefix_len desc,
+                                         c.block_id) as rk
+      from cand join _c c
+        on cand.prefix_len = c.prefix_len and cand.prefix = c.prefix
+    ) where rk = 1
+    """
+
+
+def table_checksum(pages: DataFrame) -> DataFrame:
+    """Order-insensitive corpus integrity checksum — the cross-replica
+    / post-migration audit (Iceberg content-file checksums, rsync-style
+    verification) as one aggregate: per row, a canonical serialization
+    (url ␟ ts ␟ md5(html) ␟ md5(text) ␟ lang) is md5'd, the 32-hex
+    digest is folded through the two shared 40-bit polynomial hashes
+    (32 chars < the 64-char hash cap — no truncation), and the
+    commutative ``bit_xor`` aggregate combines them: no overflow at ANY
+    row count, any partitioning, any order. Returns one row
+    (n_rows, xor1, xor2)."""
+    canon = F.md5(F.concat_ws(
+        "\x1f", F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"),
+        F.md5(F.col("html")), F.md5(F.col("text")), F.col("lang")))
+    from zen3geo_spark.operators.dedup import gram_hash40
+
+    return (pages.select(canon.alias("_c"))
+            .select(gram_hash40(F.col("_c"), 1).alias("h1"),
+                    gram_hash40(F.col("_c"), 2).alias("h2"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.expr("bit_xor(h1)").alias("xor1"),
+                 F.expr("bit_xor(h2)").alias("xor2")))
+
+
+def table_checksum_sql_duckdb(pages_sql: str) -> str:
+    """DuckDB twin of :func:`table_checksum` (same canonicalization —
+    html/text md5 over identical bytes)."""
+    from zen3geo_spark.operators.dedup import hash40_sql_duckdb
+
+    canon = ("md5(concat_ws(chr(31), url, "
+             "strftime(warc_ts, '%Y-%m-%d %H:%M:%S'), "
+             "md5(decode(html)), md5(text), lang))")
+    return f"""
+    with _p as ({pages_sql}),
+    h as (select {hash40_sql_duckdb(canon, 1)} as h1,
+                 {hash40_sql_duckdb(canon, 2)} as h2
+          from _p)
+    select count(*) as n_rows, bit_xor(h1) as xor1, bit_xor(h2) as xor2
+    from h
+    """
