@@ -3022,6 +3022,55 @@ _IOU_PRED_SQL = """
 """
 
 
+_UNION_RECTS_SQL = """
+    select i.i as rect_id,
+           (i.i * 7919123) % 280000000 - 140000000 as x1,
+           (i.i * 104729) % 120000000 - 60000000 as y1,
+           (i.i * 7919123) % 280000000 - 140000000
+             + 2000000 + (i.i % 7) * 900000 as x2,
+           (i.i * 104729) % 120000000 - 60000000
+             + 1500000 + (i.i % 5) * 800000 as y2
+    from range(300) as i(i)
+"""
+
+
+def q_rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT union area of 300 overlapping coverage rects via the
+    relational sweepline (strips from boundary ranks, per-strip
+    gaps-and-islands interval merge) — ST_Area(ST_Union) semantics
+    with zero geometry library."""
+    from zen3geo_spark.operators.overlay import rect_union_area
+
+    return rect_union_area(spark.sql(_UNION_RECTS_SQL))
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars per (6 h window, event_type) — the TSDB
+    rollup: open/close via deterministic first/last picks
+    ((ts, event_id) total order), high/low plain min/max. Two windows
+    over one window-keyed shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "ts", "event_type", "value",
+        "date_trunc('hour', ts) as _h").selectExpr(
+        "event_id", "ts", "event_type", "value",
+        "timestampadd(HOUR, -(hour(_h) % 6), _h) as wstart")
+    w = Window.partitionBy("wstart", "event_type")
+    asc = w.orderBy("ts", "event_id")
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("_ra", F.row_number().over(asc))
+            .withColumn("_rd", F.row_number().over(desc))
+            .groupBy("wstart", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.max(F.when(F.col("_ra") == 1,
+                                      F.col("value"))), 4).alias("open"),
+                 F.round(F.max("value"), 4).alias("high"),
+                 F.round(F.min("value"), 4).alias("low"),
+                 F.round(F.max(F.when(F.col("_rd") == 1,
+                                      F.col("value"))), 4).alias("close")))
+
+
 def q_ip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-prefix-match IP geolocation of crawl hosts against a
     synthetic CIDR table — constant-fanout prefix registration +
@@ -3805,6 +3854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "rect_union_area": q_rect_union_area,
+        "ohlc_bars": q_ohlc_bars,
         "ip_geo": q_ip_geo,
         "table_checksum": q_table_checksum,
         "dom_stats": q_dom_stats,
@@ -5972,6 +6023,33 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import iou_match_sql_duckdb
     iou_match_sql_q = iou_match_sql_duckdb(_IOU_PRED_SQL, _IOU_GT_SQL)
 
+    from zen3geo_spark.operators.overlay import rect_union_area_sql
+    rect_union_area_sql_q = rect_union_area_sql(_UNION_RECTS_SQL)
+
+    ohlc_bars_sql_q = """
+    with ev as (
+      select event_id, ts, event_type, value,
+             date_trunc('hour', ts)
+               - to_hours(cast(hour(date_trunc('hour', ts)) % 6 as bigint))
+               as wstart
+      from events
+    ),
+    rk as (
+      select *,
+             row_number() over (partition by wstart, event_type
+                                order by ts, event_id) as ra,
+             row_number() over (partition by wstart, event_type
+                                order by ts desc, event_id desc) as rd
+      from ev
+    )
+    select wstart, event_type, count(*) as n,
+           round(max(case when ra = 1 then value end), 4) as open,
+           round(max(value), 4) as high,
+           round(min(value), 4) as low,
+           round(max(case when rd = 1 then value end), 4) as close
+    from rk group by wstart, event_type
+    """
+
     from zen3geo_spark.functions.web import (
         ip_geo_sql_duckdb, synth_cidr_sql, table_checksum_sql_duckdb,
     )
@@ -6700,6 +6778,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "rect_union_area": rect_union_area_sql_q,
+        "ohlc_bars": ohlc_bars_sql_q,
         "ip_geo": ip_geo_sql_q,
         "table_checksum": table_checksum_sql_q,
         "dom_stats": dom_stats_sql_q,

@@ -210,3 +210,23 @@ def test_iou_match_reciprocal_semantics(spark):
     assert set(got) == {(1, 10), (2, 11)}
     # gt1 x pred10: inter 9x9=81, union 100+100-81=119 -> 680
     assert got[(1, 10)] == 1000 * 81 // 119
+
+
+def test_rect_union_area_brute_force(spark):
+    from zen3geo_spark.operators.overlay import rect_union_area
+
+    rects = [(i,
+              (i * 37) % 60, (i * 23) % 40,
+              (i * 37) % 60 + 5 + i % 9, (i * 23) % 40 + 4 + i % 7)
+             for i in range(40)]
+    df = spark.createDataFrame(
+        rects, "rect_id long, x1 long, y1 long, x2 long, y2 long")
+    got = rect_union_area(df).collect()[0]
+    # brute force on the small integer grid
+    cov = set()
+    for _, x1, y1, x2, y2 in rects:
+        for x in range(x1, x2):
+            for y in range(y1, y2):
+                cov.add((x, y))
+    assert got.union_area == len(cov)
+    assert got.n_rects == 40

@@ -402,3 +402,117 @@ def iou_match_sql_duckdb(preds_sql: str, gts_sql: str) -> str:
     select image_id, gt_id, pred_id, iou_milli
     from rk where rg = 1 and rp = 1
     """
+
+
+def rect_union_area(rects: DataFrame) -> DataFrame:
+    """EXACT area of the union of a rectangle set (PostGIS
+    ``ST_Area(ST_Union(...))`` for axis-aligned footprints — coverage/
+    dissolve analytics) as a relational sweepline:
+
+    1. **strips**: the distinct y boundary values, globally ordered
+       (scale-safe ``with_global_pos`` — strip count ≤ 2·|rects|) and
+       paired into horizontal strips by a lead window;
+    2. **registration**: each rect maps its own y-extent to strip
+       indexes via two EQUI-joins on the boundary VALUE (its edges are
+       strip boundaries by construction — no range join, no NLJ), then
+       explodes the contiguous strip-index sequence it fully covers;
+    3. **per-strip interval union**: the classic gaps-and-islands
+       rewrite — order x-intervals, running max of previous ends,
+       island heads where a gap opens, per-island extents — windows
+       partitioned BY STRIP, never global;
+    4. one aggregate: Σ island_length × strip_height.
+
+    Half-open semantics [x1,x2)×[y1,y2); integer µdeg ⇒ exact. Output:
+    one row (union_area, n_rects, n_strips). The worst-case strip
+    fan-out per rect is O(#distinct boundaries it spans) — at corpus
+    scale the caller grid-blocks first (rect_overlay_join's cells) and
+    unions per block; the kernel itself is the per-block exact step.
+    """
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.operators._util import pair_all
+    from zen3geo_spark.operators.combinators import with_global_pos
+
+    ys = (rects.selectExpr("y1 as y")
+          .unionByName(rects.selectExpr("y2 as y")).distinct())
+    yr = with_global_pos(ys, ["y"], "yi")
+    wl = Window.orderBy("yi")  # strip table is boundary-sized; the
+    # lead below re-partitions it 1-way — acceptable because |strips|
+    # is bounded by 2|rects| of the current block, not the corpus
+    strips = (yr.withColumn("_ynext", F.lead("y").over(Window.partitionBy(
+        F.lit(1)).orderBy("yi")))
+        .filter("_ynext is not null")
+        .selectExpr("yi as strip", "y as ys", "_ynext as ye"))
+    r1 = (rects.join(yr.selectExpr("y as y1", "yi as s_lo"), "y1")
+          .join(yr.selectExpr("y as y2", "yi as s_hi"), "y2"))
+    reg = (r1.selectExpr("rect_id", "x1", "x2",
+                         "explode(sequence(s_lo, s_hi - 1)) as strip"))
+    wsx = Window.partitionBy("strip").orderBy("x1", "x2", "rect_id")
+    run = (reg.withColumn(
+        "_pmax", F.max("x2").over(wsx.rowsBetween(
+            Window.unboundedPreceding, -1)))
+        .withColumn("_head",
+                    F.when(F.col("_pmax").isNull()
+                           | (F.col("x1") > F.col("_pmax")), 1)
+                    .otherwise(0))
+        .withColumn("_isl", F.sum("_head").over(
+            wsx.rowsBetween(Window.unboundedPreceding, 0))))
+    islands = (run.groupBy("strip", "_isl")
+               .agg(F.min("x1").alias("ix1"), F.max("x2").alias("ix2")))
+    per_strip = (islands.join(strips, "strip")
+                 .selectExpr("(ix2 - ix1) * (ye - ys) as a"))
+    area = per_strip.agg(F.sum("a").alias("union_area"))
+    counts = rects.agg(F.count("*").alias("n_rects"))
+    nstrips = strips.agg(F.count("*").alias("n_strips"))
+    return pair_all(pair_all(area, counts), nstrips)
+
+
+def rect_union_area_sql(rects_sql: str) -> str:
+    """Engine-neutral twin of :func:`rect_union_area` (same sweep,
+    window dense numbering)."""
+    return f"""
+    with _r as ({rects_sql}),
+    ys as (select distinct y from (
+      select y1 as y from _r union select y2 as y from _r)),
+    yr as (select y, row_number() over (order by y) as yi from ys),
+    strips as (
+      select yi as strip, y as ys, lead(y) over (order by yi) as ye
+      from yr
+    ),
+    strips_ok as (select * from strips where ye is not null),
+    reg as (
+      select r.rect_id, r.x1, r.x2, s.strip
+      from _r r
+      join yr a on r.y1 = a.y
+      join yr b on r.y2 = b.y
+      join strips_ok s on s.strip >= a.yi and s.strip <= b.yi - 1
+    ),
+    run as (
+      select strip, x1, x2, rect_id,
+             max(x2) over (partition by strip order by x1, x2, rect_id
+                           rows between unbounded preceding
+                           and 1 preceding) as pmax
+      from reg
+    ),
+    heads as (
+      select strip, x1, x2, rect_id,
+             case when pmax is null or x1 > pmax then 1 else 0 end as head
+      from run
+    ),
+    isl as (
+      select strip, x1, x2,
+             sum(head) over (partition by strip
+                             order by x1, x2, rect_id
+                             rows between unbounded preceding
+                             and current row) as island
+      from heads
+    ),
+    ext as (
+      select strip, island, min(x1) as ix1, max(x2) as ix2
+      from isl group by strip, island
+    )
+    select (select sum((ix2 - ix1) * (ye - ys))
+            from ext join strips_ok using (strip)) as union_area,
+           (select count(*) from _r) as n_rects,
+           (select count(*) from strips_ok) as n_strips
+    """
