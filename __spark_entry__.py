@@ -3022,6 +3022,50 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_skyline_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of hosts over (total text bytes,
+    geo-tagged page count) — the 'best tradeoff set' analytics query,
+    solved with TWO WINDOW FRAMES instead of the naive dominance
+    self-join (which would be a nested loop): a host is dominated iff
+    some strictly-larger-x host has y ≥ its y (integer RANGE frame
+    ending at −1 on x) or an equal-x host has strictly larger y
+    (partition max). Exact integers, no join at all."""
+    from pyspark.sql.window import Window
+
+    hosts = (synth_pages(spark, N_PAGES)
+             .selectExpr(f"{URL_HOST_SQL} as host",
+                         "length(text) as tl",
+                         "case when text like '% lat=%' then 1 else 0 end"
+                         " as tagged")
+             .groupBy("host")
+             .agg(F.sum("tl").alias("x"), F.sum("tagged").alias("y")))
+    wgt = (Window.orderBy(F.col("x").desc())
+           .rangeBetween(Window.unboundedPreceding, -1))
+    weq = Window.partitionBy("x")
+    return (hosts
+            .withColumn("_m1", F.max("y").over(wgt))
+            .withColumn("_m2", F.max("y").over(weq))
+            .filter("( _m1 is null or _m1 < y ) and _m2 <= y")
+            .select("host", "x", "y"))
+
+
+def q_url_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy URL near-dup pairs inside each host: Levenshtein distance
+    ≤ 2 over host-blocked candidate pairs (the typo/variant URL
+    collapse) — both engines ship the classic unit-cost DP, so the
+    distance is cross-engine exact; blocking keeps the pair space
+    per-host quadratic, never corpus-quadratic."""
+    pages = synth_pages(spark, N_PAGES).selectExpr(
+        f"{URL_HOST_SQL} as host", "url", f"{URL_PID_SQL} as pid")
+    a = pages.selectExpr("host", "url as a_url", "pid as a_pid")
+    b = pages.selectExpr("host", "url as b_url", "pid as b_pid")
+    return (a.join(b, "host")
+            .filter("a_pid < b_pid")
+            .withColumn("dist", F.levenshtein("a_url", "b_url"))
+            .filter("dist <= 2")
+            .select("host", "a_pid", "b_pid", "dist"))
+
+
 _UNION_RECTS_SQL = """
     select i.i as rect_id,
            (i.i * 7919123) % 280000000 - 140000000 as x1,
@@ -3854,6 +3898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "skyline_hosts": q_skyline_hosts,
+        "url_editdist": q_url_editdist,
         "rect_union_area": q_rect_union_area,
         "ohlc_bars": q_ohlc_bars,
         "ip_geo": q_ip_geo,
@@ -6026,6 +6072,34 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import rect_union_area_sql
     rect_union_area_sql_q = rect_union_area_sql(_UNION_RECTS_SQL)
 
+    skyline_hosts_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    hosts as (
+      select {URL_HOST_SQL} as host, sum(length(text)) as x,
+             sum(case when text like '% lat=%' then 1 else 0 end) as y
+      from pages group by 1
+    ),
+    m as (
+      select host, x, y,
+             max(y) over (order by x desc
+                          range between unbounded preceding
+                          and 1 preceding) as m1,
+             max(y) over (partition by x) as m2
+      from hosts
+    )
+    select host, x, y from m
+    where (m1 is null or m1 < y) and m2 <= y
+    """
+
+    url_editdist_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES, with_id=True)}),
+    p as (select {URL_HOST_SQL} as host, url, id as pid from pages)
+    select a.host, a.pid as a_pid, b.pid as b_pid,
+           levenshtein(a.url, b.url) as dist
+    from p a join p b on a.host = b.host and a.pid < b.pid
+    where levenshtein(a.url, b.url) <= 2
+    """
+
     ohlc_bars_sql_q = """
     with ev as (
       select event_id, ts, event_type, value,
@@ -6778,6 +6852,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "skyline_hosts": skyline_hosts_sql_q,
+        "url_editdist": url_editdist_sql_q,
         "rect_union_area": rect_union_area_sql_q,
         "ohlc_bars": ohlc_bars_sql_q,
         "ip_geo": ip_geo_sql_q,

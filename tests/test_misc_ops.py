@@ -435,3 +435,27 @@ def test_dom_depth_golden(spark):
     # every synthetic page is <html><body>...</body></html>: depth 2,
     # 4 tags, 2 distinct names
     assert (r.n_tags, r.n_names, r.max_depth) == (4, 2, 2)
+
+
+def test_skyline_brute_force(spark):
+    import __spark_entry__ as E
+
+    out = E.q_skyline_hosts(spark, "/root/testdata/sf0.001")
+    pts = [(r.host, r.x, r.y) for r in out.collect()]
+    # recompute the host table and brute-force the skyline
+    from zen3geo_spark.sources.pages import URL_HOST_SQL, synth_pages
+    from pyspark.sql import functions as F
+    hosts = (synth_pages(spark, E.N_PAGES)
+             .selectExpr(f"{URL_HOST_SQL} as host", "length(text) as tl",
+                         "case when text like '% lat=%' then 1 else 0 end"
+                         " as tg")
+             .groupBy("host")
+             .agg(F.sum("tl").alias("x"), F.sum("tg").alias("y")).collect())
+    all_pts = [(r.host, r.x, r.y) for r in hosts]
+
+    def dominated(p):
+        return any(q[1] >= p[1] and q[2] >= p[2]
+                   and (q[1] > p[1] or q[2] > p[2]) for q in all_pts)
+
+    brute = sorted(p for p in all_pts if not dominated(p))
+    assert sorted(pts) == brute and brute
