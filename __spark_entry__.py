@@ -3022,6 +3022,45 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_cell_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell distinctive vocabulary — the geospatial × webtext
+    product query ('what does this region talk about'): token lift =
+    1000·n_ct·T div (n_c·n_t) against the corpus unigram distribution,
+    top-3 tokens per res-3 cell by (lift desc, token). One token
+    explode feeds both the per-cell and corpus aggregates; everything
+    integer ⇒ hash-exact."""
+    from pyspark.sql.window import Window
+
+    from zen3geo_spark.functions.geo import cell_encode
+    from zen3geo_spark.operators._util import pair_all
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    placed = docs.selectExpr(
+        "doc_id", "text",
+        "(doc_id * 48271 + 11) % 2147483647 % 180000001 - 90000000"
+        " as lat_us",
+        "((doc_id * 48271 + 11) % 2147483647 * 48271 + 7) % 2147483647"
+        " % 360000001 - 180000000 as lon_us").withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 3))
+    toks = placed.select(
+        "cell", F.explode(F.split(F.lower(F.col("text")), " "))
+        .alias("tok")).filter("tok != ''")
+    ct = toks.groupBy("cell", "tok").agg(F.count("*").alias("n_ct"))
+    c = toks.groupBy("cell").agg(F.count("*").alias("n_c"))
+    t = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
+    tot = toks.agg(F.count("*").alias("tt"))
+    j = (pair_all(ct.join(c, "cell").join(t.filter("n_t >= 5"), "tok"),
+                  tot)
+         .selectExpr("cell", "tok",
+                     "1000 * n_ct * tt div (n_c * n_t) as lift_milli"))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("lift_milli").desc(), F.col("tok"))
+    return (j.withColumn("_rk", F.row_number().over(w))
+            .filter("_rk <= 3")
+            .select("cell", F.col("_rk").alias("rk"), "tok",
+                    "lift_milli"))
+
+
 def q_skyline_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier) of hosts over (total text bytes,
     geo-tagged page count) — the 'best tradeoff set' analytics query,
@@ -3898,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "cell_topics": q_cell_topics,
         "skyline_hosts": q_skyline_hosts,
         "url_editdist": q_url_editdist,
         "rect_union_area": q_rect_union_area,
@@ -6072,6 +6112,37 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import rect_union_area_sql
     rect_union_area_sql_q = rect_union_area_sql(_UNION_RECTS_SQL)
 
+    _doc_cell = cell_id_sql(
+        "(doc_id * 48271 + 11) % 2147483647 % 180000001 - 90000000",
+        "((doc_id * 48271 + 11) % 2147483647 * 48271 + 7) % 2147483647"
+        " % 360000001 - 180000000", 3, "duckdb")
+    cell_topics_sql_q = f"""
+    with placed as (
+      select doc_id, text, {_doc_cell} as cell from documents
+    ),
+    toks as (
+      select cell, unnest(string_split(lower(text), ' ')) as tok
+      from placed
+    ),
+    toks_nz as (select * from toks where tok <> ''),
+    ct as (select cell, tok, count(*) as n_ct from toks_nz group by 1, 2),
+    c as (select cell, count(*) as n_c from toks_nz group by 1),
+    t as (select tok, count(*) as n_t from toks_nz group by 1
+          having count(*) >= 5),
+    tot as (select count(*) as tt from toks_nz),
+    j as (
+      select ct.cell, ct.tok,
+             1000 * ct.n_ct * tt // (c.n_c * t.n_t) as lift_milli
+      from ct join c using (cell) join t using (tok), tot
+    )
+    select cell, rk, tok, lift_milli from (
+      select cell, tok, lift_milli,
+             row_number() over (partition by cell
+                                order by lift_milli desc, tok) as rk
+      from j
+    ) where rk <= 3
+    """
+
     skyline_hosts_sql_q = f"""
     with pages as ({pages_cte_sql(N_PAGES)}),
     hosts as (
@@ -6852,6 +6923,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "cell_topics": cell_topics_sql_q,
         "skyline_hosts": skyline_hosts_sql_q,
         "url_editdist": url_editdist_sql_q,
         "rect_union_area": rect_union_area_sql_q,
