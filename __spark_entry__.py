@@ -3022,6 +3022,26 @@ _IOU_PRED_SQL = """
 """
 
 
+HEX_A, HEX_B = 5_000_000, 8_660_254  # ~near-regular 20°-wide hexes
+
+
+def q_hex_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT hexagonal binning of the extracted geotag points (the H3
+    tessellation shape with rational edges — three floor divisions +
+    one integer edge test, no trig): per-hex counts + integer center
+    coordinates."""
+    from zen3geo_spark.functions.geo import hex_bin_sql
+
+    ex = hex_bin_sql("lon_us", "lat_us", HEX_A, HEX_B, "spark")
+    return (_points_df(spark)
+            .selectExpr(f"{ex['q']} as q", f"{ex['r']} as r")
+            .groupBy("q", "r")
+            .agg(F.count("*").alias("n_points"))
+            .selectExpr("q", "r", "n_points",
+                        f"3 * {HEX_A} * q as cx",
+                        f"{HEX_B} * q + 2 * {HEX_B} * r as cy"))
+
+
 def q_cell_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell distinctive vocabulary — the geospatial × webtext
     product query ('what does this region talk about'): token lift =
@@ -3937,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "hex_bins": q_hex_bins,
         "cell_topics": q_cell_topics,
         "skyline_hosts": q_skyline_hosts,
         "url_editdist": q_url_editdist,
@@ -6112,6 +6133,18 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import rect_union_area_sql
     rect_union_area_sql_q = rect_union_area_sql(_UNION_RECTS_SQL)
 
+    from zen3geo_spark.functions.geo import hex_bin_sql
+    _hexd = hex_bin_sql("lon_us", "lat_us", HEX_A, HEX_B, "duckdb")
+    hex_bins_sql_q = f"""{_points_cte()},
+    hx as (
+      select {_hexd['q']} as q, {_hexd['r']} as r from pts
+    )
+    select q, r, count(*) as n_points,
+           3 * {HEX_A} * q as cx,
+           {HEX_B} * q + 2 * {HEX_B} * r as cy
+    from hx group by q, r
+    """
+
     _doc_cell = cell_id_sql(
         "(doc_id * 48271 + 11) % 2147483647 % 180000001 - 90000000",
         "((doc_id * 48271 + 11) % 2147483647 * 48271 + 7) % 2147483647"
@@ -6923,6 +6956,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "hex_bins": hex_bins_sql_q,
         "cell_topics": cell_topics_sql_q,
         "skyline_hosts": skyline_hosts_sql_q,
         "url_editdist": url_editdist_sql_q,

@@ -358,3 +358,28 @@ def test_compact_closed_form_equals_iterative_property():
         assert back == cells
 
     prop()
+
+
+def test_hex_bin_containment_and_partition(spark):
+    """Every point's assigned hex geometrically CONTAINS it
+    (|dv| <= B and B|du| + A|dv| <= 2AB), across sign quadrants and
+    edge-adjacent coordinates — the tessellation-validity proof."""
+    from zen3geo_spark.functions.geo import hex_bin_sql
+
+    A, B = 50, 80
+    ex = hex_bin_sql("x", "y", A, B, "spark")
+    pts = (spark.range(5041)
+           .selectExpr("cast(id % 71 as long) * 7 - 250 as x",
+                       "cast(id div 71 as long) * 11 - 390 as y"))
+    rows = (pts.selectExpr("x", "y", f"{ex['q']} as q", f"{ex['r']} as r")
+            .collect())
+    for r_ in rows:
+        cx, cy = 3 * A * r_.q, B * r_.q + 2 * B * r_.r
+        du, dv = r_.x - cx, r_.y - cy
+        assert abs(dv) <= B, (r_.x, r_.y, du, dv)
+        assert B * abs(du) + A * abs(dv) <= 2 * A * B, (r_.x, r_.y)
+    # hex vertices land in a deterministic cell (tie-break stability):
+    # re-evaluating twice gives identical assignments
+    again = (pts.selectExpr("x", "y", f"{ex['q']} as q",
+                            f"{ex['r']} as r").collect())
+    assert [(r_.q, r_.r) for r_ in rows] == [(r_.q, r_.r) for r_ in again]

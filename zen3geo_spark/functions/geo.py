@@ -739,3 +739,45 @@ from (
   )
 )
 """
+
+
+def hex_bin_sql(x: str, y: str, a: int, b: int, engine: str) -> dict[str, str]:
+    """EXACT integer hexagonal binning — the hex tessellation that makes
+    the cell index family genuinely H3-flavored (squares: cell_encode /
+    zorder / geohash / quadkeys; hexes: this).
+
+    Tiling: flat-top stretched hexagons with vertices (±2a, 0),
+    (±a, ±b) around each center; centers at (3a·q, b·q + 2b·r) for
+    integer axial coords (q, r). Every edge is a rational line, so the
+    assignment is three floor-divisions + one integer edge test:
+
+    1. column q₀ = floor((x + a) / 3a) — rectangles [c−a, c+2a) per
+       column; 2. row r from floor((y − b·q₀ + b) / 2b); 3. if the
+       point lies past the hex's right slanted edges
+       (b·du + a·|dv| > 2ab with du ∈ (a, 2a)), it belongs to the
+       upper/lower-RIGHT neighbor (q₀+1, adjusted r). Points on edges
+       tie-break to the left/own hex (≤). All floors use the shared
+       non-negative rewrite so Spark ``div`` ≡ DuckDB ``//``.
+
+    Returns exprs {"q", "r"}; the caller derives the center as
+    (3a·q, b·q + 2b·r). Engine-parameterized, WholeStageCodegen on the
+    Spark side, no trig, no irrationals — the inequality tests are the
+    exact rational edges of the tiling.
+    """
+    from zen3geo_spark.operators.trajectory import floor_div_sql
+
+    q0 = floor_div_sql(f"({x}) + {a}", str(3 * a), engine)
+    cy0 = f"({b} * {q0})"
+    r0 = floor_div_sql(f"({y}) - {cy0} + {b}", str(2 * b), engine)
+    du = f"(({x}) - 3 * {a} * ({q0}))"
+    dv = f"(({y}) - ({cy0} + 2 * {b} * ({r0})))"
+    outside = (f"({du} > {a} and {b} * {du} + {a} * abs({dv})"
+               f" > {2 * a * b})")
+    q = f"(case when {outside} then ({q0}) + 1 else ({q0}) end)"
+    # moving right-up (dv>=0): neighbor center y = cy + b ⇒ same r;
+    # right-down (dv<0): center y = cy − b ⇒ r' = r − ... both neighbor
+    # centers satisfy cy' = b·(q₀+1) + 2b·r' → r' = r when dv ≥ 0 else
+    # r − 1  (cy' = cy ± b with cy = b·q₀ + 2b·r)
+    r = (f"(case when {outside} and ({dv}) < 0 then ({r0}) - 1 "
+         f"else ({r0}) end)")
+    return {"q": q, "r": r}
