@@ -3022,6 +3022,71 @@ _IOU_PRED_SQL = """
 """
 
 
+# engine-neutral TPC-H Q3/Q5 shapes in integer cents·percent units
+# (price·100 and discount·100 are exact integers, so revenue is bigint
+# and the top-k cutoff is deterministic — no FP sum-order dependence)
+_REV_C = ("cast(round(l_extendedprice * 100) as bigint) * "
+          "(100 - cast(round(l_discount * 100) as bigint))")
+
+_Q3_SQL = f"""
+    select l_orderkey,
+           sum({_REV_C}) as revenue_c,
+           o_orderdate, o_orderpriority
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = 'BUILDING'
+      and o_orderdate < timestamp '1997-03-15 00:00:00'
+      and l_shipdate > timestamp '1997-03-15 00:00:00'
+    group by l_orderkey, o_orderdate, o_orderpriority
+    order by revenue_c desc, l_orderkey
+    limit 10
+"""
+
+_Q5_SQL = f"""
+    select n_name, sum({_REV_C}) as revenue_c,
+           count(*) as n_items
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    join supplier on l_suppkey = s_suppkey
+                 and s_nationkey = c_nationkey
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    where r_name = 'ASIA'
+      and o_orderdate >= timestamp '1996-01-01 00:00:00'
+      and o_orderdate < timestamp '1998-01-01 00:00:00'
+    group by n_name
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): customer⋈orders⋈lineitem
+    with selective predicates on both fact sides, top-10 orders by
+    exact integer revenue — the classic join-ordering/broadcast
+    benchmark over the driver's relational tables; Catalyst picks
+    broadcast for the filtered customer side."""
+    _register_tpch(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q3_SQL)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-table snowflake
+    join with the co-nationality constraint — region/nation dims
+    broadcast, customer⋈orders⋈lineitem⋈supplier shuffle on keys;
+    integer-cents revenue ⇒ hash-exact."""
+    _register_tpch(spark, sf_dir,
+                   ["customer", "orders", "lineitem", "supplier",
+                    "nation", "region"])
+    return spark.sql(_Q5_SQL)
+
+
+def _register_tpch(spark: SparkSession, sf_dir: str,
+                   tables: list[str]) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
 HEX_A, HEX_B = 5_000_000, 8_660_254  # ~near-regular 20°-wide hexes
 
 
@@ -3957,6 +4022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "hex_bins": q_hex_bins,
         "cell_topics": q_cell_topics,
         "skyline_hosts": q_skyline_hosts,
@@ -6956,6 +7023,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "shipping_priority": _Q3_SQL,
+        "local_supplier_volume": _Q5_SQL,
         "hex_bins": hex_bins_sql_q,
         "cell_topics": cell_topics_sql_q,
         "skyline_hosts": skyline_hosts_sql_q,
