@@ -3022,6 +3022,57 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (the OLAP subtotal surface): doc counts and
+    byte totals by (lang, source) with per-lang subtotals and a grand
+    total — grouping levels tagged via grouping_id, NULL dimensions
+    coalesced to 'ALL' so the row set is hash-stable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("n_bytes"),
+                 F.grouping_id().alias("gid"))
+            .selectExpr("coalesce(lang, 'ALL') as lang",
+                        "coalesce(source, 'ALL') as source",
+                        "gid", "n_docs", "n_bytes"))
+
+
+PIVOT_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def q_pivot_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide reshaping): doc counts per lang × source as one row
+    per lang with a column per source — explicit pivot value list so
+    the schema is deterministic; the twin is the equivalent
+    conditional aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (docs.groupBy("lang").pivot("source", PIVOT_SOURCES).count())
+    return out.select("lang", *[F.coalesce(F.col(s), F.lit(0))
+                                .alias(s) for s in PIVOT_SOURCES])
+
+
+def q_host_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer percent-rank of hosts by total bytes (percent_rank /
+    cume_dist surface without FP): pr_milli = 1000·(rank−1) div (n−1),
+    cume_milli = 1000·rank_max div n — exact rational arithmetic over
+    one host-keyed aggregate; the global rank uses the scale-safe
+    two-phase numbering (with_global_pos), never a single-partition
+    Window, so the plan survives 10^8 hosts."""
+    from zen3geo_spark.operators._util import pair_all
+    from zen3geo_spark.operators.combinators import with_global_pos
+
+    hosts = (synth_pages(spark, N_PAGES)
+             .selectExpr(f"{URL_HOST_SQL} as host",
+                         "length(text) as tl")
+             .groupBy("host").agg(F.sum("tl").alias("bytes")))
+    n = hosts.agg(F.count("*").alias("n"))
+    ranked = pair_all(with_global_pos(hosts, ["bytes", "host"], "rk"), n)
+    return ranked.selectExpr(
+        "host", "bytes",
+        "1000 * (rk - 1) div (n - 1) as pr_milli",
+        "1000 * rk div n as cume_milli")
+
+
 # engine-neutral TPC-H Q3/Q5 shapes in integer cents·percent units
 # (price·100 and discount·100 are exact integers, so revenue is bigint
 # and the top-k cutoff is deterministic — no FP sum-order dependence)
@@ -4022,6 +4073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "rollup_report": q_rollup_report,
+        "pivot_langs": q_pivot_langs,
+        "host_percentiles": q_host_percentiles,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "hex_bins": q_hex_bins,
@@ -6200,6 +6254,39 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import rect_union_area_sql
     rect_union_area_sql_q = rect_union_area_sql(_UNION_RECTS_SQL)
 
+    # Spark grouping_id over (lang, source): bit per dim, detail=0,
+    # lang-subtotal=1 (source grouped), grand=3 — DuckDB GROUPING agrees
+    rollup_report_sql_q = """
+    select coalesce(lang, 'ALL') as lang,
+           coalesce(source, 'ALL') as source,
+           grouping(lang) * 2 + grouping(source) as gid,
+           count(*) as n_docs, sum(length(text)) as n_bytes
+    from documents group by rollup(lang, source)
+    """
+
+    _pvt = ", ".join(
+        f"sum(case when source = '{s}' then 1 else 0 end) as {s}"
+        for s in PIVOT_SOURCES)
+    pivot_langs_sql_q = f"select lang, {_pvt} from documents group by lang"
+
+    host_percentiles_sql_q = f"""
+    with pages as ({pages_cte_sql(N_PAGES)}),
+    hosts as (
+      select {URL_HOST_SQL} as host, sum(length(text)) as bytes
+      from pages group by 1
+    ),
+    n as (select count(*) as n from hosts),
+    rk as (
+      select host, bytes,
+             row_number() over (order by bytes, host) as rk
+      from hosts
+    )
+    select host, bytes,
+           1000 * (rk - 1) // (n - 1) as pr_milli,
+           1000 * rk // n as cume_milli
+    from rk, n
+    """
+
     from zen3geo_spark.functions.geo import hex_bin_sql
     _hexd = hex_bin_sql("lon_us", "lat_us", HEX_A, HEX_B, "duckdb")
     hex_bins_sql_q = f"""{_points_cte()},
@@ -7023,6 +7110,9 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "rollup_report": rollup_report_sql_q,
+        "pivot_langs": pivot_langs_sql_q,
+        "host_percentiles": host_percentiles_sql_q,
         "shipping_priority": _Q3_SQL,
         "local_supplier_volume": _Q5_SQL,
         "hex_bins": hex_bins_sql_q,
