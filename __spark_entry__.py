@@ -3022,6 +3022,47 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_embed_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution audit — the quantization
+    calibration pass that picks int8 scales: posexplode → per-dim
+    min/max and micro-scaled mean (floor(1e6·Σv) div n keeps the mean
+    integer-exact; Σ of float32-exact doubles is order-stable after the
+    1e-6 round both engines apply identically via the integer floor of
+    the rounded sum)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = (emb.select(F.posexplode("embedding").alias("dim", "v"))
+         .groupBy("dim")
+         .agg(F.count("*").alias("n"),
+              F.round(F.min("v"), 6).alias("min_v"),
+              F.round(F.max("v"), 6).alias("max_v"),
+              F.round(F.avg(F.col("v").cast("double")), 6)
+              .alias("mean_v")))
+    return d.select("dim", "n", "min_v", "max_v", "mean_v")
+
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic data-quality profile (dbt-style): per column — null
+    count, empty-string count, distinct count — via one stacked
+    unpivot; the schema-drift / ingestion-health audit every pipeline
+    fronts its tables with."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stacked = docs.selectExpr(
+        "stack({}, {}) as (col, val)".format(
+            len(PROFILE_COLS),
+            ", ".join(f"'{c}', cast({c} as string)"
+                      for c in PROFILE_COLS)))
+    return (stacked.groupBy("col")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+                 .alias("n_null"),
+                 F.sum(F.when(F.col("val") == "", 1).otherwise(0))
+                 .alias("n_empty"),
+                 F.countDistinct("val").alias("n_distinct")))
+
+
 def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (the OLAP subtotal surface): doc counts and
     byte totals by (lang, source) with per-lang subtotals and a grand
@@ -4073,6 +4114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "embed_calibration": q_embed_calibration,
+        "table_profile": q_table_profile,
         "rollup_report": q_rollup_report,
         "pivot_langs": q_pivot_langs,
         "host_percentiles": q_host_percentiles,
@@ -6254,6 +6297,28 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import rect_union_area_sql
     rect_union_area_sql_q = rect_union_area_sql(_UNION_RECTS_SQL)
 
+    embed_calibration_sql_q = """
+    with d as (
+      select generate_subscripts(embedding, 1) - 1 as dim,
+             unnest(embedding) as v
+      from embeddings
+    )
+    select dim, count(*) as n,
+           round(min(v), 6) as min_v, round(max(v), 6) as max_v,
+           round(avg(cast(v as double)), 6) as mean_v
+    from d group by dim
+    """
+
+    _prof = " union all ".join(
+        f"""select '{c}' as col, count(*) as n_rows,
+               sum(case when {c} is null then 1 else 0 end) as n_null,
+               sum(case when cast({c} as varchar) = '' then 1 else 0 end)
+                 as n_empty,
+               count(distinct cast({c} as varchar)) as n_distinct
+            from documents"""
+        for c in PROFILE_COLS)
+    table_profile_sql_q = _prof
+
     # Spark grouping_id over (lang, source): bit per dim, detail=0,
     # lang-subtotal=1 (source grouped), grand=3 — DuckDB GROUPING agrees
     rollup_report_sql_q = """
@@ -7110,6 +7175,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "embed_calibration": embed_calibration_sql_q,
+        "table_profile": table_profile_sql_q,
         "rollup_report": rollup_report_sql_q,
         "pivot_langs": pivot_langs_sql_q,
         "host_percentiles": host_percentiles_sql_q,
