@@ -3022,6 +3022,53 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch demonstration: distinct active users per 6 h
+    window estimated by HyperLogLog register merge (max per register —
+    map-side combinable into any window/rollup), audited against the
+    exact per-window count distinct. The property that matters at
+    10^12 events is that the registers merge; the groupBy is bounded
+    by windows × 1024 cells."""
+    from zen3geo_spark.functions.sketch import hll_estimate, hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "timestampadd(HOUR, -(hour(date_trunc('hour', ts)) % 6), "
+        "date_trunc('hour', ts)) as wstart",
+        "cast(user_id as string) as u")
+    est = hll_estimate(hll_registers(ev, "u", ("wstart",),
+                                     use_arrow=False), ("wstart",))
+    exact = ev.groupBy("wstart").agg(
+        F.countDistinct("u").alias("true_distinct"))
+    return (est.join(exact, "wstart")
+            .select("wstart", F.round("est_distinct", 6)
+                    .alias("est_distinct"),
+                    "true_distinct", "registers_hit"))
+
+
+def q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style expire-snapshots PLANNING: over a 120-snapshot
+    metadata list, keep the most recent 7 plus the first snapshot of
+    every 7-day bucket; everything else is marked expire. Pure window
+    arithmetic over a metadata-sized table (snapshot lists are tiny by
+    construction — the data files are never touched)."""
+    from pyspark.sql.window import Window
+
+    snaps = spark.range(120).selectExpr(
+        "id as snap_id",
+        "cast(19723 + id * 2 + id % 3 as long) as day_no")
+    wr = Window.orderBy(F.col("day_no").desc(), F.col("snap_id").desc())
+    ww = Window.partitionBy(F.expr("day_no div 7")).orderBy(
+        "day_no", "snap_id")
+    return (snaps
+            .withColumn("_recent", F.row_number().over(wr))
+            .withColumn("_wk_first", F.row_number().over(ww))
+            .selectExpr(
+                "snap_id", "day_no",
+                "case when _recent <= 7 then 'recent' "
+                "when _wk_first = 1 then 'weekly' "
+                "else 'expire' end as action"))
+
+
 def q_embed_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding distribution audit — the quantization
     calibration pass that picks int8 scales: posexplode → per-dim
@@ -4114,6 +4161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "windowed_hll": q_windowed_hll,
+        "snapshot_expiry": q_snapshot_expiry,
         "embed_calibration": q_embed_calibration,
         "table_profile": q_table_profile,
         "rollup_report": q_rollup_report,
@@ -6297,6 +6346,42 @@ from g5 group by 1
     from zen3geo_spark.operators.overlay import rect_union_area_sql
     rect_union_area_sql_q = rect_union_area_sql(_UNION_RECTS_SQL)
 
+    from zen3geo_spark.functions.sketch import hll_sql_duckdb
+    _ev_keys = ("(select date_trunc('hour', ts) - to_hours(cast("
+                "hour(date_trunc('hour', ts)) % 6 as bigint)) as wstart, "
+                "cast(user_id as varchar) as u from events)")
+    windowed_hll_sql_q = f"""
+    with est as ({hll_sql_duckdb(_ev_keys, "u", ("wstart",))}),
+    exact as (
+      select wstart, count(distinct u) as true_distinct
+      from {_ev_keys} group by wstart
+    )
+    select e.wstart, round(e.est_distinct, 6) as est_distinct,
+           x.true_distinct, e.registers_hit
+    from est e join exact x on e.wstart = x.wstart
+    """
+
+    snapshot_expiry_sql_q = """
+    with snaps as (
+      select id as snap_id, cast(19723 + id * 2 + id % 3 as bigint)
+               as day_no
+      from range(120) t(id)
+    ),
+    rk as (
+      select snap_id, day_no,
+             row_number() over (order by day_no desc, snap_id desc)
+               as recent,
+             row_number() over (partition by day_no // 7
+                                order by day_no, snap_id) as wk_first
+      from snaps
+    )
+    select snap_id, day_no,
+           case when recent <= 7 then 'recent'
+                when wk_first = 1 then 'weekly'
+                else 'expire' end as action
+    from rk
+    """
+
     embed_calibration_sql_q = """
     with d as (
       select generate_subscripts(embedding, 1) - 1 as dim,
@@ -7175,6 +7260,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "windowed_hll": windowed_hll_sql_q,
+        "snapshot_expiry": snapshot_expiry_sql_q,
         "embed_calibration": embed_calibration_sql_q,
         "table_profile": table_profile_sql_q,
         "rollup_report": rollup_report_sql_q,
