@@ -3022,6 +3022,52 @@ _IOU_PRED_SQL = """
 """
 
 
+_STR_QBOX_SQL = """
+    select i.i as q_id,
+           (i.i * 48271 + 7) % 2147483647 % 300000001 - 150000000 as x1,
+           ((i.i * 48271 + 7) * 48271 + 11) % 2147483647 % 140000001
+             - 80000000 as y1,
+           (i.i * 48271 + 7) % 2147483647 % 300000001 - 150000000
+             + 30000000 as x2,
+           ((i.i * 48271 + 7) * 48271 + 11) % 2147483647 % 140000001
+             - 80000000 + 20000000 as y2
+    from range(20) as i(i)
+"""
+
+
+def q_str_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tree QUERY against the STR-packed leaf directory: per query
+    bbox, candidate leaves touched (MBR overlap) + candidate point
+    budget vs the exact in-box count — the index-selectivity audit
+    that justifies the bulk load. The leaf directory is index-sized ⇒
+    constant-key broadcast; the exact side here scans (the audit);
+    production uses the cell-blocked path for the answer itself."""
+    from zen3geo_spark.operators.spatial_join import str_pack_points
+
+    qb = spark.sql(_STR_QBOX_SQL)
+    pts = _points_df(spark)
+    leaves = str_pack_points(pts, leaf_cap=64)
+    k = F.lit(1)
+    cand = (qb.withColumn("_k", k)
+            .join(F.broadcast(leaves.withColumn("_k", k)), "_k")
+            .filter("minx_us <= x2 and maxx_us >= x1 and "
+                    "miny_us <= y2 and maxy_us >= y1")
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_cand_leaves"),
+                 F.sum("n_pts").alias("n_cand_points")))
+    exact = (pts.withColumn("_k", k)
+             .join(F.broadcast(qb.withColumn("_k", k)), "_k")
+             .filter("lon_us between x1 and x2 and "
+                     "lat_us between y1 and y2")
+             .groupBy("q_id").agg(F.count("*").alias("n_exact")))
+    return (qb.select("q_id")
+            .join(cand, "q_id", "left").join(exact, "q_id", "left")
+            .selectExpr("q_id",
+                        "coalesce(n_cand_leaves, 0) as n_cand_leaves",
+                        "coalesce(n_cand_points, 0) as n_cand_points",
+                        "coalesce(n_exact, 0) as n_exact"))
+
+
 def q_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE-sketch demonstration: distinct active users per 6 h
     window estimated by HyperLogLog register merge (max per register —
@@ -4161,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "str_query": q_str_query,
         "windowed_hll": q_windowed_hll,
         "snapshot_expiry": q_snapshot_expiry,
         "embed_calibration": q_embed_calibration,
@@ -6021,6 +6068,30 @@ from g5 group by 1
     {str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}
     """
 
+    str_query_sql_q = f"""
+    {_points_cte()},
+    leaves as ({str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}),
+    qb as ({_STR_QBOX_SQL}),
+    cand as (
+      select q_id, count(*) as n_cand_leaves, sum(n_pts) as n_cand_points
+      from qb join leaves
+        on minx_us <= x2 and maxx_us >= x1
+       and miny_us <= y2 and maxy_us >= y1
+      group by q_id
+    ),
+    exact as (
+      select q_id, count(*) as n_exact
+      from qb join pts
+        on lon_us between x1 and x2 and lat_us between y1 and y2
+      group by q_id
+    )
+    select q.q_id, coalesce(c.n_cand_leaves, 0) as n_cand_leaves,
+           coalesce(c.n_cand_points, 0) as n_cand_points,
+           coalesce(e.n_exact, 0) as n_exact
+    from qb q left join cand c on q.q_id = c.q_id
+    left join exact e on q.q_id = e.q_id
+    """
+
     from zen3geo_spark.functions.bpe import (
         bpe_train_sql_duckdb, word_counts_sql_duckdb,
     )
@@ -7260,6 +7331,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "str_query": str_query_sql_q,
         "windowed_hll": windowed_hll_sql_q,
         "snapshot_expiry": snapshot_expiry_sql_q,
         "embed_calibration": embed_calibration_sql_q,
