@@ -3042,21 +3042,19 @@ def q_str_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     that justifies the bulk load. The leaf directory is index-sized ⇒
     constant-key broadcast; the exact side here scans (the audit);
     production uses the cell-blocked path for the answer itself."""
+    from zen3geo_spark.operators._util import pair_all
     from zen3geo_spark.operators.spatial_join import str_pack_points
 
     qb = spark.sql(_STR_QBOX_SQL)
     pts = _points_df(spark)
     leaves = str_pack_points(pts, leaf_cap=64)
-    k = F.lit(1)
-    cand = (qb.withColumn("_k", k)
-            .join(F.broadcast(leaves.withColumn("_k", k)), "_k")
+    cand = (pair_all(qb, leaves)
             .filter("minx_us <= x2 and maxx_us >= x1 and "
                     "miny_us <= y2 and maxy_us >= y1")
             .groupBy("q_id")
             .agg(F.count("*").alias("n_cand_leaves"),
                  F.sum("n_pts").alias("n_cand_points")))
-    exact = (pts.withColumn("_k", k)
-             .join(F.broadcast(qb.withColumn("_k", k)), "_k")
+    exact = (pair_all(pts, qb)
              .filter("lon_us between x1 and x2 and "
                      "lat_us between y1 and y2")
              .groupBy("q_id").agg(F.count("*").alias("n_exact")))
