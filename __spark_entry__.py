@@ -3022,6 +3022,54 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram (32 buckets) over lineitem
+    prices in exact integer cents — the CBO statistics collector:
+    bucket = (global rank − 1) div ceil(n/32) with the scale-safe
+    numbering, per-bucket min/max/rows/ndv. Exact rank boundaries, not
+    a sample."""
+    from zen3geo_spark.operators.combinators import with_global_pos
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "cast(round(l_extendedprice * 100) as bigint) as cents",
+        "l_orderkey * 10 + l_linenumber as rid")
+    n = li.count()
+    w = -(-n // 32)
+    ranked = with_global_pos(li, ["cents", "rid"], "pos")
+    return (ranked.selectExpr(f"(pos - 1) div {w} as bucket", "cents")
+            .groupBy("bucket")
+            .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                 F.count("*").alias("n_rows"),
+                 F.countDistinct("cents").alias("ndv")))
+
+
+def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based join-cardinality estimation audited against the
+    true join size — the CBO selectivity model as a query: bucket both
+    sides' key distributions (equi-width, key div 8), estimate
+    |A⋈B| per bucket as na·nb div ndv_max (uniform-within-bucket,
+    container-ndv denominator), and report estimate vs actual."""
+    from zen3geo_spark.operators._util import pair_all
+    from zen3geo_spark.operators.linkgraph import synth_host_edges
+
+    a = (synth_pages(spark, N_PAGES)
+         .selectExpr(f"({URL_PID_SQL}) % 1000 as k"))
+    b = synth_host_edges(spark, 1000).selectExpr("dst as k")
+    ha = a.selectExpr("k div 8 as b8", "k").groupBy("b8").agg(
+        F.count("*").alias("na"), F.countDistinct("k").alias("nda"))
+    hb = b.selectExpr("k div 8 as b8", "k").groupBy("b8").agg(
+        F.count("*").alias("nb"), F.countDistinct("k").alias("ndb"))
+    est = (ha.join(hb, "b8")
+           .selectExpr("na * nb div greatest(nda, ndb) as e")
+           .agg(F.sum("e").alias("est_rows")))
+    actual = (a.groupBy("k").agg(F.count("*").alias("ca"))
+              .join(b.groupBy("k").agg(F.count("*").alias("cb")), "k")
+              .agg(F.sum(F.col("ca") * F.col("cb")).alias("true_rows")))
+    return pair_all(est, actual).selectExpr(
+        "est_rows", "true_rows",
+        "1000 * est_rows div true_rows as ratio_milli")
+
+
 _STR_QBOX_SQL = """
     select i.i as q_id,
            (i.i * 48271 + 7) % 2147483647 % 300000001 - 150000000 as x1,
@@ -4205,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "equi_depth_hist": q_equi_depth_hist,
+        "join_card_est": q_join_card_est,
         "str_query": q_str_query,
         "windowed_hll": q_windowed_hll,
         "snapshot_expiry": q_snapshot_expiry,
@@ -6066,6 +6116,50 @@ from g5 group by 1
     {str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}
     """
 
+    equi_depth_hist_sql_q = """
+    with li as (
+      select cast(round(l_extendedprice * 100) as bigint) as cents,
+             l_orderkey * 10 + l_linenumber as rid
+      from lineitem
+    ),
+    nw as (select (count(*) + 31) // 32 as w from li),
+    r as (
+      select cents, row_number() over (order by cents, rid) as pos
+      from li
+    )
+    select (pos - 1) // w as bucket,
+           min(cents) as lo, max(cents) as hi,
+           count(*) as n_rows, count(distinct cents) as ndv
+    from r, nw group by 1
+    """
+
+    from zen3geo_spark.operators.linkgraph import (
+        synth_host_edges_sql_duckdb as _she_sql,
+    )
+    join_card_est_sql_q = f"""
+    with a as (
+      select ({URL_PID_SQL}) % 1000 as k
+      from ({pages_cte_sql(N_PAGES)})
+    ),
+    b as (select dst as k from ({_she_sql(1000)})),
+    ha as (select k // 8 as b8, count(*) as na,
+                  count(distinct k) as nda from a group by 1),
+    hb as (select k // 8 as b8, count(*) as nb,
+                  count(distinct k) as ndb from b group by 1),
+    est as (
+      select sum(na * nb // greatest(nda, ndb)) as est_rows
+      from ha join hb using (b8)
+    ),
+    act as (
+      select sum(ca * cb) as true_rows from
+        (select k, count(*) as ca from a group by k) x
+        join (select k, count(*) as cb from b group by k) y using (k)
+    )
+    select est_rows, true_rows,
+           1000 * est_rows // true_rows as ratio_milli
+    from est, act
+    """
+
     str_query_sql_q = f"""
     {_points_cte()},
     leaves as ({str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}),
@@ -7329,6 +7423,8 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "equi_depth_hist": equi_depth_hist_sql_q,
+        "join_card_est": join_card_est_sql_q,
         "str_query": str_query_sql_q,
         "windowed_hll": windowed_hll_sql_q,
         "snapshot_expiry": snapshot_expiry_sql_q,
