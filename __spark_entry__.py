@@ -3022,6 +3022,31 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data profile that justifies a watermark choice: replay the
+    stream in arrival order (event_id), track the running max event
+    time per type, and count rows arriving more than 2 h behind it +
+    the worst lateness — one ordered frame over the per-type stream,
+    integer epoch seconds ⇒ hash-exact."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "event_id",
+        # lateness uses DIFFERENCES only, so the session-tz offset of
+        # the NTZ→LTZ cast cancels against the DuckDB epoch() twin
+        "unix_timestamp(cast(ts as timestamp)) as es")
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    run = ev.withColumn("_hwm", F.max("es").over(w))
+    return (run.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("es") < F.col("_hwm") - 7200, 1)
+                       .otherwise(0)).alias("n_late_2h"),
+                 F.max(F.when(F.col("_hwm") > F.col("es"),
+                              F.col("_hwm") - F.col("es"))
+                       .otherwise(0)).alias("max_lateness_s")))
+
+
 def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style equi-depth histogram (32 buckets) over lineitem
     prices in exact integer cents — the CBO statistics collector:
@@ -4253,6 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "late_data_audit": q_late_data_audit,
         "equi_depth_hist": q_equi_depth_hist,
         "join_card_est": q_join_card_est,
         "str_query": q_str_query,
@@ -6116,6 +6142,26 @@ from g5 group by 1
     {str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}
     """
 
+    late_data_audit_sql_q = """
+    with ev as (
+      select event_type, event_id,
+             cast(floor(epoch(ts)) as bigint) as es
+      from events
+    ),
+    run as (
+      select event_type, es,
+             max(es) over (partition by event_type order by event_id
+                           rows between unbounded preceding
+                           and 1 preceding) as hwm
+      from ev
+    )
+    select event_type, count(*) as n_events,
+           sum(case when es < hwm - 7200 then 1 else 0 end) as n_late_2h,
+           max(case when hwm > es then hwm - es else 0 end)
+             as max_lateness_s
+    from run group by event_type
+    """
+
     equi_depth_hist_sql_q = """
     with li as (
       select cast(round(l_extendedprice * 100) as bigint) as cents,
@@ -7423,6 +7469,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "late_data_audit": late_data_audit_sql_q,
         "equi_depth_hist": equi_depth_hist_sql_q,
         "join_card_est": join_card_est_sql_q,
         "str_query": str_query_sql_q,
