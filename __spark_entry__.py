@@ -3022,6 +3022,40 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_layout_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout audit closing the OPTIMIZE-ZORDER story: count
+    RLE runs of the res-6 cell column under (a) crawl/url order vs (b)
+    z-order layout — the run collapse IS the dictionary/RLE
+    compression and rowgroup-pruning win clustering buys. Runs are
+    counted scale-safe: a global position (two-phase numbering) + one
+    pos+1 self-EQUI-join to count adjacent-equal pairs — no global
+    window anywhere. runs = n − adjacent_equal."""
+    from zen3geo_spark.functions.geo import cell_encode
+    from zen3geo_spark.operators._util import pair_all
+    from zen3geo_spark.operators.combinators import with_global_pos
+
+    pts = (_points_df(spark)
+           .withColumn("cell", cell_encode(F.col("lat_us"),
+                                           F.col("lon_us"), 6))
+           .select("point_id", "cell"))
+
+    def runs(order_cols, name):
+        pos = with_global_pos(pts, order_cols, "_p")
+        nxt = pos.selectExpr("_p - 1 as _p", "cell as _c2")
+        eq = (pos.join(nxt, "_p")
+              .agg(F.sum(F.when(F.col("cell") == F.col("_c2"), 1)
+                         .otherwise(0)).alias("adj_eq"),
+                   (F.count("*") + 1).alias("n")))
+        return eq.selectExpr(f"n - adj_eq as {name}")
+
+    u = runs(["point_id"], "runs_url_order")
+    z = runs(["cell", "point_id"], "runs_zorder")
+    return (pair_all(u, z)
+            .selectExpr("runs_url_order", "runs_zorder",
+                        "1000 * runs_url_order div runs_zorder"
+                        " as collapse_milli"))
+
+
 def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data profile that justifies a watermark choice: replay the
     stream in arrival order (event_id), track the running max event
@@ -4278,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "layout_rle_audit": q_layout_rle_audit,
         "late_data_audit": q_late_data_audit,
         "equi_depth_hist": q_equi_depth_hist,
         "join_card_est": q_join_card_est,
@@ -6142,6 +6177,26 @@ from g5 group by 1
     {str_pack_sql_duckdb('pts', leaf_cap=64, n=_n_tagged)}
     """
 
+    _cell6 = cell_id_sql("lat_us", "lon_us", 6, "duckdb")
+    layout_rle_audit_sql_q = f"""{_points_cte()},
+    cl as (select point_id, {_cell6} as cell from pts),
+    u as (
+      select count(*) - sum(case when cell = prev then 1 else 0 end)
+               as runs_url_order
+      from (select cell, lag(cell) over (order by point_id) as prev
+            from cl)
+    ),
+    z as (
+      select count(*) - sum(case when cell = prev then 1 else 0 end)
+               as runs_zorder
+      from (select cell, lag(cell) over (order by cell, point_id) as prev
+            from cl)
+    )
+    select runs_url_order, runs_zorder,
+           1000 * runs_url_order // runs_zorder as collapse_milli
+    from u, z
+    """
+
     late_data_audit_sql_q = """
     with ev as (
       select event_type, event_id,
@@ -7469,6 +7524,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "layout_rle_audit": layout_rle_audit_sql_q,
         "late_data_audit": late_data_audit_sql_q,
         "equi_depth_hist": equi_depth_hist_sql_q,
         "join_card_est": join_card_est_sql_q,
