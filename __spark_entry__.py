@@ -3022,6 +3022,35 @@ _IOU_PRED_SQL = """
 """
 
 
+def q_dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness over the dedup family: precision/recall of
+    the CHEAP near-dup signal (SimHash hamming ≤ 8 on unigrams)
+    against the EXACT ground truth (1-gram Jaccard ≥ 0.5) on the
+    bounded audit slice — the methodology query that justifies which
+    candidate generator a production dedup pass trusts. Integer counts
+    + milli ratios ⇒ hash-exact."""
+    from zen3geo_spark.operators._util import pair_all
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = (simhash_near_dups(docs, max_hamming=8, shingle_n=1)
+            .select("a_id", "b_id")
+            .filter("a_id < 200 and b_id < 200"))
+    truth = (ngram_jaccard(docs.filter("doc_id < 200"), shingle_n=1,
+                           threshold=0.9)
+             .select("a_id", "b_id"))
+    np_ = pred.agg(F.count("*").alias("n_pred"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nb = (pred.join(truth, ["a_id", "b_id"])
+          .agg(F.count("*").alias("n_both")))
+    return (pair_all(pair_all(np_, nt), nb)
+            .selectExpr(
+                "n_pred", "n_truth", "n_both",
+                "case when n_pred = 0 then null "
+                "else 1000 * n_both div n_pred end as precision_milli",
+                "case when n_truth = 0 then null "
+                "else 1000 * n_both div n_truth end as recall_milli"))
+
+
 def q_layout_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-layout audit closing the OPTIMIZE-ZORDER story: count
     RLE runs of the res-6 cell column under (a) crawl/url order vs (b)
@@ -4312,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window."""
     return {
         # --- newest: time travel, stream-stream join, crossings ---
+        "dedup_pr_audit": q_dedup_pr_audit,
         "layout_rle_audit": q_layout_rle_audit,
         "late_data_audit": q_late_data_audit,
         "equi_depth_hist": q_equi_depth_hist,
@@ -7433,6 +7463,31 @@ from f
         "select vec_id as node from embeddings",
         prelude_ctes=embed_clusters_prelude)
 
+    # unigram-simhash variant of the simhash oracle (same CTE template,
+    # grams swapped 2→1) — the audit compares unigram signals
+    _simhash_sql_u1 = simhash_sql.replace(
+        shingles_sql_duckdb("text", 2), shingles_sql_duckdb("text", 1))
+    dedup_pr_audit_sql_q = f"""
+    with pred as (
+      select a_id, b_id from ({_simhash_sql_u1})
+      where a_id < 200 and b_id < 200
+    ),
+    truth as (
+      select a_id, b_id from ({word_jaccard_exact_sql})
+      where jaccard >= 0.9
+    ),
+    np as (select count(*) as n_pred from pred),
+    nt as (select count(*) as n_truth from truth),
+    nb as (select count(*) as n_both
+           from pred join truth using (a_id, b_id))
+    select n_pred, n_truth, n_both,
+           case when n_pred = 0 then null
+                else 1000 * n_both // n_pred end as precision_milli,
+           case when n_truth = 0 then null
+                else 1000 * n_both // n_truth end as recall_milli
+    from np, nt, nb
+    """
+
     return {
         "pages_extract": (
             f"with pages as ({pages_cte_sql(N_PAGES)}) "
@@ -7524,6 +7579,7 @@ from f
         "flow_basin": flow_basin_sql_q,
         "hits": hits_sql_q,
         "link_jaccard": link_jaccard_sql_q,
+        "dedup_pr_audit": dedup_pr_audit_sql_q,
         "layout_rle_audit": layout_rle_audit_sql_q,
         "late_data_audit": late_data_audit_sql_q,
         "equi_depth_hist": equi_depth_hist_sql_q,
