@@ -459,3 +459,19 @@ def test_skyline_brute_force(spark):
 
     brute = sorted(p for p in all_pts if not dominated(p))
     assert sorted(pts) == brute and brute
+
+
+def test_layout_rle_audit_collapse(spark):
+    """Z-order layout must strictly collapse cell runs vs crawl order,
+    and runs_zorder must equal the distinct cell count (fully
+    clustered)."""
+    import __spark_entry__ as E
+
+    r = E.q_layout_rle_audit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.runs_zorder < r.runs_url_order
+    assert r.collapse_milli > 1000
+    from zen3geo_spark.functions.geo import cell_encode
+    from pyspark.sql import functions as F
+    pts = E._points_df(spark).withColumn(
+        "cell", cell_encode(F.col("lat_us"), F.col("lon_us"), 6))
+    assert r.runs_zorder == pts.select("cell").distinct().count()
